@@ -1,0 +1,74 @@
+import functools
+
+import pytest
+
+from uwudiff_tpu.config import (
+    get_obj_from_str,
+    instantiate_any,
+    load_config_files,
+    merge_configs,
+)
+
+
+def test_get_obj_from_str():
+    import os.path
+
+    assert get_obj_from_str("os.path.join") is os.path.join
+    assert get_obj_from_str("uwudiff_tpu.config.merge_configs") is merge_configs
+
+
+def test_instantiate_hydra_format():
+    obj = instantiate_any({"_target_": "builtins.dict", "a": 1, "b": 2})
+    assert obj == {"a": 1, "b": 2}
+
+
+def test_instantiate_partial():
+    p = instantiate_any({"_target_": "builtins.int", "_partial_": True})
+    assert isinstance(p, functools.partial)
+    assert p("7") == 7
+
+
+def test_instantiate_recursive_and_nonrecursive():
+    nested = {
+        "_target_": "builtins.dict",
+        "inner": {"_target_": "builtins.list", "_args_": [[1, 2]]},
+    }
+    obj = instantiate_any(nested)
+    assert obj == {"inner": [1, 2]}
+
+    nonrec = instantiate_any({**nested, "_recursive_": False})
+    assert nonrec["inner"] == {"_target_": "builtins.list", "_args_": [[1, 2]]}
+
+
+def test_instantiate_custom_format():
+    obj = instantiate_any(
+        {"class": "collections.OrderedDict", "kwargs": {"x": 1}}
+    )
+    assert dict(obj) == {"x": 1}
+    # factory variant
+    obj = instantiate_any(
+        {"class": "builtins.dict", "factory": "fromkeys", "args": [["a", "b"], 0]}
+    )
+    assert obj == {"a": 0, "b": 0}
+
+
+def test_merge_configs_deep():
+    a = {"x": {"y": 1, "z": 2}, "l": [1, 2]}
+    b = {"x": {"y": 10}, "l": [3]}
+    merged = merge_configs(a, b)
+    assert merged == {"x": {"y": 10, "z": 2}, "l": [3]}
+
+
+def test_load_config_files(tmp_path):
+    (tmp_path / "a.yaml").write_text("a: 1\nnested:\n  x: 1\n  y: 2\n")
+    (tmp_path / "b.yaml").write_text("nested:\n  y: 20\n")
+    (tmp_path / "c.toml").write_text("[nested]\nz = 30\n")
+    cfg = load_config_files(
+        [tmp_path / "a.yaml", tmp_path / "b.yaml", tmp_path / "c.toml"]
+    )
+    assert cfg == {"a": 1, "nested": {"x": 1, "y": 20, "z": 30}}
+
+
+def test_unknown_path_raises():
+    with pytest.raises(ImportError):
+        get_obj_from_str("not_a_module.not_a_thing")

@@ -1,0 +1,103 @@
+import jax.numpy as jnp
+import numpy as np
+
+from uwudiff_tpu.diffusion import NoiseSchedule
+
+
+def _torch_free_sdxl_betas():
+    # scaled_linear betas, the exact SDXL training schedule
+    return np.linspace(0.00085**0.5, 0.012**0.5, 1000, dtype=np.float64) ** 2
+
+
+def test_ddpm_scaled_linear_matches_closed_form():
+    sched = NoiseSchedule.sdxl()
+    betas = _torch_free_sdxl_betas()
+    acp = np.cumprod(1 - betas)
+    np.testing.assert_allclose(
+        np.asarray(sched.alphas_cumprod), acp.astype(np.float32), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sched.sigmas),
+        np.sqrt((1 - acp) / acp).astype(np.float32),
+        rtol=2e-5,
+    )
+
+
+def test_sigmas_descending_layout():
+    sched = NoiseSchedule.sdxl()
+    sd = np.asarray(sched.sigmas_descending)
+    assert sd.shape == (1001,)
+    assert sd[-1] == 0.0
+    assert np.all(np.diff(sd) <= 0)
+    np.testing.assert_allclose(sd[0], np.asarray(sched.sigma_max), rtol=1e-6)
+
+
+def test_sigma_t_roundtrip():
+    sched = NoiseSchedule.sdxl()
+    # Integer grid: sigma_to_t(sigma[t]) == t
+    t = jnp.array([0, 1, 10, 500, 998, 999])
+    sig = sched.sigma_for_timestep(t)
+    t_back = sched.sigma_to_t(sig)
+    np.testing.assert_allclose(np.asarray(t_back), np.asarray(t), atol=1e-3)
+    # Continuous roundtrip
+    t_frac = jnp.array([0.5, 123.4, 777.7])
+    sig = sched.t_to_sigma(t_frac)
+    np.testing.assert_allclose(
+        np.asarray(sched.sigma_to_t(sig)), np.asarray(t_frac), atol=1e-2
+    )
+
+
+def test_sigma_to_t_quantize():
+    sched = NoiseSchedule.sdxl()
+    sig = sched.sigma_for_timestep(jnp.array([3, 700]))
+    t = sched.sigma_to_t(sig * 1.0001, quantize=True)
+    np.testing.assert_array_equal(np.asarray(t), [3, 700])
+
+
+def test_velocity_formula():
+    sched = NoiseSchedule.sdxl()
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 8, 8)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((2, 4, 8, 8)).astype(np.float32))
+    t = jnp.array([10, 500])
+    v = sched.velocity(x0, noise, t)
+    acp = np.asarray(sched.alphas_cumprod)[np.asarray(t)]
+    want = (
+        np.sqrt(acp)[:, None, None, None] * np.asarray(noise)
+        - np.sqrt(1 - acp)[:, None, None, None] * np.asarray(x0)
+    )
+    np.testing.assert_allclose(np.asarray(v), want, rtol=1e-5)
+
+
+def test_all_snr_equals_sigma_formula():
+    sched = NoiseSchedule.sdxl()
+    np.testing.assert_allclose(
+        np.asarray(sched.all_snr),
+        np.asarray(sched.snr_for_sigma(sched.sigmas)),
+        rtol=1e-4,
+    )
+
+
+def test_laplace_schedule_sane():
+    sched = NoiseSchedule.laplace(1000)
+    acp = np.asarray(sched.alphas_cumprod)
+    assert acp.shape == (1000,)
+    assert np.all(np.diff(acp) < 0), "alphas_cumprod must decrease"
+    assert 0 < acp[-1] < 0.5 < acp[0] < 1
+    # logSNR at midpoint ~ mu = 0 -> acp ~ 0.5
+    assert abs(acp[499] - 0.5) < 0.01
+
+
+def test_cosine_logsnr_schedule_sane():
+    sched = NoiseSchedule.cosine_logsnr(1000)
+    acp = np.asarray(sched.alphas_cumprod)
+    assert np.all(np.diff(acp) < 0)
+    assert abs(acp[499] - 0.5) < 0.01
+
+
+def test_sample_sigmas_descending():
+    sched = NoiseSchedule.sdxl()
+    sig = np.asarray(sched.sample_sigmas_descending(16))
+    assert sig.shape == (17,)
+    assert sig[-1] == 0.0
+    assert np.all(np.diff(sig) < 0)

@@ -1,0 +1,359 @@
+"""Composable diffusion training losses as pure jittable functions.
+
+Capability parity with ``duwu/loss/diffusion.py`` (DDPM/EDM-sigma loss
+with epsilon/v/sample/rectified-flow targets, min-SNR and debiased
+weighting) and ``duwu/loss/rectified_flow.py`` (uniform-time RF loss,
+NN-weighted RF loss).
+
+TPU-first design: each loss is a frozen dataclass whose ``__call__`` is a
+pure function ``(rng, x, model_fn, **model_kwargs) -> (loss, aux)`` that
+traces cleanly into the jitted train step. The model is passed as a
+closure ``model_fn(x_t, timesteps, **kwargs) -> model_output`` so
+gradients flow through whatever parameters the closure captures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from uwudiff_tpu.diffusion.schedules import NoiseSchedule
+from uwudiff_tpu.utils import append_dims
+
+__all__ = [
+    "DiffusionLossAux",
+    "DiffusionLoss",
+    "RectifiedFlowLoss",
+    "NNWeightedRFLossAux",
+    "NNWeightedRFLoss",
+]
+
+ModelFn = Callable[..., jnp.ndarray]
+
+
+class DiffusionLossAux(NamedTuple):
+    """Per-batch auxiliary outputs (``loss/diffusion.py:9-15``)."""
+
+    losses: jnp.ndarray  # [B] per-sample loss
+    timesteps: jnp.ndarray  # [B]
+    pred: jnp.ndarray
+    target: jnp.ndarray
+    noisy_latent: jnp.ndarray
+
+
+def _mse(pred, target):
+    return (pred - target) ** 2
+
+
+def _l1(pred, target):
+    return jnp.abs(pred - target)
+
+
+def _huber(pred, target, delta: float = 1.0):
+    err = pred - target
+    abs_err = jnp.abs(err)
+    return jnp.where(
+        abs_err <= delta, 0.5 * err**2, delta * (abs_err - 0.5 * delta)
+    )
+
+
+_LOSS_FNS = {"mse": _mse, "l2": _mse, "l1": _l1, "huber": _huber}
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionLoss:
+    """DDPM/EDM-sigma diffusion loss (``loss/diffusion.py:18-193``).
+
+    ``prediction_type`` is what the network outputs, ``target_type`` is
+    what the loss regresses to; conversion goes through (x0, eps) space
+    exactly as ``get_x0_eps_from_pred_with_sigmas``
+    (``loss/diffusion.py:100-125``).
+    """
+
+    schedule: NoiseSchedule
+    use_snr_weight: bool = False
+    min_snr_gamma: float = 5.0
+    use_debiased_estimation: bool = False
+    prediction_type: str | None = None
+    target_type: str | None = None
+    loss_type: str = "mse"
+
+    def __post_init__(self):
+        if self.prediction_type is None:
+            object.__setattr__(
+                self, "prediction_type", self.schedule.prediction_type
+            )
+        if self.target_type is None:
+            object.__setattr__(self, "target_type", self.schedule.prediction_type)
+
+    @property
+    def n_diffusion_time_steps(self) -> int:
+        return self.schedule.num_train_timesteps
+
+    @property
+    def loss_fn(self):
+        return _LOSS_FNS[self.loss_type]
+
+    # --- timestep/sigma sampling (``loss/diffusion.py:64-72``) ---
+
+    def sample_timesteps_and_sigmas(self, rng, batch_size: int):
+        timesteps = jax.random.randint(
+            rng, (batch_size,), 0, self.schedule.num_train_timesteps
+        )
+        sigmas = self.schedule.sigma_for_timestep(timesteps)
+        return timesteps, sigmas
+
+    # --- forward noising (``loss/diffusion.py:74-82``) ---
+
+    def noise_latents(self, x, noise, sigmas):
+        sigmas = append_dims(sigmas, x.ndim)
+        scales = 1.0 / jnp.sqrt(sigmas**2 + 1.0)
+        return (x + noise * sigmas) * scales
+
+    # --- target / prediction conversion ---
+
+    def get_target(self, x0, noise, timesteps):
+        """``loss/diffusion.py:84-98``."""
+        if self.target_type == "epsilon":
+            return noise
+        if self.target_type == "v_prediction":
+            return self.schedule.velocity(x0, noise, timesteps)
+        if self.target_type == "sample":
+            return x0
+        if self.target_type == "rectified_flow":
+            return noise - x0
+        raise ValueError(f"Unsupported target type {self.target_type}")
+
+    def get_x0_eps_from_pred_with_sigmas(self, xt, model_output, sigmas):
+        """``loss/diffusion.py:100-125``. ``xt`` is the scaled noisy latent."""
+        sigmas = append_dims(sigmas, xt.ndim)
+        scales = 1.0 / jnp.sqrt(sigmas**2 + 1.0)
+        if self.prediction_type == "sample":
+            x0 = model_output
+            eps = (xt / scales - x0) / sigmas
+        elif self.prediction_type == "epsilon":
+            eps = model_output
+            x0 = xt / scales - sigmas * eps
+        elif self.prediction_type == "v_prediction":
+            x0 = scales * (xt - sigmas * model_output)
+            eps = (xt / scales - x0) / sigmas
+        elif self.prediction_type == "rectified_flow":
+            x0 = (xt / scales - sigmas * model_output) / (1 + sigmas)
+            eps = (xt / scales + model_output) / (1 + sigmas)
+        else:
+            raise ValueError(
+                f"Unsupported prediction type {self.prediction_type}"
+            )
+        return x0, eps
+
+    def get_prediction_for_training(self, xt, model_output, timesteps, sigmas):
+        """``loss/diffusion.py:133-139``."""
+        if self.prediction_type == self.target_type:
+            return model_output
+        x0, eps = self.get_x0_eps_from_pred_with_sigmas(xt, model_output, sigmas)
+        return self.get_target(x0, eps, timesteps)
+
+    # --- loss weights ---
+
+    def apply_snr_weight(self, losses, sigmas):
+        """Min-SNR weighting (``loss/diffusion.py:141-153``), computed from
+        sigma (snr = sigma^-2) so it extends to continuous timesteps."""
+        assert self.prediction_type == self.target_type
+        assert self.prediction_type in ("epsilon", "v_prediction")
+        snr = self.schedule.snr_for_sigma(sigmas)
+        min_snr_gamma = jnp.minimum(snr, self.min_snr_gamma)
+        if self.prediction_type == "v_prediction":
+            snr_weight = min_snr_gamma / (snr + 1)
+        else:
+            snr_weight = min_snr_gamma / snr
+        return losses * snr_weight
+
+    def apply_debiased_estimation(self, losses, sigmas):
+        """1/sqrt(SNR) weighting capped at SNR=1000
+        (``loss/diffusion.py:155-167``)."""
+        assert self.prediction_type == self.target_type == "epsilon"
+        snr_t = jnp.minimum(self.schedule.snr_for_sigma(sigmas), 1000.0)
+        return losses / jnp.sqrt(snr_t)
+
+    def _reduce_per_sample(self, losses):
+        return losses.reshape(losses.shape[0], -1).mean(axis=1)
+
+    # --- main entry (``loss/diffusion.py:169-193``) ---
+
+    def __call__(
+        self, rng, x: jnp.ndarray, model_fn: ModelFn, **model_kwargs: Any
+    ) -> tuple[jnp.ndarray, DiffusionLossAux]:
+        rng_t, rng_n = jax.random.split(rng)
+        noise = jax.random.normal(rng_n, x.shape, x.dtype)
+        timesteps, sigmas = self.sample_timesteps_and_sigmas(rng_t, x.shape[0])
+        noisy_latent = self.noise_latents(x, noise, sigmas)
+
+        model_output = model_fn(noisy_latent, timesteps, **model_kwargs)
+
+        pred = self.get_prediction_for_training(
+            noisy_latent, model_output, timesteps, sigmas
+        )
+        target = self.get_target(x, noise, timesteps)
+        losses = self._reduce_per_sample(self.loss_fn(pred, target))
+        if self.use_snr_weight:
+            losses = self.apply_snr_weight(losses, sigmas)
+        if self.use_debiased_estimation:
+            losses = self.apply_debiased_estimation(losses, sigmas)
+        aux = DiffusionLossAux(
+            losses=losses,
+            timesteps=timesteps,
+            pred=pred,
+            target=target,
+            noisy_latent=noisy_latent,
+        )
+        return losses.mean(), aux
+
+
+@dataclasses.dataclass(frozen=True)
+class RectifiedFlowLoss(DiffusionLoss):
+    """Rectified-flow loss (``loss/rectified_flow.py:9-129``).
+
+    Target is ``noise - x0``; predictions in other parameterizations are
+    converted via (x0, eps). Continuous ``uniform_time`` sampling maps
+    t ~ U(0, max_time) -> sigma = t/(1-t) -> fractional timestep.
+    """
+
+    time_sampling_type: str = "uniform_time"
+    rescale_image: bool = False
+    rescale_noise: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        object.__setattr__(self, "target_type", "rectified_flow")
+
+    def sample_timesteps_and_sigmas(self, rng, batch_size: int):
+        """``loss/rectified_flow.py:26-47``."""
+        if self.time_sampling_type == "uniform_timestep":
+            return super().sample_timesteps_and_sigmas(rng, batch_size)
+        if self.time_sampling_type == "uniform_time":
+            sigma_max = self.schedule.sigma_max
+            max_time = sigma_max / (1 + sigma_max)
+            time = jax.random.uniform(rng, (batch_size,)) * max_time
+            sigmas = time / (1 - time)
+            timesteps = self.schedule.sigma_to_t(sigmas)
+            return timesteps, sigmas
+        raise ValueError(
+            f"Unsupported time sampling type: {self.time_sampling_type}"
+        )
+
+    def get_x0_and_noises(self, rng, x):
+        """``loss/rectified_flow.py:49-61``. A 5D input ``[B, 2, C, H, W]``
+        carries a paired (sample, noise); otherwise noise is sampled."""
+        if x.ndim == 5:
+            noise = x[:, 1]
+            x = x[:, 0]
+        else:
+            noise = jax.random.normal(rng, x.shape, x.dtype)
+        if self.rescale_image:
+            std = x.reshape(x.shape[0], -1).std(axis=1)
+            x = x / append_dims(std, x.ndim) * 0.937
+        if self.rescale_noise:
+            std = noise.reshape(noise.shape[0], -1).std(axis=1)
+            noise = noise / append_dims(std, noise.ndim)
+        return x, noise
+
+    def __call__(
+        self, rng, x: jnp.ndarray, model_fn: ModelFn, **model_kwargs: Any
+    ) -> tuple[jnp.ndarray, DiffusionLossAux]:
+        rng_t, rng_n = jax.random.split(rng)
+        x, noise = self.get_x0_and_noises(rng_n, x)
+        timesteps, sigmas = self.sample_timesteps_and_sigmas(rng_t, x.shape[0])
+        noisy_latent = self.noise_latents(x, noise, sigmas)
+
+        model_output = model_fn(noisy_latent, timesteps, **model_kwargs)
+
+        target = noise - x
+        pred_x0, pred_eps = self.get_x0_eps_from_pred_with_sigmas(
+            noisy_latent, model_output, sigmas
+        )
+        pred = pred_eps - pred_x0
+        losses = self._reduce_per_sample(self.loss_fn(pred, target))
+        aux = DiffusionLossAux(
+            losses=losses,
+            timesteps=timesteps,
+            pred=pred,
+            target=target,
+            noisy_latent=noisy_latent,
+        )
+        return losses.mean(), aux
+
+
+class NNWeightedRFLossAux(NamedTuple):
+    """``loss/rectified_flow.py:132-141``."""
+
+    losses: jnp.ndarray
+    rescaled_losses: jnp.ndarray
+    pred_losses: jnp.ndarray
+    loss_pred_losses: jnp.ndarray
+    timesteps: jnp.ndarray
+    pred: jnp.ndarray
+    target: jnp.ndarray
+    noisy_latent: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class NNWeightedRFLoss(RectifiedFlowLoss):
+    """RF loss reweighted by a learned log-loss predictor
+    (``loss/rectified_flow.py:144-203``).
+
+    ``loss_pred_fn(noisy_latent, sigmas, **model_kwargs) -> log_ls_pred``
+    must be supplied at call time (it closes over its own params, which
+    typically live in a second optimizer group — see
+    ``training/nn_weighted.py``).
+    """
+
+    def __call__(  # type: ignore[override]
+        self,
+        rng,
+        x: jnp.ndarray,
+        model_fn: ModelFn,
+        loss_pred_fn: ModelFn | None = None,
+        **model_kwargs: Any,
+    ) -> tuple[jnp.ndarray, NNWeightedRFLossAux]:
+        assert loss_pred_fn is not None, "NNWeightedRFLoss needs loss_pred_fn"
+        rng_t, rng_n = jax.random.split(rng)
+        x, noise = self.get_x0_and_noises(rng_n, x)
+        timesteps, sigmas = self.sample_timesteps_and_sigmas(rng_t, x.shape[0])
+        noisy_latent = self.noise_latents(x, noise, sigmas)
+
+        model_output = model_fn(noisy_latent, timesteps, **model_kwargs)
+
+        target = noise - x
+        pred_x0, pred_eps = self.get_x0_eps_from_pred_with_sigmas(
+            noisy_latent, model_output, sigmas
+        )
+        pred = pred_eps - pred_x0
+        rf_losses = self._reduce_per_sample(self.loss_fn(pred, target))
+
+        # Loss predictor regresses log of the (detached) per-sample loss.
+        log_ls_pred = loss_pred_fn(noisy_latent, sigmas, **model_kwargs).reshape(
+            -1
+        )
+        log_ls = jnp.log(jax.lax.stop_gradient(rf_losses))
+        ls_pred_loss = (log_ls - log_ls_pred) ** 2
+
+        pred_loss = jnp.maximum(
+            jnp.exp(jax.lax.stop_gradient(log_ls_pred)), 1e-4
+        )
+        rescaled_losses = rf_losses / pred_loss
+        losses = rescaled_losses + ls_pred_loss
+
+        aux = NNWeightedRFLossAux(
+            losses=rf_losses,
+            rescaled_losses=rescaled_losses,
+            pred_losses=pred_loss,
+            loss_pred_losses=ls_pred_loss,
+            timesteps=timesteps,
+            pred=pred,
+            target=target,
+            noisy_latent=noisy_latent,
+        )
+        return losses.mean(), aux
