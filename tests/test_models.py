@@ -1,0 +1,205 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uwudiff_tpu.models.clip import CLIPTextModel
+from uwudiff_tpu.models.t5 import T5EncoderModel
+from uwudiff_tpu.models.text_encoders import (
+    ConcatTextEncoders,
+    TextEncodingPipeline,
+    TextModelExtraConfig,
+)
+from uwudiff_tpu.models.tokenizers import SimpleTokenizer
+from uwudiff_tpu.models.unet import UNet2DConditionModel
+from uwudiff_tpu.models.vae import AutoencoderKL
+
+
+def test_tiny_unet_forward_shape():
+    unet = UNet2DConditionModel.from_config("tiny")
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 16, 16, 4))
+    t = jnp.array([0, 500])
+    ctx = jnp.zeros((2, 8, 32))
+    params = unet.init(rng, x, t, ctx)["params"]
+    out = unet.apply({"params": params}, x, t, ctx)
+    assert out.shape == (2, 16, 16, 4)
+    assert out.dtype == jnp.float32
+
+
+def test_tiny_unet_zero_init_output_small():
+    """From-scratch init zero-inits conv_out -> output ~0 regardless of input
+    (unet_patch.py:29-31 semantics)."""
+    unet = UNet2DConditionModel.from_config("tiny")
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    ctx = jax.random.normal(rng, (1, 8, 32))
+    t = jnp.array([100])
+    params = unet.init(rng, x, t, ctx)["params"]
+    out = unet.apply({"params": params}, x, t, ctx)
+    assert float(jnp.abs(out).max()) < 1e-2
+
+
+def test_tiny_sdxl_unet_added_cond():
+    unet = UNet2DConditionModel.from_config("tiny_sdxl")
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 16, 16, 4))
+    t = jnp.array([0.5, 500.2])  # continuous t (RF) must work
+    ctx = jnp.zeros((2, 8, 32))
+    added = {
+        "time_ids": jnp.tile(
+            jnp.array([[1024.0, 1024, 0, 0, 1024, 1024]]), (2, 1)
+        ),
+        "text_embeds": jnp.zeros((2, 16)),
+    }
+    params = unet.init(rng, x, t, ctx, None, added)["params"]
+    out = unet.apply({"params": params}, x, t, ctx, None, added)
+    assert out.shape == (2, 16, 16, 4)
+
+
+def test_tiny_unet_rope_and_mask():
+    unet = UNet2DConditionModel.from_config("tiny", use_rope=True)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.array([10])
+    ctx = jax.random.normal(rng, (1, 8, 32))
+    mask = jnp.array([[1, 1, 1, 1, 0, 0, 0, 0]])
+    params = unet.init(rng, x, t, ctx, mask)["params"]
+    out = unet.apply({"params": params}, x, t, ctx, mask)
+    assert out.shape == (1, 16, 16, 4)
+    # params contain learned rope freqs
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any("freqs_h" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+def test_unet_gradient_checkpointing_same_output():
+    kwargs = {}
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    t = jnp.array([10])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    unet_a = UNet2DConditionModel.from_config("tiny", zero_init_stddev=-1.0)
+    unet_b = UNet2DConditionModel.from_config(
+        "tiny", zero_init_stddev=-1.0, gradient_checkpointing=True
+    )
+    params = unet_a.init(rng, x, t, ctx)["params"]
+    out_a = unet_a.apply({"params": params}, x, t, ctx)
+    out_b = unet_b.apply({"params": params}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-4)
+
+
+def test_vae_roundtrip_shapes():
+    vae = AutoencoderKL.from_config("tiny")
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = vae.init(rng, x, rng)
+    dist = vae.apply(variables, x, method=AutoencoderKL.encode)
+    assert dist.mean.shape == (2, 16, 16, 4)
+    z = dist.sample(rng)
+    recon = vae.apply(variables, z, method=AutoencoderKL.decode)
+    assert recon.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(dist.kl())).all()
+
+
+def test_clip_text_model_outputs():
+    model = CLIPTextModel.from_config("tiny")
+    tok = SimpleTokenizer(vocab_size=1024, model_max_length=16)
+    batch = tok(["hello world", "a cat"])
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng, jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
+    )["params"]
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["attention_mask"]),
+        layer_idx=-2,
+    )
+    assert out.last_hidden_state.shape == (2, 16, 32)
+    assert out.pooler_output.shape == (2, 32)
+    assert len(out.hidden_states) == 3  # embeddings + 2 layers
+    # embedding is the penultimate hidden state
+    np.testing.assert_allclose(
+        np.asarray(out.embedding), np.asarray(out.hidden_states[-2])
+    )
+
+
+def test_t5_encoder_output():
+    model = T5EncoderModel.from_config("tiny")
+    tok = SimpleTokenizer(vocab_size=1024, model_max_length=12)
+    batch = tok(["some text"])
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.asarray(batch["input_ids"])
+    mask = jnp.asarray(batch["attention_mask"])
+    params = model.init(rng, ids, mask)["params"]
+    out = model.apply({"params": params}, ids, mask)
+    assert out.last_hidden_state.shape == (1, 12, 32)
+
+
+def _make_sdxl_style_stack():
+    """CLIP-L-like + CLIP-bigG-like in bucket 0 + T5 in bucket 1."""
+    te = ConcatTextEncoders.from_config(
+        [
+            (
+                {"model_type": "clip", "preset": "tiny", "hidden_size": 32,
+                 "num_heads": 2, "intermediate_size": 64},
+                {"use_pooled": False, "layer_idx": -2},
+            ),
+            (
+                {"model_type": "clip", "preset": "tiny", "hidden_size": 48,
+                 "num_heads": 2, "intermediate_size": 96},
+                {"use_pooled": True, "layer_idx": -2},
+            ),
+            (
+                {"model_type": "t5", "preset": "tiny", "d_model": 16},
+                {"concat_bucket": 1, "need_mask": True},
+            ),
+        ],
+        zero_for_padding=False,
+    )
+    return te
+
+
+def test_concat_text_encoders_buckets():
+    te = _make_sdxl_style_stack()
+    toks = [
+        SimpleTokenizer(model_max_length=8),
+        SimpleTokenizer(model_max_length=8),
+        SimpleTokenizer(model_max_length=6),
+    ]
+    outs = [
+        {k: jnp.asarray(v) for k, v in t(["hi there", "foo"]).items()}
+        for t in toks
+    ]
+    rng = jax.random.PRNGKey(0)
+    params = te.init(rng, outs)["params"]
+    emb, normed, pooled, mask = te.apply({"params": params}, outs)
+    # bucket 0: 32+48=80 features, seq 8; bucket 1: 16 -> padded to 80, seq 6
+    assert emb.shape == (2, 14, 80)
+    assert normed.shape == (2, 14, 80)
+    assert pooled.shape == (2, 48)  # only model 2 pooled
+    assert mask.shape == (2, 14)
+    # bucket 0 has no need_mask model -> its mask positions are all ones
+    assert np.asarray(mask)[:, :8].all()
+
+
+def test_pipeline_nested_encode():
+    te = _make_sdxl_style_stack()
+    toks = [
+        SimpleTokenizer(model_max_length=8),
+        SimpleTokenizer(model_max_length=8),
+        SimpleTokenizer(model_max_length=6),
+    ]
+    dummy = [{k: jnp.asarray(v) for k, v in t(["x"]).items()} for t in toks]
+    rng = jax.random.PRNGKey(0)
+    params = te.init(rng, dummy)["params"]
+    pipe = TextEncodingPipeline(te, params, toks)
+    emb, normed, pooled, mask = pipe.encode(
+        [["cap one", "cap two"], ["only cap"]], nested=True
+    )
+    # 2 images, max 2 captions, seq 14 each -> [2, 28, 80]
+    assert emb.shape == (2, 28, 80)
+    assert pooled.shape == (2, 48)
+    assert mask.shape == (2, 28)
+    # second image's second caption slot is zero-padded
+    np.testing.assert_allclose(np.asarray(emb[1, 14:]), 0.0)

@@ -1,0 +1,260 @@
+"""Transformer blocks for the UNet (and DiT).
+
+Replaces diffusers' ``BasicTransformerBlock`` / ``Transformer2DModel``
+and the reference's RoPE-patched variants
+(``duwu/modules/rope_unet.py:39-547``): self-attention (optionally with
+axial RoPE on Q and K), cross-attention (RoPE on Q only —
+``rope_unet.py:143-147``), GEGLU feed-forward, pre-LayerNorm. All
+attention funnels through ``uwudiff_tpu.ops.dot_product_attention``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from uwudiff_tpu.models.layers import near_zero_init, zero_init
+from uwudiff_tpu.models.rope import AxialRoPE
+from uwudiff_tpu.ops import dot_product_attention
+from uwudiff_tpu.ops.attention import attention_bias_from_mask
+
+__all__ = ["Attention", "FeedForward", "BasicTransformerBlock", "Transformer2DModel"]
+
+
+def _out_init(stddev: float):
+    if stddev == 0.0:
+        return zero_init
+    if stddev < 0:  # negative sentinel -> default lecun init
+        return nn.initializers.lecun_normal()
+    return near_zero_init(stddev)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional axial RoPE.
+
+    RoPE semantics follow ``RoPEAttnProcessor2_0``
+    (``rope_unet.py:120-147``): rotate Q always; rotate K only when
+    self-attention (no encoder_hidden_states given).
+    """
+
+    num_heads: int
+    head_dim: int
+    out_dim: int | None = None
+    use_rope: bool = False
+    out_init_stddev: float = -1.0  # -1 -> default init; >=0 -> (near-)zero
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # [B, Sq, C]
+        encoder_hidden_states: jnp.ndarray | None = None,  # [B, Sk, Ck]
+        attention_mask: jnp.ndarray | None = None,  # [B, Sk] key mask
+        position_map: jnp.ndarray | None = None,  # [Sq, 2] axial positions
+    ) -> jnp.ndarray:
+        inner = self.num_heads * self.head_dim
+        out_dim = self.out_dim or hidden_states.shape[-1]
+
+        is_self = encoder_hidden_states is None
+        kv_source = hidden_states if is_self else encoder_hidden_states
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
+            hidden_states
+        )
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(
+            kv_source
+        )
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(
+            kv_source
+        )
+
+        b, sq = q.shape[0], q.shape[1]
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.num_heads, self.head_dim)
+        k = k.reshape(b, sk, self.num_heads, self.head_dim)
+        v = v.reshape(b, sk, self.num_heads, self.head_dim)
+
+        if self.use_rope:
+            assert position_map is not None, "RoPE attention needs position_map"
+            rope = AxialRoPE(
+                dim=self.head_dim,
+                n_heads=self.num_heads,
+                dtype=self.dtype,
+                name="axial_rope",
+            )
+            q = rope(q, position_map)
+            if is_self:
+                k = rope(k, position_map)
+
+        bias = attention_bias_from_mask(attention_mask, dtype=jnp.float32)
+        out = dot_product_attention(q, k, v, bias=bias)
+        out = out.reshape(b, sq, inner)
+        out = nn.Dense(
+            out_dim,
+            dtype=self.dtype,
+            kernel_init=_out_init(self.out_init_stddev),
+            name="to_out",
+        )(out)
+        return out
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers default for SD UNets)."""
+
+    dim: int
+    mult: int = 4
+    out_init_stddev: float = -1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        # GEGLU: one projection to 2*inner, gate with gelu
+        proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        x_part, gate = jnp.split(proj, 2, axis=-1)
+        x = x_part * nn.gelu(gate)
+        x = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=_out_init(self.out_init_stddev),
+            name="proj_out",
+        )(x)
+        return x
+
+
+class BasicTransformerBlock(nn.Module):
+    """Pre-LN: self-attn -> cross-attn -> GEGLU FF, all residual
+    (diffusers ``BasicTransformerBlock`` semantics; the out-projections
+    of attn/FF take the zero-family init per ``unet_patch.py:34-42``)."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    cross_attention_dim: int | None = None
+    use_rope: bool = False
+    only_cross_attention: bool = False
+    out_init_stddev: float = -1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray | None = None,
+        encoder_attention_mask: jnp.ndarray | None = None,
+        position_map: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        # 1. self-attention
+        norm_hidden = nn.LayerNorm(dtype=self.dtype, name="norm1")(hidden_states)
+        attn1_ctx = (
+            encoder_hidden_states if self.only_cross_attention else None
+        )
+        attn_out = Attention(
+            num_heads=self.num_heads,
+            head_dim=self.head_dim,
+            use_rope=self.use_rope,
+            out_init_stddev=self.out_init_stddev,
+            dtype=self.dtype,
+            name="attn1",
+        )(norm_hidden, attn1_ctx, position_map=position_map)
+        hidden_states = hidden_states + attn_out
+
+        # 2. cross-attention
+        if self.cross_attention_dim is not None:
+            norm_hidden = nn.LayerNorm(dtype=self.dtype, name="norm2")(
+                hidden_states
+            )
+            attn_out = Attention(
+                num_heads=self.num_heads,
+                head_dim=self.head_dim,
+                use_rope=self.use_rope,
+                out_init_stddev=self.out_init_stddev,
+                dtype=self.dtype,
+                name="attn2",
+            )(
+                norm_hidden,
+                encoder_hidden_states,
+                attention_mask=encoder_attention_mask,
+                position_map=position_map,
+            )
+            hidden_states = hidden_states + attn_out
+
+        # 3. feed-forward
+        norm_hidden = nn.LayerNorm(dtype=self.dtype, name="norm3")(hidden_states)
+        ff_out = FeedForward(
+            dim=self.dim,
+            out_init_stddev=self.out_init_stddev,
+            dtype=self.dtype,
+            name="ff",
+        )(norm_hidden)
+        return hidden_states + ff_out
+
+
+class Transformer2DModel(nn.Module):
+    """Spatial transformer: GN -> proj_in -> blocks over [B, HW, C] ->
+    proj_out -> residual (diffusers semantics; RoPE position map built
+    from the latent grid as ``rope_unet.py:474-480``)."""
+
+    num_heads: int
+    head_dim: int
+    num_layers: int = 1
+    cross_attention_dim: int | None = None
+    use_linear_projection: bool = False
+    use_rope: bool = False
+    out_init_stddev: float = -1.0
+    norm_eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # [B, H, W, C]
+        encoder_hidden_states: jnp.ndarray | None = None,
+        encoder_attention_mask: jnp.ndarray | None = None,
+        position_map: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        b, h, w, c = hidden_states.shape
+        inner = self.num_heads * self.head_dim
+        residual = hidden_states
+
+        x = nn.GroupNorm(
+            num_groups=32, epsilon=self.norm_eps, dtype=self.dtype, name="norm"
+        )(hidden_states)
+        if self.use_linear_projection:
+            x = x.reshape(b, h * w, c)
+            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        else:
+            x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = x.reshape(b, h * w, inner)
+
+        if self.use_rope and position_map is None:
+            from uwudiff_tpu.models.rope import make_axial_pos
+
+            position_map = make_axial_pos(h, w)
+
+        for i in range(self.num_layers):
+            x = BasicTransformerBlock(
+                dim=inner,
+                num_heads=self.num_heads,
+                head_dim=self.head_dim,
+                cross_attention_dim=self.cross_attention_dim,
+                use_rope=self.use_rope,
+                out_init_stddev=self.out_init_stddev,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(
+                x,
+                encoder_hidden_states,
+                encoder_attention_mask,
+                position_map=position_map,
+            )
+
+        if self.use_linear_projection:
+            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, inner)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual

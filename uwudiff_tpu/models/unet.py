@@ -1,0 +1,353 @@
+"""Config-driven conditional UNet (SD1.x / SDXL class), TPU-first.
+
+Capability parity with diffusers' ``UNet2DConditionModel`` as used by the
+reference (``duwu/trainer/trainer.py:134``, ``duwu/modules/unet_patch.py``,
+``duwu/modules/rope_unet.py:562-607``), re-designed for TPU:
+
+- NHWC layout; params fp32, compute dtype configurable (bf16 in training)
+- static shapes; all control flow unrolled at trace time
+- optional axial RoPE in every transformer block (``use_rope=True`` ==
+  the reference's ``RoPEUNet2DConditionModel``)
+- from-scratch init zeroes residual-adjacent layers
+  (``UNet2DFromScratch.init_weight``, ``unet_patch.py:34-45``) via
+  ``zero_init_stddev`` (1e-5 default; 0.0 == HDUNet exact-zero)
+- ``gradient_checkpointing=True`` remats each down/mid/up block
+  (parity with ``test_scripts/test_train.py:38-39``)
+- SDXL micro-conditioning: ``added_cond = {"time_ids", "text_embeds"}``
+  through the ``text_time`` addition embedding
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from uwudiff_tpu.models.layers import (
+    Downsample2D,
+    ResnetBlock2D,
+    TimestepEmbedding,
+    Upsample2D,
+    get_timestep_embedding,
+    near_zero_init,
+    zero_init,
+)
+from uwudiff_tpu.models.transformer import Transformer2DModel
+
+__all__ = ["UNet2DConditionModel", "UNET_PRESETS"]
+
+
+def _per_block(value, n_blocks: int) -> tuple:
+    if isinstance(value, (list, tuple)):
+        assert len(value) == n_blocks
+        return tuple(value)
+    return (value,) * n_blocks
+
+
+class UNet2DConditionModel(nn.Module):
+    """A conditional 2D UNet for latent/pixel diffusion."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
+    down_block_types: Sequence[str] = (
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    )
+    layers_per_block: int = 2
+    transformer_layers_per_block: int | Sequence[int] = 1
+    num_attention_heads: int | Sequence[int] = 8
+    cross_attention_dim: int | None = 768
+    addition_embed_type: str | None = None  # None | "text_time"
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int | None = None
+    use_linear_projection: bool = False
+    use_rope: bool = False
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    norm_num_groups: int = 32
+    zero_init_stddev: float = 1e-5
+    gradient_checkpointing: bool = False
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, config: str | dict, **overrides) -> "UNet2DConditionModel":
+        """Build from a preset name or a config dict (the reference's
+        ``UNet2DFromScratch.from_config`` entry, ``unet_patch.py:47-57``)."""
+        if isinstance(config, str):
+            config = dict(UNET_PRESETS[config])
+        else:
+            config = dict(config)
+        config.update(overrides)
+        if "dtype" in config and isinstance(config["dtype"], str):
+            config["dtype"] = jnp.dtype(config["dtype"]).type
+        return cls(**config)
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # [B, H, W, C]
+        timesteps: jnp.ndarray,  # [B] int or float
+        encoder_hidden_states: jnp.ndarray | None = None,  # [B, S, D]
+        encoder_attention_mask: jnp.ndarray | None = None,  # [B, S]
+        added_cond: dict[str, jnp.ndarray] | None = None,
+        position_map: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        n_blocks = len(self.block_out_channels)
+        tf_layers = _per_block(self.transformer_layers_per_block, n_blocks)
+        n_heads = _per_block(self.num_attention_heads, n_blocks)
+
+        block_cls = {
+            "resnet": ResnetBlock2D,
+            "transformer": Transformer2DModel,
+        }
+        if self.gradient_checkpointing:
+            block_cls = {
+                "resnet": nn.remat(ResnetBlock2D),
+                "transformer": nn.remat(
+                    Transformer2DModel, static_argnums=()
+                ),
+            }
+
+        # --- time embedding ---
+        time_embed_dim = self.block_out_channels[0] * 4
+        t_emb = get_timestep_embedding(
+            jnp.atleast_1d(timesteps),
+            self.block_out_channels[0],
+            flip_sin_to_cos=self.flip_sin_to_cos,
+            downscale_freq_shift=self.freq_shift,
+        ).astype(self.dtype)
+        emb = TimestepEmbedding(
+            time_embed_dim, dtype=self.dtype, name="time_embedding"
+        )(t_emb)
+
+        # --- SDXL micro-conditioning (text_time addition embedding) ---
+        if self.addition_embed_type == "text_time":
+            assert added_cond is not None, (
+                "addition_embed_type='text_time' needs added_cond with "
+                "'time_ids' and 'text_embeds'"
+            )
+            time_ids = added_cond["time_ids"]  # [B, 6]
+            text_embeds = added_cond["text_embeds"]  # [B, P]
+            time_ids_emb = get_timestep_embedding(
+                time_ids.reshape(-1),
+                self.addition_time_embed_dim,
+                flip_sin_to_cos=self.flip_sin_to_cos,
+                downscale_freq_shift=self.freq_shift,
+            ).reshape(time_ids.shape[0], -1)
+            add_embeds = jnp.concatenate(
+                [text_embeds, time_ids_emb.astype(text_embeds.dtype)], axis=-1
+            ).astype(self.dtype)
+            aug_emb = TimestepEmbedding(
+                time_embed_dim, dtype=self.dtype, name="add_embedding"
+            )(add_embeds)
+            emb = emb + aug_emb
+
+        sample = sample.astype(self.dtype)
+        if encoder_hidden_states is not None:
+            encoder_hidden_states = encoder_hidden_states.astype(self.dtype)
+
+        # --- input conv ---
+        h = nn.Conv(
+            self.block_out_channels[0],
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+            name="conv_in",
+        )(sample)
+
+        # --- down path ---
+        skips = [h]
+        for i, (block_type, out_ch) in enumerate(
+            zip(self.down_block_types, self.block_out_channels)
+        ):
+            has_attn = block_type == "CrossAttnDownBlock2D"
+            for j in range(self.layers_per_block):
+                h = block_cls["resnet"](
+                    out_channels=out_ch,
+                    groups=self.norm_num_groups,
+                    zero_init_stddev=self.zero_init_stddev,
+                    dtype=self.dtype,
+                    name=f"down_{i}_res_{j}",
+                )(h, emb)
+                if has_attn:
+                    h = block_cls["transformer"](
+                        num_heads=n_heads[i],
+                        head_dim=out_ch // n_heads[i],
+                        num_layers=tf_layers[i],
+                        cross_attention_dim=self.cross_attention_dim,
+                        use_linear_projection=self.use_linear_projection,
+                        use_rope=self.use_rope,
+                        out_init_stddev=self.zero_init_stddev,
+                        dtype=self.dtype,
+                        name=f"down_{i}_attn_{j}",
+                    )(
+                        h,
+                        encoder_hidden_states,
+                        encoder_attention_mask,
+                        position_map,
+                    )
+                skips.append(h)
+            if i < n_blocks - 1:
+                h = Downsample2D(out_ch, dtype=self.dtype, name=f"down_{i}_downsample")(
+                    h
+                )
+                skips.append(h)
+
+        # --- mid block ---
+        mid_ch = self.block_out_channels[-1]
+        h = block_cls["resnet"](
+            out_channels=mid_ch,
+            groups=self.norm_num_groups,
+            zero_init_stddev=self.zero_init_stddev,
+            dtype=self.dtype,
+            name="mid_res_0",
+        )(h, emb)
+        if self.cross_attention_dim is not None:
+            h = block_cls["transformer"](
+                num_heads=n_heads[-1],
+                head_dim=mid_ch // n_heads[-1],
+                num_layers=tf_layers[-1],
+                cross_attention_dim=self.cross_attention_dim,
+                use_linear_projection=self.use_linear_projection,
+                use_rope=self.use_rope,
+                out_init_stddev=self.zero_init_stddev,
+                dtype=self.dtype,
+                name="mid_attn",
+            )(h, encoder_hidden_states, encoder_attention_mask, position_map)
+        h = block_cls["resnet"](
+            out_channels=mid_ch,
+            groups=self.norm_num_groups,
+            zero_init_stddev=self.zero_init_stddev,
+            dtype=self.dtype,
+            name="mid_res_1",
+        )(h, emb)
+
+        # --- up path (mirrors down, +1 resnet per block, skip concat) ---
+        up_block_types = tuple(reversed(self.down_block_types))
+        up_channels = tuple(reversed(self.block_out_channels))
+        up_tf_layers = tuple(reversed(tf_layers))
+        up_heads = tuple(reversed(n_heads))
+        for i, (block_type, out_ch) in enumerate(zip(up_block_types, up_channels)):
+            has_attn = block_type == "CrossAttnDownBlock2D"
+            for j in range(self.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = block_cls["resnet"](
+                    out_channels=out_ch,
+                    groups=self.norm_num_groups,
+                    zero_init_stddev=self.zero_init_stddev,
+                    dtype=self.dtype,
+                    name=f"up_{i}_res_{j}",
+                )(h, emb)
+                if has_attn:
+                    h = block_cls["transformer"](
+                        num_heads=up_heads[i],
+                        head_dim=out_ch // up_heads[i],
+                        num_layers=up_tf_layers[i],
+                        cross_attention_dim=self.cross_attention_dim,
+                        use_linear_projection=self.use_linear_projection,
+                        use_rope=self.use_rope,
+                        out_init_stddev=self.zero_init_stddev,
+                        dtype=self.dtype,
+                        name=f"up_{i}_attn_{j}",
+                    )(
+                        h,
+                        encoder_hidden_states,
+                        encoder_attention_mask,
+                        position_map,
+                    )
+            if i < n_blocks - 1:
+                h = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
+
+        # --- output ---
+        h = nn.GroupNorm(
+            num_groups=self.norm_num_groups, dtype=self.dtype, name="conv_norm_out"
+        )(h)
+        h = nn.silu(h)
+        out_init = (
+            zero_init
+            if self.zero_init_stddev == 0.0
+            else near_zero_init(self.zero_init_stddev)
+        )
+        h = nn.Conv(
+            self.out_channels,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            kernel_init=out_init,
+            dtype=self.dtype,
+            name="conv_out",
+        )(h)
+        return h.astype(jnp.float32)
+
+
+UNET_PRESETS: dict[str, dict] = {
+    # SD1.5-class UNet (768-dim CLIP context)
+    "sd15": dict(
+        in_channels=4,
+        out_channels=4,
+        block_out_channels=(320, 640, 1280, 1280),
+        down_block_types=(
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "DownBlock2D",
+        ),
+        layers_per_block=2,
+        transformer_layers_per_block=1,
+        num_attention_heads=8,
+        cross_attention_dim=768,
+        use_linear_projection=False,
+    ),
+    # SDXL-base-class UNet (2048-dim dual-CLIP context + micro-conditioning)
+    "sdxl": dict(
+        in_channels=4,
+        out_channels=4,
+        block_out_channels=(320, 640, 1280),
+        down_block_types=(
+            "DownBlock2D",
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+        ),
+        layers_per_block=2,
+        transformer_layers_per_block=(1, 2, 10),
+        num_attention_heads=(5, 10, 20),
+        cross_attention_dim=2048,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=256,
+        projection_class_embeddings_input_dim=2816,
+        use_linear_projection=True,
+    ),
+    # Tiny UNet for tests / fast_dev_run-style smoke training
+    "tiny": dict(
+        in_channels=4,
+        out_channels=4,
+        block_out_channels=(32, 64),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        layers_per_block=1,
+        transformer_layers_per_block=1,
+        num_attention_heads=2,
+        cross_attention_dim=32,
+        use_linear_projection=False,
+        norm_num_groups=8,
+    ),
+    # Tiny SDXL-like (exercises the text_time addition embedding)
+    "tiny_sdxl": dict(
+        in_channels=4,
+        out_channels=4,
+        block_out_channels=(32, 64),
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        layers_per_block=1,
+        transformer_layers_per_block=1,
+        num_attention_heads=2,
+        cross_attention_dim=32,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=64,  # pooled 16 + 6*8
+        use_linear_projection=True,
+        norm_num_groups=8,
+    ),
+}
