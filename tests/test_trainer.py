@@ -1,0 +1,206 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uwudiff_tpu.data import DummyDataset, TrainDataModule
+from uwudiff_tpu.diffusion import DiffusionLoss, NoiseSchedule
+from uwudiff_tpu.models.unet import UNet2DConditionModel
+from uwudiff_tpu.training import DMTrainer
+from uwudiff_tpu.training.lr_schedules import warmup_cosine_schedule
+from uwudiff_tpu.training.optimizers import adamw_fp16_state
+
+
+def _tiny_trainer(**overrides):
+    kwargs = dict(
+        model_config={
+            "unet": UNet2DConditionModel.from_config("tiny", cross_attention_dim=None),
+            "te": None,
+            "vae": None,
+        },
+        lr=1e-3,
+        use_warm_up=False,
+        loss_config=DiffusionLoss(schedule=NoiseSchedule.sdxl()),
+        grad_clip=1.0,
+        seed=0,
+    )
+    kwargs.update(overrides)
+    return DMTrainer(**kwargs)
+
+
+def _latent_batch(bs=4, hw=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "sample": rng.standard_normal((bs, hw, hw, 4)).astype(np.float32) * 0.1,
+        "captions": ["x"] * bs,
+        "tokenizer_outputs": [],
+        "added_cond": {
+            "time_ids": np.tile(
+                np.asarray([[hw, hw, 0, 0, hw, hw]], np.float32), (bs, 1)
+            )
+        },
+        "cross_attention_kwargs": {},
+    }
+
+
+def test_lr_schedule_semantics():
+    sched = warmup_cosine_schedule(1e-3, warm_up_period=10, T_max=100, eta_min=0.0)
+    # linear warmup
+    np.testing.assert_allclose(float(sched(0)), 0.0, atol=1e-12)
+    np.testing.assert_allclose(float(sched(5)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+    # cosine: at warmup+T_max/2 -> base/2; at warmup+T_max -> eta_min
+    np.testing.assert_allclose(float(sched(60)), 5e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(110)), 0.0, atol=1e-9)
+
+
+def test_adamw_fp16_state_moments_dtype():
+    import optax
+
+    tx = adamw_fp16_state(1e-3, weight_decay=0.01)
+    params = {"w": jnp.ones((64, 64))}
+    state = tx.init(params)
+    assert state.exp_avg["w"].dtype == jnp.bfloat16
+    grads = {"w": jnp.ones((64, 64)) * 0.1}
+    updates, state = tx.update(grads, state, params)
+    new_params = optax.apply_updates(params, updates)
+    assert np.isfinite(np.asarray(new_params["w"])).all()
+    # params moved opposite the gradient
+    assert float(new_params["w"].mean()) < 1.0
+
+
+def test_train_step_runs_and_loss_decreases():
+    trainer = _tiny_trainer()
+    rng = jax.random.PRNGKey(0)
+    batch = _latent_batch()
+    first = None
+    losses = []
+    for i in range(30):
+        metrics, _ = trainer.train_step(batch, rng)
+        losses.append(float(metrics["train/loss"]))
+    # same batch repeated with lr 1e-3 -> loss must drop substantially
+    assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+    assert int(trainer.state.step) == 30
+
+
+def test_train_step_with_te_and_sdxl_conditioning():
+    unet = UNet2DConditionModel.from_config("tiny_sdxl")
+    from uwudiff_tpu.models.text_encoders import ConcatTextEncoders
+
+    te = ConcatTextEncoders.from_config(
+        [
+            (
+                {"model_type": "clip", "preset": "tiny"},
+                {"use_pooled": True, "layer_idx": -2},
+            ),
+        ]
+    )
+    trainer = DMTrainer(
+        model_config={"unet": unet, "te": te, "vae": None},
+        lr=1e-3,
+        use_warm_up=False,
+        seed=0,
+    )
+    ds = DummyDataset(sample_size=(16, 16, 4), n_samples=8)
+    ds.set_tokenizers(trainer.tokenizers)
+    batch = ds.collate([ds[i] for i in range(4)])
+    metrics, aux = trainer.train_step(batch)
+    assert np.isfinite(metrics["train/loss"])
+    assert aux.timesteps.shape == (4,)
+
+
+def test_train_with_tiny_vae_pixel_space():
+    from uwudiff_tpu.models.vae import AutoencoderKL
+
+    trainer = DMTrainer(
+        model_config={
+            "unet": UNet2DConditionModel.from_config("tiny", cross_attention_dim=None),
+            "te": None,
+            "vae": AutoencoderKL.from_config("tiny"),
+        },
+        lr=1e-4,
+        use_warm_up=False,
+        seed=0,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "sample": rng.standard_normal((2, 32, 32, 3)).astype(np.float32),
+        "tokenizer_outputs": [],
+        "added_cond": {"time_ids": np.zeros((2, 6), np.float32)},
+    }
+    metrics, _ = trainer.train_step(batch)
+    assert np.isfinite(metrics["train/loss"])
+
+
+def test_fsdp_mesh_training():
+    """2x4 data x fsdp mesh on the 8 virtual CPU devices."""
+    trainer = _tiny_trainer(
+        mesh_axes={"data": 2, "fsdp": 4},
+    )
+    batch = _latent_batch(bs=8)
+    m1, _ = trainer.train_step(batch)
+    m2, _ = trainer.train_step(batch)
+    assert np.isfinite(m1["train/loss"]) and np.isfinite(m2["train/loss"])
+    # params actually sharded over fsdp
+    shardings = {
+        str(p): v.sharding
+        for p, v in jax.tree_util.tree_flatten_with_path(trainer.state.params)[0]
+    }
+    assert any(
+        "fsdp" in str(s.spec) for s in shardings.values()
+    ), "no parameter got FSDP-sharded"
+
+
+def test_fit_loop_fast_dev_run(tmp_path):
+    trainer = _tiny_trainer()
+    dm = TrainDataModule(
+        dataset_config={
+            "_target_": "uwudiff_tpu.data.DummyDataset",
+            "sample_size": [16, 16, 4],
+            "n_samples": 8,
+        },
+        dataloader_config={"batch_size": 4, "seed": 0},
+    )
+    state = trainer.fit(
+        dm, max_steps=3, log_dir=str(tmp_path), log_every=1,
+    )
+    assert int(state.step) == 3
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_checkpoint_resume(tmp_path):
+    ckpt_dir = tmp_path / "ckpt"
+    dm_cfg = dict(
+        dataset_config={
+            "_target_": "uwudiff_tpu.data.DummyDataset",
+            "sample_size": [16, 16, 4],
+            "n_samples": 16,
+        },
+        dataloader_config={"batch_size": 4, "seed": 0},
+    )
+    trainer = _tiny_trainer()
+    trainer.fit(
+        TrainDataModule(**dm_cfg),
+        max_steps=4,
+        ckpt_dir=str(ckpt_dir),
+        ckpt_every=2,
+        log_every=100,
+    )
+    params_after_4 = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+
+    # fresh trainer resumes from step 4 and continues
+    trainer2 = _tiny_trainer()
+    trainer2.fit(
+        TrainDataModule(**dm_cfg),
+        max_steps=6,
+        ckpt_dir=str(ckpt_dir),
+        resume_from=True,
+        log_every=100,
+    )
+    assert int(trainer2.state.step) == 6
+    # resumed params at step 4 equal saved ones? (checkpoint at 6 exists; we
+    # can at least confirm the run continued rather than restarting)
+    mgr_steps = sorted(
+        int(p.name) for p in ckpt_dir.iterdir() if p.name.isdigit()
+    )
+    assert 4 in mgr_steps and 6 in mgr_steps

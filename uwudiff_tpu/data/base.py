@@ -1,0 +1,221 @@
+"""Datasets + collate + data module (parity with ``duwu/data/base.py``).
+
+TPU-first differences:
+- NHWC sample layout
+- collate returns a dict of fixed-shape numpy arrays (a pytree the jitted
+  train step consumes directly after ``device_put`` with the batch
+  sharding)
+- the loader is a plain deterministic Python iterator with explicit
+  ``state_dict``/``load_state_dict`` so mid-epoch resume is exact
+  (the reference leans on Lightning loop surgery for this,
+  ``duwu/trainer/trainer.py:217-231``)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+from uwudiff_tpu.config import instantiate_any
+
+__all__ = ["UwUBaseDataset", "DummyDataset", "TrainDataModule", "DataLoader"]
+
+
+class UwUBaseDataset:
+    """Base dataset with the canonical collate (``data/base.py:9-31``)."""
+
+    tokenizers: Sequence = ()
+
+    def set_tokenizers(self, tokenizers):
+        self.tokenizers = list(tokenizers)
+
+    def __len__(self) -> int:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __getitem__(self, index: int) -> dict:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    @staticmethod
+    def collate(batch: list[dict]) -> dict[str, Any]:
+        samples = np.stack([x["sample"] for x in batch]).astype(np.float32)
+        captions = [x["caption"] for x in batch]
+        add_time_ids = np.stack([x["add_time_ids"] for x in batch]).astype(
+            np.float32
+        )
+        tokenizer_outputs = []
+        for tokenizer_out in zip(*[x["tokenizer_out"] for x in batch]):
+            input_ids = np.concatenate([t["input_ids"] for t in tokenizer_out])
+            attention_mask = np.concatenate(
+                [t["attention_mask"] for t in tokenizer_out]
+            )
+            tokenizer_outputs.append(
+                {"input_ids": input_ids, "attention_mask": attention_mask}
+            )
+        return {
+            "sample": samples,
+            "captions": captions,
+            "tokenizer_outputs": tokenizer_outputs,
+            "added_cond": {"time_ids": add_time_ids},
+            "cross_attention_kwargs": {},
+        }
+
+
+class DummyDataset(UwUBaseDataset):
+    """Random-tensor dataset with constant caption — the fake-data fixture
+    the whole pipeline smoke-tests with (``data/base.py:34-74``).
+
+    ``sample_size`` is NHWC-style ``(H, W, C)``: (256, 256, 3) pixel or
+    (32, 32, 4) latent.
+    """
+
+    def __init__(
+        self,
+        sample_size: tuple[int, ...] = (256, 256, 3),
+        n_samples: int = 100,
+        tokenizers: Sequence = (),
+        caption: str = "DUMMY TEST",
+        seed: int = 0,
+        **kwargs,
+    ):
+        self.sample_size = tuple(sample_size)
+        rng = np.random.default_rng(seed)
+        self.samples = [
+            rng.standard_normal(self.sample_size).astype(np.float32)
+            for _ in range(n_samples)
+        ]
+        self.tokenizers = (
+            list(tokenizers) if isinstance(tokenizers, (list, tuple)) else [tokenizers]
+        )
+        self.caption = caption
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, index: int) -> dict:
+        h = self.sample_size[0]
+        w = self.sample_size[1]
+        return {
+            "sample": self.samples[index],
+            "caption": self.caption,
+            "tokenizer_out": [
+                tok(self.caption, padding="max_length", truncation=True)
+                for tok in self.tokenizers
+            ],
+            # org_h, org_w, crop_top, crop_left, target_h, target_w
+            "add_time_ids": np.asarray([h, w, 0, 0, h, w], dtype=np.float32),
+        }
+
+
+class DataLoader:
+    """Deterministic shuffling batcher with exact resume state."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        collate_fn=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or type(dataset).collate
+        self.epoch = 0
+        self.batch_idx = 0  # next batch to yield within the epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self):
+        while True:
+            order = self._order()
+            n_batches = len(self)
+            while self.batch_idx < n_batches:
+                lo = self.batch_idx * self.batch_size
+                hi = min(lo + self.batch_size, len(order))
+                batch = [self.dataset[int(i)] for i in order[lo:hi]]
+                self.batch_idx += 1
+                yield self.collate_fn(batch)
+            self.epoch += 1
+            self.batch_idx = 0
+
+    def epoch_iter(self):
+        """Iterate the remainder of the current epoch, then stop."""
+        order = self._order()
+        n_batches = len(self)
+        while self.batch_idx < n_batches:
+            lo = self.batch_idx * self.batch_size
+            hi = min(lo + self.batch_size, len(order))
+            batch = [self.dataset[int(i)] for i in order[lo:hi]]
+            self.batch_idx += 1
+            yield self.collate_fn(batch)
+        self.epoch += 1
+        self.batch_idx = 0
+
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch, "batch_idx": self.batch_idx}
+
+    def load_state_dict(self, state: dict):
+        self.epoch = int(state["epoch"])
+        self.batch_idx = int(state["batch_idx"])
+
+
+class TrainDataModule:
+    """Config-driven dataset + loader pairing (``data/base.py:77-96``)."""
+
+    def __init__(self, dataset_config, dataloader_config=None, val_dataset_config=None):
+        self.dataset_config = dataset_config
+        self.dataloader_config = dict(dataloader_config or {})
+        self.val_dataset_config = val_dataset_config
+        self.tokenizers = None
+        self.dataset = None
+        self.val_dataset = None
+
+    def set_tokenizers(self, tokenizers):
+        self.tokenizers = list(tokenizers)
+        if self.dataset is not None:
+            self.dataset.set_tokenizers(self.tokenizers)
+        if self.val_dataset is not None:
+            self.val_dataset.set_tokenizers(self.tokenizers)
+
+    def setup(self):
+        if self.dataset is None:
+            self.dataset = instantiate_any(self.dataset_config)
+            if self.tokenizers:
+                self.dataset.set_tokenizers(self.tokenizers)
+        if self.val_dataset is None and self.val_dataset_config is not None:
+            self.val_dataset = instantiate_any(self.val_dataset_config)
+            if self.tokenizers:
+                self.val_dataset.set_tokenizers(self.tokenizers)
+        return self
+
+    def train_dataloader(self) -> DataLoader:
+        self.setup()
+        cfg = dict(self.dataloader_config)
+        cfg.pop("num_workers", None)  # accepted for config parity; unused
+        return DataLoader(self.dataset, collate_fn=self.dataset.collate, **cfg)
+
+    def val_dataloader(self) -> DataLoader | None:
+        self.setup()
+        if self.val_dataset is None:
+            return None
+        cfg = dict(self.dataloader_config)
+        cfg.pop("num_workers", None)
+        cfg["shuffle"] = False
+        return DataLoader(
+            self.val_dataset, collate_fn=self.val_dataset.collate, **cfg
+        )

@@ -1,0 +1,476 @@
+"""DMTrainer — the training orchestrator.
+
+Capability parity with ``duwu/trainer/trainer.py`` (model assembly from
+config, optimizer/LR wiring, EMA-loss tracking, train/val steps,
+checkpoint/resume, adapter training) re-designed TPU-first:
+
+- ONE jit-compiled ``train_step(state, frozen, batch, rng)`` containing
+  the frozen VAE/TE encodes, the loss (timestep sampling, noising, UNet
+  forward), backward, optimizer update and EMA — the whole hot loop is a
+  single XLA program with donated state.
+- GSPMD sharding over a ``Mesh`` with ``data``+``fsdp`` axes: batch
+  sharded over both, params/optimizer state FSDP-sharded; the gradient
+  psum and all param gathers are emitted by the compiler (SURVEY.md §2.4).
+- Explicit PRNG threading: bitwise-reproducible by construction.
+- Optional latent/embedding caching: if the batch already carries
+  ``latent`` (and/or ``ctx``) the VAE/TE encodes are skipped — removing
+  the per-step frozen-encoder cost baked into the reference hot loop
+  (``trainer.py:238-259``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from uwudiff_tpu.config import instantiate_any
+from uwudiff_tpu.diffusion import DiffusionLoss, NoiseSchedule
+from uwudiff_tpu.models.tokenizers import SimpleTokenizer
+from uwudiff_tpu.parallel import (
+    batch_sharding,
+    fsdp_param_sharding,
+    make_mesh,
+)
+from uwudiff_tpu.training.checkpoint import CheckpointManager
+from uwudiff_tpu.training.logging import build_logger
+from uwudiff_tpu.training.lr_schedules import warmup_cosine_schedule
+from uwudiff_tpu.training.optimizers import build_optimizer
+
+__all__ = ["TrainState", "DMTrainer"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray  # int32 scalar
+    params: Any  # trainable params
+    opt_state: Any
+    ema_loss: jnp.ndarray  # f32 scalar
+
+
+def _maybe_instantiate_module(node):
+    if node is None:
+        return None
+    if isinstance(node, dict):
+        node = dict(node)
+        node.pop("_load_config_", None)  # dtype/freeze handled by trainer
+        return instantiate_any(node)
+    return node
+
+
+def _strip_non_arrays(batch: dict) -> dict:
+    """Drop host-only fields (captions etc.) before device_put."""
+    out = {}
+    for k, v in batch.items():
+        if k in ("captions", "cross_attention_kwargs"):
+            continue
+        out[k] = v
+    return out
+
+
+@dataclasses.dataclass
+class DMTrainer:
+    """Diffusion-model trainer (``duwu/trainer/trainer.py:95-318``)."""
+
+    model_config: dict
+    te_use_normed_ctx: bool = False
+    vae_std: float | None = None
+    vae_mean: float = 0.0
+    name: str = ""
+    lr: float = 1e-5
+    optimizer: str = "adamw"
+    opt_config: dict = dataclasses.field(
+        default_factory=lambda: {"weight_decay": 0.01, "betas": (0.9, 0.999)}
+    )
+    lr_scheduler_config: dict = dataclasses.field(
+        default_factory=lambda: {"T_max": 100_000, "eta_min": 1e-7}
+    )
+    use_warm_up: bool = True
+    warm_up_period: int = 1000
+    loss_config: dict | Any | None = None
+    lycoris_config: dict | str | None = None
+    grad_clip: float | None = 1.0
+    grad_accum: int = 1
+    mesh_axes: dict | None = None  # e.g. {"data": 2, "fsdp": 4}
+    ema_decay: float = 0.99
+    seed: int = 42
+
+    def __post_init__(self):
+        mc = dict(self.model_config)
+        self.unet = _maybe_instantiate_module(mc.get("unet"))
+        self.te = _maybe_instantiate_module(mc.get("te"))
+        self.vae = _maybe_instantiate_module(mc.get("vae"))
+        assert self.unet is not None, "model_config must provide a unet"
+
+        # tokenizers: explicit config node, else simple hash tokenizers
+        tok_cfg = mc.get("tokenizers")
+        if tok_cfg is None:
+            n_tok = len(self.te.text_models) if self.te is not None else 0
+            self.tokenizers = [SimpleTokenizer() for _ in range(n_tok)]
+        else:
+            self.tokenizers = [instantiate_any(t) for t in tok_cfg]
+
+        if self.vae is not None and self.vae_std is None:
+            self.vae_std = 1.0 / self.vae.scaling_factor
+
+        # loss: config node, ready-made object, or the reference default
+        if self.loss_config is None:
+            self.loss = DiffusionLoss(schedule=NoiseSchedule.sdxl())
+        elif isinstance(self.loss_config, (dict,)):
+            self.loss = instantiate_any(self.loss_config)
+        else:
+            self.loss = self.loss_config
+        self.n_diffusion_time_steps = self.loss.n_diffusion_time_steps
+
+        # LoRA/LoKr adapters (wired in setup once params exist)
+        self.adapter = None
+        if self.lycoris_config is not None:
+            from uwudiff_tpu.training.adapters import build_adapter_config
+
+            self.adapter_config = build_adapter_config(self.lycoris_config)
+        else:
+            self.adapter_config = None
+
+        # mesh is created in setup() (batch-divisibility-aware default)
+        self.mesh = None
+        schedule = warmup_cosine_schedule(
+            self.lr,
+            warm_up_period=self.warm_up_period,
+            use_warm_up=self.use_warm_up,
+            **self.lr_scheduler_config,
+        )
+        self.lr_schedule = schedule
+        tx = build_optimizer(self.optimizer, learning_rate=schedule, **self.opt_config)
+        if self.grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(self.grad_clip), tx)
+        if self.grad_accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.grad_accum)
+        self.tx = tx
+
+        self._built = False
+        self.state: TrainState | None = None
+        self.frozen: dict[str, Any] = {}
+        self._train_step = None
+        self._val_step = None
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def _latent_shape(self, sample_shape):
+        if self.vae is None:
+            return sample_shape
+        downs = 2 ** (len(self.vae.block_out_channels) - 1)
+        b, h, w, _ = sample_shape
+        return (b, h // downs, w // downs, self.vae.latent_channels)
+
+    def setup(self, example_batch: dict):
+        """Initialize params/optimizer/jitted steps from batch shapes."""
+        if self._built:
+            return
+        if self.mesh is None:
+            if self.mesh_axes is not None:
+                self.mesh = make_mesh(self.mesh_axes)
+            else:
+                # default: pure data-parallel over as many devices as the
+                # global batch divides into
+                n_dev = len(jax.devices())
+                bs = int(np.shape(example_batch["sample"])[0])
+                while n_dev > 1 and bs % n_dev != 0:
+                    n_dev //= 2
+                self.mesh = make_mesh(
+                    {"data": n_dev}, devices=jax.devices()[:n_dev]
+                )
+        rng = jax.random.PRNGKey(self.seed)
+        r_unet, r_te, r_vae, r_lat = jax.random.split(rng, 4)
+
+        batch = _strip_non_arrays(example_batch)
+        sample = jnp.asarray(batch["sample"][:1])
+
+        frozen = {}
+        if self.vae is not None:
+            frozen["vae"] = self.vae.init(r_vae, sample, r_vae)["params"]
+        if self.te is not None:
+            tok_outs = [
+                {k: jnp.asarray(v[:1]) for k, v in t.items()}
+                for t in batch["tokenizer_outputs"]
+            ]
+            frozen["te"] = self.te.init(r_te, tok_outs)["params"]
+            emb, normed, pooled, mask = self.te.apply(
+                {"params": frozen["te"]}, tok_outs
+            )
+        else:
+            emb = pooled = mask = None
+
+        lat_shape = self._latent_shape(sample.shape)
+        lat = jnp.zeros(lat_shape, jnp.float32)
+        t0 = jnp.zeros((lat_shape[0],), jnp.float32)
+        added = self._added_cond(batch, pooled, n=1)
+        unet_params = self.unet.init(r_unet, lat, t0, emb, mask, added)["params"]
+
+        if self.adapter_config is not None:
+            from uwudiff_tpu.training.adapters import LycorisAdapter
+
+            self.adapter = LycorisAdapter.create(
+                self.unet, unet_params, self.adapter_config, rng=r_lat
+            )
+            frozen["unet_base"] = unet_params
+            train_params = self.adapter.params
+        else:
+            train_params = unet_params
+
+        # shard + place
+        params_sh = fsdp_param_sharding(train_params, self.mesh)
+        train_params = jax.device_put(train_params, params_sh)
+        frozen_sh = fsdp_param_sharding(frozen, self.mesh)
+        self.frozen = jax.device_put(frozen, frozen_sh)
+
+        opt_state = self.tx.init(train_params)
+        opt_sh = fsdp_param_sharding(opt_state, self.mesh)
+        opt_state = jax.device_put(opt_state, opt_sh)
+
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=train_params,
+            opt_state=opt_state,
+            ema_loss=jnp.zeros((), jnp.float32),
+        )
+        # commit every leaf (incl. scalars, replicated) to the mesh so
+        # restore/resume sees consistent shardings
+        self.state_sharding = fsdp_param_sharding(state, self.mesh)
+        self.state = jax.device_put(state, self.state_sharding)
+        self._batch_sh = batch_sharding(self.mesh)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._val_step = jax.jit(self._val_step_impl)
+        self._built = True
+
+    def _added_cond(self, batch, pooled, n=None):
+        if getattr(self.unet, "addition_embed_type", None) != "text_time":
+            return None
+        time_ids = jnp.asarray(batch["added_cond"]["time_ids"])
+        if n is not None:
+            time_ids = time_ids[:n]
+        assert pooled is not None, "text_time addition embedding needs pooled"
+        return {"time_ids": time_ids, "text_embeds": pooled}
+
+    # ------------------------------------------------------------------
+    # the hot loop
+    # ------------------------------------------------------------------
+
+    def _encode_batch(self, frozen, batch, rng):
+        """Frozen VAE/TE encodes (``trainer.py:233-261``), skipped for
+        cached inputs."""
+        if "latent" in batch:
+            x = batch["latent"]
+        else:
+            x = batch["sample"]
+            if self.vae is not None:
+                dist = self.vae.apply(
+                    {"params": frozen["vae"]}, x, method=self.vae.encode
+                )
+                x = dist.sample(rng)
+                x = (x - self.vae_mean) / self.vae_std
+
+        ctx = mask = pooled = None
+        if "ctx" in batch:
+            ctx = batch["ctx"]
+            mask = batch.get("ctx_mask")
+            pooled = batch.get("pooled")
+        elif self.te is not None:
+            emb, normed, pooled, mask = self.te.apply(
+                {"params": frozen["te"]}, batch["tokenizer_outputs"]
+            )
+            ctx = normed if self.te_use_normed_ctx else emb
+        added_cond = self._added_cond(batch, pooled)
+        x = jax.lax.stop_gradient(x)
+        if ctx is not None:
+            ctx = jax.lax.stop_gradient(ctx)
+        return x, ctx, mask, added_cond
+
+    def _unet_apply_fn(self, params, frozen):
+        """Trainable-forward closure; adapters merge into the base here."""
+        if self.adapter is not None:
+            base = self.adapter.merge(frozen["unet_base"], params)
+            return lambda *a, **kw: self.unet.apply({"params": base}, *a, **kw)
+        return lambda *a, **kw: self.unet.apply({"params": params}, *a, **kw)
+
+    def _loss_for_batch(self, params, frozen, batch, rng):
+        rng_enc, rng_loss = jax.random.split(rng)
+        x, ctx, mask, added_cond = self._encode_batch(frozen, batch, rng_enc)
+        unet_fn = self._unet_apply_fn(params, frozen)
+
+        def model_fn(noisy, t):
+            return unet_fn(noisy, t, ctx, mask, added_cond)
+
+        return self.loss(rng_loss, x, model_fn)
+
+    def _train_step_impl(self, state, frozen, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            return self._loss_for_batch(params, frozen, batch, rng)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+
+        # EMA with warmup-aware decay (``trainer.py:276-278``)
+        step_f = state.step.astype(jnp.float32)
+        decay = jnp.minimum(step_f / (10.0 + step_f), self.ema_decay)
+        ema = decay * state.ema_loss + (1.0 - decay) * loss
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_loss=ema,
+        )
+        metrics = {
+            "train/loss": loss,
+            "train/ema_loss": ema,
+            "train/grad_norm": optax.global_norm(grads),
+            "train/lr": self.lr_schedule(state.step),
+        }
+        return new_state, metrics, aux
+
+    def _val_step_impl(self, state, frozen, batch, rng):
+        loss, aux = self._loss_for_batch(state.params, frozen, batch, rng)
+        return loss, aux
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def _put_batch(self, batch):
+        batch = _strip_non_arrays(batch)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), self._batch_sh), batch
+        )
+
+    def train_step(self, batch, rng=None):
+        self.setup(batch)
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
+        dev_batch = self._put_batch(batch)
+        self.state, metrics, aux = self._train_step(
+            self.state, self.frozen, dev_batch, rng
+        )
+        return metrics, aux
+
+    def validation_step(self, batch, rng=None):
+        self.setup(batch)
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed + 1)
+        dev_batch = self._put_batch(batch)
+        return self._val_step(self.state, self.frozen, dev_batch, rng)
+
+    def fit(
+        self,
+        data_module,
+        max_steps: int = 1000,
+        max_epochs: int | None = None,
+        log_dir: str | None = None,
+        log_every: int = 10,
+        ckpt_dir: str | None = None,
+        ckpt_every: int | None = None,
+        ckpt_keep: int = 2,
+        resume_from: str | bool | None = None,
+        val_every: int | None = None,
+        callbacks: list | None = None,
+        fast_dev_run: bool = False,
+        logger=None,
+    ):
+        """The fit loop (``test_scripts/test_train.py:43-77`` +
+        Lightning's loop, condensed)."""
+        if fast_dev_run:
+            max_steps = 1
+
+        data_module.set_tokenizers(self.tokenizers)
+        loader = data_module.train_dataloader()
+        val_loader = data_module.val_dataloader()
+        logger = logger or build_logger(log_dir, stdout_every=log_every)
+        callbacks = callbacks or []
+
+        ckpt_mgr = None
+        if ckpt_dir is not None:
+            ckpt_mgr = CheckpointManager(
+                ckpt_dir, keep=ckpt_keep, save_every_steps=ckpt_every
+            )
+
+        rng = jax.random.PRNGKey(self.seed)
+        data_iter = iter(loader)
+
+        # peek one batch to build everything (and resume if asked)
+        first_batch = next(data_iter)
+        self.setup(first_batch)
+        if resume_from and ckpt_mgr is not None:
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+                self.state,
+            )
+            try:
+                restored, data_state = ckpt_mgr.restore(abstract)
+                expected_sh = jax.tree_util.tree_map(
+                    lambda x: x.sharding, self.state
+                )
+                self.state = jax.device_put(restored, expected_sh)
+                if data_state:
+                    loader.load_state_dict(data_state)
+                    data_iter = iter(loader)
+                    first_batch = next(data_iter)
+            except FileNotFoundError:
+                pass
+
+        step = int(self.state.step)
+        batch = first_batch
+        while step < max_steps:
+            if max_epochs is not None and loader.epoch >= max_epochs:
+                break
+            metrics, aux = self.train_step(batch, rng)
+            step = int(self.state.step)
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            logger.log_scalars(step, host_metrics)
+            for cb in callbacks:
+                cb.on_train_batch_end(self, step, host_metrics, aux, logger)
+            if ckpt_mgr is not None and ckpt_mgr.should_save(step):
+                ckpt_mgr.save(step, self.state, loader.state_dict())
+            if val_every and step % val_every == 0 and val_loader is not None:
+                self._run_validation(val_loader, logger, callbacks, rng)
+            if step >= max_steps:
+                break
+            batch = next(data_iter)
+
+        if ckpt_mgr is not None:
+            ckpt_mgr.save(step, self.state, loader.state_dict())
+            ckpt_mgr.wait()
+            ckpt_mgr.close()
+        for cb in callbacks:
+            if hasattr(cb, "on_fit_end"):
+                cb.on_fit_end(self, step, logger)
+        logger.close()
+        return self.state
+
+    def _run_validation(self, val_loader, logger, callbacks, rng):
+        losses = []
+        for cb in callbacks:
+            if hasattr(cb, "on_validation_start"):
+                cb.on_validation_start(self)
+        for i, batch in enumerate(val_loader.epoch_iter()):
+            loss, aux = self.validation_step(batch, jax.random.fold_in(rng, i))
+            losses.append(float(loss))
+            for cb in callbacks:
+                if hasattr(cb, "on_validation_batch_end"):
+                    cb.on_validation_batch_end(self, aux)
+        step = int(self.state.step)
+        if losses:
+            logger.log_scalars(step, {"val/loss": float(np.mean(losses))})
+        for cb in callbacks:
+            if hasattr(cb, "on_validation_end"):
+                cb.on_validation_end(self, step, logger)
