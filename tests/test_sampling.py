@@ -1,0 +1,222 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uwudiff_tpu.diffusion import NoiseSchedule
+from uwudiff_tpu.sampling import (
+    KDiffusionDenoiser,
+    diffusion_sampling,
+    euler_latent_sampling,
+    get_sigmas_for_rf,
+    sample_dpm2,
+    sample_dpm2_cfgpp,
+    sample_euler_ancestral,
+    sample_euler_ancestral_cfgpp,
+)
+from uwudiff_tpu.sampling.wrapper import get_ancestral_step, to_d
+
+
+@pytest.fixture(scope="module")
+def sched():
+    return NoiseSchedule.sdxl()
+
+
+X0 = 0.7  # the "dataset": a single constant image
+
+
+def _perfect_model(x, sigma, sigma_cond=None):
+    """A denoiser that always returns the true x0 (and itself as uncond)."""
+    d = jnp.full_like(x, X0)
+    return d, d
+
+
+def test_get_ancestral_step_last_step_zero():
+    down, up = get_ancestral_step(jnp.float32(1.0), jnp.float32(0.0))
+    assert float(up) == 0.0 and float(down) == 0.0
+
+
+def test_euler_ancestral_converges_to_x0(sched):
+    sigmas = sched.sample_sigmas_descending(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 1)) * sigmas[0]
+    out = sample_euler_ancestral(
+        _perfect_model, x, sigmas, rng=jax.random.PRNGKey(1), eta=0.0
+    )
+    np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+def test_euler_ancestral_eta_still_converges(sched):
+    """With ancestral noise, the final step has sigma=0 so x == x0."""
+    sigmas = sched.sample_sigmas_descending(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 1)) * sigmas[0]
+    out = sample_euler_ancestral(
+        _perfect_model, x, sigmas, rng=jax.random.PRNGKey(1), eta=1.0
+    )
+    np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+def test_euler_cfgpp_converges(sched):
+    sigmas = sched.sample_sigmas_descending(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 1)) * sigmas[0]
+    out = sample_euler_ancestral_cfgpp(
+        _perfect_model, x, sigmas, rng=jax.random.PRNGKey(1), eta=0.0
+    )
+    np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+@pytest.mark.parametrize("single_call", [False, True])
+def test_dpm2_converges(sched, single_call):
+    sigmas = sched.sample_sigmas_descending(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 1)) * sigmas[0]
+    out = sample_dpm2(
+        _perfect_model, x, sigmas, rng=jax.random.PRNGKey(1),
+        single_call=single_call,
+    )
+    np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+def test_dpm2_cfgpp_converges(sched):
+    sigmas = sched.sample_sigmas_descending(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 1)) * sigmas[0]
+    out = sample_dpm2_cfgpp(
+        _perfect_model, x, sigmas, rng=jax.random.PRNGKey(1)
+    )
+    np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+def test_samplers_jit_compile(sched):
+    sigmas = sched.sample_sigmas_descending(4)
+
+    @jax.jit
+    def run(x):
+        return sample_euler_ancestral(
+            _perfect_model, x, sigmas, rng=jax.random.PRNGKey(0)
+        )
+
+    out = run(jnp.ones((1, 4, 4, 1)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_kdiffusion_denoiser_scalings(sched):
+    """If the model predicts the exact eps, the wrapper recovers x0."""
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    sigma = jnp.array([0.5, 3.0])
+
+    captured = {}
+
+    def eps_model(x_in, t, **kw):
+        captured["t"] = t
+        return eps  # the true eps
+
+    den = KDiffusionDenoiser(model_fn=eps_model, schedule=sched)
+    # noised input in sigma space (unscaled): x = x0 + eps*sigma
+    x = x0 + eps * sigma[:, None, None, None]
+    # wrapper scales by c_in internally and returns x + eps*(-sigma) = x0
+    out = den(x, sigma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-5)
+    # t passed to the model is sigma_to_t of sigma
+    np.testing.assert_allclose(
+        np.asarray(captured["t"]), np.asarray(sched.sigma_to_t(sigma)), atol=1e-3
+    )
+
+
+def test_sigma_cond_threads_through(sched):
+    captured = {}
+
+    def eps_model(x_in, t, **kw):
+        captured["t"] = t
+        return jnp.zeros_like(x_in)
+
+    den = KDiffusionDenoiser(model_fn=eps_model, schedule=sched)
+    sigma = jnp.array([1.0])
+    sigma_cond = jnp.array([2.0])
+    den(jnp.ones((1, 2, 2, 1)), sigma, sigma_cond=sigma_cond)
+    np.testing.assert_allclose(
+        np.asarray(captured["t"]),
+        np.asarray(sched.sigma_to_t(sigma_cond)),
+        atol=1e-3,
+    )
+
+
+def test_rf_sigma_schedule():
+    sig = get_sigmas_for_rf(8, max_sigma=100.0)
+    assert sig.shape == (9,)
+    assert sig[-1] == 0.0 or sig[-1] < 1e-6
+    assert np.all(np.diff(sig) <= 0)
+    np.testing.assert_allclose(sig[0], 100.0, rtol=1e-5)
+
+
+def _tiny_pipeline():
+    from uwudiff_tpu.models.text_encoders import (
+        ConcatTextEncoders,
+        TextEncodingPipeline,
+    )
+    from uwudiff_tpu.models.tokenizers import SimpleTokenizer
+
+    te = ConcatTextEncoders.from_config(
+        [({"model_type": "clip", "preset": "tiny"},
+          {"use_pooled": True, "layer_idx": -2})]
+    )
+    toks = [SimpleTokenizer(model_max_length=8)]
+    dummy = [{k: jnp.asarray(v) for k, v in toks[0](["x"]).items()}]
+    params = te.init(jax.random.PRNGKey(0), dummy)["params"]
+    return TextEncodingPipeline(te, params, toks)
+
+
+def test_end_to_end_diffusion_sampling(sched):
+    from uwudiff_tpu.models.unet import UNet2DConditionModel
+
+    unet = UNet2DConditionModel.from_config("tiny")
+    x = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 8, 32))
+    params = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)), ctx)["params"]
+
+    def unet_fn(x, t, ctx, mask, added):
+        return unet.apply({"params": params}, x, t, ctx, mask, None)
+
+    te = _tiny_pipeline()
+    latents = diffusion_sampling(
+        unet_fn,
+        te,
+        vae_decode=None,
+        train_schedule=sched,
+        prompt="a cat",
+        neg_prompt="",
+        num_steps=4,
+        num_samples=2,
+        cfg_scale=3.0,
+        width=64,
+        height=64,
+        seed=0,
+    )
+    assert latents.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_euler_latent_inversion_api(sched):
+    from uwudiff_tpu.models.unet import UNet2DConditionModel
+
+    unet = UNet2DConditionModel.from_config("tiny")
+    x = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 8, 32))
+    params = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)), ctx)["params"]
+
+    def unet_fn(x, t, ctx, mask, added):
+        return unet.apply({"params": params}, x, t, ctx, mask, None)
+
+    te = _tiny_pipeline()
+    lat = jnp.ones((1, 8, 8, 4)) * 0.1
+    noise = euler_latent_sampling(
+        lat, unet_fn, te, sched, ["p"], ["n"],
+        image_to_noise=True, cfg_scale=1.0, num_steps=4,
+    )
+    assert noise.shape == lat.shape
+    assert np.isfinite(np.asarray(noise)).all()
+    # cfg++ path
+    out = euler_latent_sampling(
+        lat, unet_fn, te, sched, ["p"], ["n"],
+        cfg_scale=2.0, use_cfgpp=True, num_steps=4,
+    )
+    assert np.isfinite(np.asarray(out)).all()

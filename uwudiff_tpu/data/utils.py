@@ -1,0 +1,39 @@
+"""Image pre/post-processing (parity with ``duwu/data/utils.py``)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["vae_image_postprocess", "vae_image_preprocess", "resize_and_crop_image"]
+
+
+def vae_image_postprocess(image_tensor) -> "PIL.Image.Image":
+    """[-1, 1] NHWC float image -> PIL (``data/utils.py:10-19``)."""
+    from PIL import Image
+
+    arr = np.asarray(image_tensor)
+    if arr.ndim == 4:
+        arr = arr[0]
+    arr = ((np.clip(arr, -1.0, 1.0) + 1.0) * 127.5).astype(np.uint8)
+    return Image.fromarray(arr)
+
+
+def vae_image_preprocess(image) -> np.ndarray:
+    """PIL -> [-1, 1] HWC float32."""
+    arr = np.asarray(image.convert("RGB"), dtype=np.float32)
+    return arr / 127.5 - 1.0
+
+
+def resize_and_crop_image(image, target_size: tuple[int, int]):
+    """Resize preserving aspect then center-crop to (width, height)
+    (``data/utils.py`` BicubicResize + crop semantics)."""
+    from PIL import Image
+
+    tw, th = target_size
+    w, h = image.size
+    scale = max(tw / w, th / h)
+    new_w, new_h = round(w * scale), round(h * scale)
+    image = image.resize((new_w, new_h), Image.BICUBIC)
+    left = (new_w - tw) // 2
+    top = (new_h - th) // 2
+    return image.crop((left, top, left + tw, top + th))

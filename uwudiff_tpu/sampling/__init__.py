@@ -1,0 +1,32 @@
+from uwudiff_tpu.sampling.wrapper import KDiffusionDenoiser, append_dims
+from uwudiff_tpu.sampling.get_sigmas import (
+    get_sigmas_for_rf,
+    uniform_time,
+    sigmoid_time,
+    sigmoid_time_scale,
+)
+from uwudiff_tpu.sampling.euler import (
+    sample_euler_ancestral,
+    sample_euler_ancestral_cfgpp,
+)
+from uwudiff_tpu.sampling.dpm2 import sample_dpm2, sample_dpm2_cfgpp
+from uwudiff_tpu.sampling.cfg import cfg_wrapper, cond_text_wrapper
+from uwudiff_tpu.sampling.sampling import diffusion_sampling
+from uwudiff_tpu.sampling.euler_latent import euler_latent_sampling
+
+__all__ = [
+    "KDiffusionDenoiser",
+    "append_dims",
+    "get_sigmas_for_rf",
+    "uniform_time",
+    "sigmoid_time",
+    "sigmoid_time_scale",
+    "sample_euler_ancestral",
+    "sample_euler_ancestral_cfgpp",
+    "sample_dpm2",
+    "sample_dpm2_cfgpp",
+    "cfg_wrapper",
+    "cond_text_wrapper",
+    "diffusion_sampling",
+    "euler_latent_sampling",
+]

@@ -1,0 +1,131 @@
+"""Classifier-free-guidance wrappers (parity with
+``duwu/sampling/cfg.py``).
+
+Text encoding happens host-side once (through ``TextEncodingPipeline``);
+the returned ``model_fn(x, sigma, sigma_cond)`` runs the denoiser on the
+doubled cond|uncond batch in a single call and combines with the CFG
+scale — exactly ``cfg.py:113-126``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+__all__ = ["cond_text_wrapper", "cfg_wrapper", "default_time_ids"]
+
+
+def default_time_ids(height: int, width: int, batch: int) -> jnp.ndarray:
+    """SDXL micro-conditioning ids: org_h/w, crop, target_h/w
+    (``cfg.py:22-27``)."""
+    return jnp.tile(
+        jnp.asarray(
+            [[height, width, 0, 0, height, width]], dtype=jnp.float32
+        ),
+        (batch, 1),
+    )
+
+
+def _pad_seq(emb, mask, target_len):
+    cur = emb.shape[1]
+    if cur >= target_len:
+        return emb, mask
+    emb = jnp.pad(emb, [(0, 0), (0, target_len - cur), (0, 0)])
+    if mask is not None:
+        mask = jnp.pad(mask, [(0, 0), (0, target_len - cur)])
+    return emb, mask
+
+
+def cond_text_wrapper(
+    prompt,
+    width: int,
+    height: int,
+    unet: Callable,  # KDiffusionDenoiser
+    te,  # TextEncodingPipeline
+    time_ids: jnp.ndarray | None = None,
+) -> Callable:
+    """Single-conditioning wrapper (no CFG), ``cfg.py:9-51``."""
+    emb, normed_emb, pool, mask = te.encode(prompt, padding=True, truncation=True)
+    if te.use_normed_ctx:
+        emb = normed_emb
+    if time_ids is None:
+        time_ids = default_time_ids(height, width, emb.shape[0])
+    added_cond = (
+        {"time_ids": time_ids, "text_embeds": pool} if pool is not None else None
+    )
+
+    def model_fn(x, sigma, sigma_cond=None):
+        denoised = unet(
+            x,
+            sigma,
+            sigma_cond=sigma_cond,
+            encoder_hidden_states=emb,
+            encoder_attention_mask=mask,
+            added_cond=added_cond,
+        )
+        return denoised, None
+
+    return model_fn
+
+
+def cfg_wrapper(
+    prompt,
+    neg_prompt,
+    width: int,
+    height: int,
+    unet: Callable,  # KDiffusionDenoiser
+    te,  # TextEncodingPipeline
+    cfg: float = 5.0,
+    time_ids: jnp.ndarray | None = None,
+) -> Callable:
+    """CFG wrapper: doubled-batch single call,
+    ``out = uncond + (cond - uncond) * cfg`` (``cfg.py:54-127``)."""
+    emb, normed_emb, pool, mask = te.encode(prompt, padding=True, truncation=True)
+    neg_emb, normed_neg_emb, neg_pool, neg_mask = te.encode(
+        neg_prompt, padding=True, truncation=True
+    )
+    if te.use_normed_ctx:
+        emb = normed_emb
+        neg_emb = normed_neg_emb
+
+    if time_ids is None:
+        time_ids = default_time_ids(height, width, 2 * emb.shape[0])
+    else:
+        time_ids = jnp.tile(jnp.asarray(time_ids), (2, 1))
+
+    if pool is not None:
+        added_cond = {
+            "time_ids": time_ids,
+            "text_embeds": jnp.concatenate([pool, neg_pool]),
+        }
+    else:
+        added_cond = None
+
+    # align sequence lengths (``cfg.py:96-105``)
+    target = max(emb.shape[1], neg_emb.shape[1])
+    emb, mask = _pad_seq(emb, mask, target)
+    neg_emb, neg_mask = _pad_seq(neg_emb, neg_mask, target)
+
+    if mask is not None and neg_mask is not None:
+        attn_mask = jnp.concatenate([mask, neg_mask])
+    else:
+        attn_mask = None
+    text_ctx_emb = jnp.concatenate([emb, neg_emb])
+
+    def cfg_fn(x, sigma, sigma_cond=None):
+        if sigma_cond is not None:
+            sigma_cond = jnp.concatenate([sigma_cond, sigma_cond])
+        out = unet(
+            jnp.concatenate([x, x]),
+            jnp.concatenate([sigma, sigma]),
+            sigma_cond=sigma_cond,
+            encoder_hidden_states=text_ctx_emb,
+            encoder_attention_mask=attn_mask,
+            added_cond=added_cond,
+        )
+        cond, uncond = jnp.split(out, 2)
+        cfg_output = uncond + (cond - uncond) * cfg
+        return cfg_output, uncond
+
+    return cfg_fn

@@ -1,0 +1,118 @@
+"""End-to-end text-to-image sampling (parity with
+``duwu/sampling/sampling.py:16-126``).
+
+The sigma loop + VAE decode are jit-compiled; prompt handling and PIL
+conversion stay on host.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uwudiff_tpu.data.utils import vae_image_postprocess
+from uwudiff_tpu.diffusion.schedules import NoiseSchedule
+from uwudiff_tpu.sampling.cfg import cfg_wrapper
+from uwudiff_tpu.sampling.euler import sample_euler_ancestral
+from uwudiff_tpu.sampling.wrapper import KDiffusionDenoiser
+from uwudiff_tpu.utils import truncate_or_pad_to_length
+
+__all__ = ["diffusion_sampling"]
+
+
+def diffusion_sampling(
+    unet_fn: Callable,  # (x, t, ctx, mask, added_cond) -> eps  (params bound)
+    te,  # TextEncodingPipeline
+    vae_decode: Callable | None,  # latents -> [-1,1] images (params bound)
+    train_schedule: NoiseSchedule,
+    prompt,
+    neg_prompt,
+    num_steps: int = 16,
+    sample_schedule: NoiseSchedule | None = None,
+    get_sigma_func: Callable | None = None,
+    num_samples: int = 1,
+    padding_mode: Literal["repeat_last", "cycling", "uniform_expansion"] = "cycling",
+    cfg_scale: float = 3.0,
+    seed: int = 42,
+    width: int = 1024,
+    height: int = 1024,
+    rescale: bool = False,
+    vae_std: float | None = None,
+    vae_mean: float | None = None,
+    latent_channels: int = 4,
+    vae_downscale: int = 8,
+    internal_sampling_func: Callable | None = None,
+    return_latents: bool = False,
+):
+    rng = jax.random.PRNGKey(seed)
+    internal_sampling_func = internal_sampling_func or sample_euler_ancestral
+    vae_std = vae_std if vae_std is not None else 1.0
+    vae_mean = vae_mean or 0.0
+
+    if isinstance(prompt, str):
+        prompt = [prompt]
+    if isinstance(neg_prompt, str):
+        neg_prompt = [neg_prompt]
+    prompt = list(prompt)
+    neg_prompt = list(neg_prompt)
+    assert len(prompt) == len(neg_prompt)
+    prompt = truncate_or_pad_to_length(prompt, num_samples, padding_mode=padding_mode)
+    neg_prompt = truncate_or_pad_to_length(
+        neg_prompt, num_samples, padding_mode=padding_mode
+    )
+
+    def eps_fn(x, t, **kwargs):
+        return unet_fn(
+            x,
+            t,
+            kwargs.get("encoder_hidden_states"),
+            kwargs.get("encoder_attention_mask"),
+            kwargs.get("added_cond"),
+        )
+
+    model_wrapper = KDiffusionDenoiser(
+        model_fn=eps_fn, schedule=train_schedule, quantize=False
+    )
+
+    cfg_fn = cfg_wrapper(
+        prompt=prompt,
+        neg_prompt=neg_prompt,
+        width=width,
+        height=height,
+        unet=model_wrapper,
+        te=te,
+        cfg=cfg_scale,
+    )
+
+    sample_schedule = sample_schedule or train_schedule
+    if get_sigma_func is None:
+        # sigmas_descending[linspace(0, N, steps+1).long()]
+        # (``sampling.py:92-96``)
+        sigmas = sample_schedule.sample_sigmas_descending(num_steps)
+    else:
+        sigmas = jnp.asarray(np.asarray(get_sigma_func(num_steps), np.float32))
+
+    rng, rng_init, rng_samp = jax.random.split(rng, 3)
+    init_x = jax.random.normal(
+        rng_init,
+        (
+            num_samples,
+            height // vae_downscale,
+            width // vae_downscale,
+            latent_channels,
+        ),
+    ) * jnp.sqrt(1 + sigmas[0] ** 2)
+
+    latents = internal_sampling_func(cfg_fn, init_x, sigmas, rng=rng_samp)
+    if rescale:
+        std = latents.reshape(latents.shape[0], -1).std(axis=1)
+        latents = latents / std[:, None, None, None]
+    latents = latents * vae_std + vae_mean
+    if return_latents or vae_decode is None:
+        return latents
+    images = vae_decode(latents)
+    return [vae_image_postprocess(img) for img in np.asarray(images)]

@@ -1,0 +1,99 @@
+"""k-diffusion sigma-parameterization wrapper, as pure functions.
+
+Parity with ``duwu/sampling/k_diffusion_wrapper.py``: an eps-predicting
+discrete-schedule model is driven in continuous sigma space via
+``c_in = 1/sqrt(sigma^2+1)``, ``c_out = -sigma`` and the log-linear
+sigma<->t interpolation (which lives on :class:`NoiseSchedule`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+from uwudiff_tpu.diffusion.schedules import NoiseSchedule
+from uwudiff_tpu.utils import append_dims
+
+__all__ = ["KDiffusionDenoiser", "append_dims", "to_d", "get_ancestral_step"]
+
+
+def to_d(x: jnp.ndarray, sigma: jnp.ndarray, denoised: jnp.ndarray) -> jnp.ndarray:
+    """Karras ODE derivative (k-diffusion ``to_d``)."""
+    return (x - denoised) / append_dims(sigma, x.ndim)
+
+
+def get_ancestral_step(sigma, sigma_next, eta: float = 1.0):
+    """Ancestral split of a step into (sigma_down, sigma_up); safe at
+    ``sigma_next == 0`` (k-diffusion ``get_ancestral_step``)."""
+    sigma_up = jnp.minimum(
+        sigma_next,
+        eta
+        * jnp.sqrt(
+            jnp.maximum(
+                sigma_next**2 * (sigma**2 - sigma_next**2) / jnp.maximum(sigma**2, 1e-20),
+                0.0,
+            )
+        ),
+    )
+    sigma_down = jnp.sqrt(jnp.maximum(sigma_next**2 - sigma_up**2, 0.0))
+    return sigma_down, sigma_up
+
+
+@dataclasses.dataclass(frozen=True)
+class KDiffusionDenoiser:
+    """``DiscreteEpsDDPMDenoiser`` equivalent
+    (``k_diffusion_wrapper.py:75-108``).
+
+    ``model_fn(x_scaled, t, **kwargs) -> eps``; ``__call__`` returns the
+    denoised sample ``x + eps * c_out``. ``sigma_cond`` lets inversion
+    condition the model on the *next* step's sigma
+    (``k_diffusion_wrapper.py:98-108``).
+    """
+
+    model_fn: Callable[..., jnp.ndarray]
+    schedule: NoiseSchedule
+    quantize: bool = False
+    sigma_data: float = 1.0
+
+    @property
+    def sigma_min(self):
+        return self.schedule.sigma_min
+
+    @property
+    def sigma_max(self):
+        return self.schedule.sigma_max
+
+    def get_scalings(self, sigma):
+        c_out = -sigma
+        c_in = 1.0 / jnp.sqrt(sigma**2 + self.sigma_data**2)
+        return c_out, c_in
+
+    def sigma_to_t(self, sigma):
+        return self.schedule.sigma_to_t(sigma, quantize=self.quantize)
+
+    def t_to_sigma(self, t):
+        return self.schedule.t_to_sigma(t)
+
+    def get_eps(self, x, t, **kwargs):
+        return self.model_fn(x, t, **kwargs)
+
+    def loss(self, x, noise, sigma, **kwargs):
+        """Simple eps-matching loss in sigma space
+        (``k_diffusion_wrapper.py:92-96``)."""
+        c_out, c_in = self.get_scalings(sigma)
+        noised = x + noise * append_dims(sigma, x.ndim)
+        eps = self.get_eps(
+            noised * append_dims(c_in, x.ndim), self.sigma_to_t(sigma), **kwargs
+        )
+        return jnp.mean(
+            (eps - noise).reshape(x.shape[0], -1) ** 2, axis=1
+        )
+
+    def __call__(self, x, sigma, sigma_cond=None, **kwargs):
+        c_out, c_in = self.get_scalings(sigma)
+        sigma_cond = sigma_cond if sigma_cond is not None else sigma
+        t = self.sigma_to_t(sigma_cond)
+        eps = self.get_eps(x * append_dims(c_in, x.ndim), t, **kwargs)
+        return x + eps * append_dims(c_out, x.ndim)
