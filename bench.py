@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Headline benchmark: diffusion latent-training throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+
+Protocol (BASELINE.md): SD-class latent training semantics of
+``configs/demo_training_latent.yaml`` — cached VAE latents streamed to
+the jitted train step (UNet fwd+bwd+AdamW fused into one XLA program),
+bf16 compute / fp32 params.
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
+reported against the driver's north-star anchor of an A100 PyTorch
+SD-class latent fine-tune at ~3 imgs/sec/chip-equivalent; the 3x target
+therefore corresponds to vs_baseline >= 3.0. Until a measured A100
+reference lands this anchor is documented, not fabricated per-run.
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_ANCHOR_IMGS_PER_SEC = 3.0  # documented anchor, see module docstring
+
+# model scale: full SD1.5-class UNet by default (fits one v5e with
+# half-precision optimizer moments); override via env for bigger chips
+MODEL = os.environ.get("BENCH_MODEL", "sd15")
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+LATENT = int(os.environ.get("BENCH_LATENT", "64"))  # 64 -> 512px images
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+
+
+def _enable_compile_cache():
+    """Pallas/Mosaic compiles are slow over remote-TPU links; a
+    persistent cache makes repeat bench runs start hot."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def main():
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uwudiff_tpu.diffusion import DiffusionLoss, NoiseSchedule
+    from uwudiff_tpu.models.unet import UNet2DConditionModel
+    from uwudiff_tpu.training import DMTrainer
+
+    unet = UNet2DConditionModel.from_config(
+        MODEL,
+        dtype=jnp.bfloat16,
+        gradient_checkpointing=True,
+    )
+    ctx_dim = unet.cross_attention_dim
+    trainer = DMTrainer(
+        model_config={"unet": unet, "te": None, "vae": None},
+        lr=1e-5,
+        optimizer="adamw_fp16",  # half-precision moments: fits one chip
+        opt_config={"weight_decay": 0.01, "betas": (0.9, 0.999)},
+        use_warm_up=False,
+        loss_config=DiffusionLoss(schedule=NoiseSchedule.sd15()),
+        grad_clip=1.0,
+        seed=0,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "sample": rng.standard_normal(
+            (BATCH, LATENT, LATENT, 4), dtype=np.float32
+        ),
+        "ctx": rng.standard_normal((BATCH, 77, ctx_dim), dtype=np.float32),
+        "tokenizer_outputs": [],
+        "added_cond": {
+            "time_ids": np.tile(
+                np.asarray([[1024, 1024, 0, 0, 1024, 1024]], np.float32),
+                (BATCH, 1),
+            )
+        },
+    }
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    trainer.train_step(batch)
+    jax.block_until_ready(trainer.state.params)
+    compile_s = time.perf_counter() - t0
+    trainer.train_step(batch)
+    jax.block_until_ready(trainer.state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        metrics, _ = trainer.train_step(batch)
+    jax.block_until_ready(trainer.state.params)
+    dt = (time.perf_counter() - t0) / STEPS
+
+    imgs_per_sec = BATCH / dt
+    result = {
+        "metric": (
+            f"{MODEL}-class latent train imgs/sec/chip "
+            f"(bs={BATCH}, {LATENT}x{LATENT} latents, bf16, remat, "
+            f"fused adamw-fp16 step)"
+        ),
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / A100_ANCHOR_IMGS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# step={dt*1000:.1f}ms compile={compile_s:.1f}s "
+        f"loss={float(metrics['train/loss']):.4f} device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

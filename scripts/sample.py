@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Sampling CLI (parity with ``test_scripts/test_sampling.py``).
+
+    python scripts/sample.py --configs configs/sampling/demo_sampling.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--configs", nargs="+", required=True)
+    parser.add_argument("--out-dir", default="samples")
+    args = parser.parse_args()
+
+    import jax
+
+    from uwudiff_tpu.config import instantiate_any, load_config_files
+
+    config = load_config_files(args.configs)
+
+    # build the model stack via a trainer node (shares the loader path)
+    trainer = instantiate_any(config["trainer"])
+    # sampling needs params: initialize (or restore via run_config.ckpt)
+    from uwudiff_tpu.data import DummyDataset
+
+    ds = DummyDataset(
+        sample_size=tuple(config.get("init_sample_size", (64, 64, 4))),
+        n_samples=2,
+    )
+    ds.set_tokenizers(trainer.tokenizers)
+    trainer.setup(ds.collate([ds[0]]))
+
+    from uwudiff_tpu.models.text_encoders import TextEncodingPipeline
+
+    te_pipe = TextEncodingPipeline(
+        trainer.te, trainer.frozen["te"], trainer.tokenizers
+    )
+
+    unet_params = (
+        trainer.adapter.merge(trainer.frozen["unet_base"], trainer.state.params)
+        if trainer.adapter is not None
+        else trainer.state.params
+    )
+
+    def unet_fn(x, t, ctx, mask, added):
+        return trainer.unet.apply({"params": unet_params}, x, t, ctx, mask, added)
+
+    vae_decode = None
+    if trainer.vae is not None:
+        vae_params = trainer.frozen["vae"]
+
+        def vae_decode(latents):
+            return trainer.vae.apply(
+                {"params": vae_params}, latents, method=trainer.vae.decode
+            )
+
+    sampling_kwargs = dict(config.get("sampling_func", {}))
+    sampling_kwargs.pop("_target_", None)
+    from uwudiff_tpu.sampling import diffusion_sampling
+
+    images = diffusion_sampling(
+        unet_fn,
+        te_pipe,
+        vae_decode,
+        train_schedule=trainer.loss.schedule,
+        vae_std=trainer.vae_std,
+        vae_mean=trainer.vae_mean,
+        **sampling_kwargs,
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+    if hasattr(images, "shape"):  # latents
+        import numpy as np
+
+        np.save(os.path.join(args.out_dir, "latents.npy"), np.asarray(images))
+        print(f"saved latents {images.shape} to {args.out_dir}/latents.npy")
+    else:
+        for i, img in enumerate(images):
+            img.save(os.path.join(args.out_dir, f"sample_{i}.png"))
+        print(f"saved {len(images)} images to {args.out_dir}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Flash-attention kernel vs the XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uwudiff_tpu.ops.attention import _xla_attention, attention_bias_from_mask
+from uwudiff_tpu.ops.flash_attention import flash_attention, flash_shape_supported
+
+
+def _rand_qkv(b=2, sq=256, sk=256, h=2, d=64, seed=0, dtype=jnp.float32):
+    rng = jax.random.PRNGKey(seed)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (b, sq, h, d), dtype)
+    k = jax.random.normal(kk, (b, sk, h, d), dtype)
+    v = jax.random.normal(kv, (b, sk, h, d), dtype)
+    return q, k, v
+
+
+def test_shape_gate():
+    q, k, v = _rand_qkv(d=64)
+    assert flash_shape_supported(q, k, v)
+    q, k, v = _rand_qkv(d=40)
+    assert not flash_shape_supported(q, k, v)
+
+
+def test_matches_xla_reference():
+    q, k, v = _rand_qkv()
+    out = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    ref = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_unaligned_seq_lengths():
+    """Padding with -inf key bias must be exact for ragged lengths."""
+    q, k, v = _rand_qkv(sq=200, sk=300)
+    out = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    ref = _xla_attention(q, k, v)
+    assert out.shape == (2, 200, 2, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_key_padding_mask():
+    q, k, v = _rand_qkv(sk=256)
+    mask = jnp.concatenate(
+        [jnp.ones((2, 100), jnp.int32), jnp.zeros((2, 156), jnp.int32)], axis=1
+    )
+    bias = attention_bias_from_mask(mask)
+    out = flash_attention(q, k, v, bias=bias, interpret=True,
+                          block_q=128, block_k=128)
+    ref = _xla_attention(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # masked keys must not influence output: permute masked-out keys
+    k2 = k.at[:, 100:].set(jax.random.normal(jax.random.PRNGKey(9), k[:, 100:].shape))
+    out2 = flash_attention(q, k2, v, bias=bias, interpret=True,
+                           block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=2e-5)
+
+
+def test_cross_attention_shapes():
+    q, _, _ = _rand_qkv(sq=1024)
+    _, k, v = _rand_qkv(sk=128)
+    out = flash_attention(q, k, v, interpret=True, block_q=256, block_k=128)
+    ref = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_bf16_inputs():
+    q, k, v = _rand_qkv(dtype=jnp.bfloat16)
+    out = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    ref = _xla_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+    )
+
+
+def test_gradients_match_xla():
+    q, k, v = _rand_qkv(sq=128, sk=128)
+
+    def loss_flash(q, k, v):
+        return flash_attention(
+            q, k, v, interpret=True, block_q=128, block_k=128
+        ).sum()
+
+    def loss_ref(q, k, v):
+        return _xla_attention(q, k, v).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -24,6 +24,7 @@ class CLIPTextOutput(NamedTuple):
     hidden_states: tuple  # embeddings + each layer (pre-final-LN)
     embedding: jnp.ndarray  # hidden_states[layer_idx]
     normed_embedding: jnp.ndarray  # final-LN re-applied to `embedding`
+    text_embeds: jnp.ndarray | None = None  # projected pooled (CLIP score)
 
 
 def quick_gelu(x):
@@ -72,6 +73,7 @@ class CLIPTextModel(nn.Module):
     max_position_embeddings: int = 77
     hidden_act: str = "quick_gelu"
     eos_token_id: int | None = None  # None -> argmax(input_ids) (CLIP-L style)
+    projection_dim: int | None = None  # set for CLIP-score text projection
     dtype: Any = jnp.float32
 
     @classmethod
@@ -142,13 +144,107 @@ class CLIPTextModel(nn.Module):
                 axis=-1,
             )
         pooled = last_hidden[jnp.arange(b), eos_pos]
+        text_embeds = None
+        if self.projection_dim is not None:
+            text_embeds = nn.Dense(
+                self.projection_dim,
+                use_bias=False,
+                dtype=self.dtype,
+                name="text_projection",
+            )(pooled)
         return CLIPTextOutput(
             last_hidden_state=last_hidden,
             pooler_output=pooled,
             hidden_states=tuple(hidden_states),
             embedding=embedding,
             normed_embedding=normed_embedding,
+            text_embeds=text_embeds,
         )
+
+
+class CLIPVisionModel(nn.Module):
+    """CLIP ViT vision tower (for CLIP-score evaluation, replacing
+    torchmetrics' CLIPScore backbone — ``duwu/metrics/clip.py:8-33``)."""
+
+    image_size: int = 224
+    patch_size: int = 32
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    projection_dim: int = 512
+    hidden_act: str = "quick_gelu"
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, config: str | dict, **overrides) -> "CLIPVisionModel":
+        if isinstance(config, str):
+            config = dict(CLIP_VISION_PRESETS[config])
+        else:
+            config = dict(config)
+        config.update(overrides)
+        return cls(**config)
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        """pixel_values: [B, H, W, 3] normalized images -> [B, proj_dim]
+        L2-normalizable image embedding."""
+        b = pixel_values.shape[0]
+        patches = nn.Conv(
+            self.hidden_size,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            use_bias=False,
+            dtype=self.dtype,
+            name="patch_embedding",
+        )(pixel_values.astype(self.dtype))
+        patches = patches.reshape(b, -1, self.hidden_size)
+        cls_tok = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (self.hidden_size,)
+        )
+        x = jnp.concatenate(
+            [jnp.tile(cls_tok[None, None], (b, 1, 1)).astype(self.dtype), patches],
+            axis=1,
+        )
+        n_pos = x.shape[1]
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (n_pos, self.hidden_size),
+        )
+        x = x + pos[None].astype(self.dtype)
+        x = nn.LayerNorm(dtype=self.dtype, name="pre_layernorm")(x)
+        for i in range(self.num_layers):
+            x = _CLIPLayer(
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                intermediate_size=self.intermediate_size,
+                hidden_act=self.hidden_act,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x, None)
+        pooled = nn.LayerNorm(dtype=self.dtype, name="post_layernorm")(x[:, 0])
+        return nn.Dense(
+            self.projection_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            name="visual_projection",
+        )(pooled)
+
+
+CLIP_VISION_PRESETS: dict[str, dict] = {
+    "vit_b32": dict(image_size=224, patch_size=32),
+    # apple/DFN5B-CLIP-ViT-H-14-378 (the reference's CLIP-score model)
+    "vit_h14_378": dict(
+        image_size=378, patch_size=14, hidden_size=1280, num_layers=32,
+        num_heads=16, intermediate_size=5120, projection_dim=1024,
+        hidden_act="gelu",
+    ),
+    "tiny": dict(
+        image_size=32, patch_size=8, hidden_size=32, num_layers=2,
+        num_heads=2, intermediate_size=64, projection_dim=16,
+    ),
+}
 
 
 CLIP_PRESETS: dict[str, dict] = {

@@ -206,8 +206,21 @@ class DMTrainer:
             )
         else:
             emb = pooled = mask = None
+        if emb is None and "ctx" in batch:  # cached-embedding batches
+            emb = jnp.asarray(batch["ctx"][:1])
+            mask = (
+                jnp.asarray(batch["ctx_mask"][:1])
+                if "ctx_mask" in batch
+                else None
+            )
+            pooled = (
+                jnp.asarray(batch["pooled"][:1]) if "pooled" in batch else None
+            )
 
-        lat_shape = self._latent_shape(sample.shape)
+        if "latent" in batch:
+            lat_shape = tuple(jnp.asarray(batch["latent"][:1]).shape)
+        else:
+            lat_shape = self._latent_shape(sample.shape)
         lat = jnp.zeros(lat_shape, jnp.float32)
         t0 = jnp.zeros((lat_shape[0],), jnp.float32)
         added = self._added_cond(batch, pooled, n=1)
