@@ -224,7 +224,16 @@ class DMTrainer:
         lat = jnp.zeros(lat_shape, jnp.float32)
         t0 = jnp.zeros((lat_shape[0],), jnp.float32)
         added = self._added_cond(batch, pooled, n=1)
-        unet_params = self.unet.init(r_unet, lat, t0, emb, mask, added)["params"]
+        if "class_labels" in batch:  # class-conditional models (DiT)
+            labels = jnp.asarray(batch["class_labels"][:1])
+            unet_params = self.unet.init(
+                {"params": r_unet, "dropout": r_unet},
+                lat, t0, labels, train=True,
+            )["params"]
+        else:
+            unet_params = self.unet.init(r_unet, lat, t0, emb, mask, added)[
+                "params"
+            ]
 
         if self.adapter_config is not None:
             from uwudiff_tpu.training.adapters import LycorisAdapter
@@ -305,20 +314,31 @@ class DMTrainer:
             ctx = jax.lax.stop_gradient(ctx)
         return x, ctx, mask, added_cond
 
-    def _unet_apply_fn(self, params, frozen):
+    def _unet_apply_fn(self, params, frozen, rngs=None):
         """Trainable-forward closure; adapters merge into the base here."""
         if self.adapter is not None:
             base = self.adapter.merge(frozen["unet_base"], params)
-            return lambda *a, **kw: self.unet.apply({"params": base}, *a, **kw)
-        return lambda *a, **kw: self.unet.apply({"params": params}, *a, **kw)
+        else:
+            base = params
+        return lambda *a, **kw: self.unet.apply(
+            {"params": base}, *a, rngs=rngs, **kw
+        )
 
     def _loss_for_batch(self, params, frozen, batch, rng):
-        rng_enc, rng_loss = jax.random.split(rng)
+        rng_enc, rng_loss, rng_drop = jax.random.split(rng, 3)
         x, ctx, mask, added_cond = self._encode_batch(frozen, batch, rng_enc)
-        unet_fn = self._unet_apply_fn(params, frozen)
+        unet_fn = self._unet_apply_fn(params, frozen, rngs={"dropout": rng_drop})
 
-        def model_fn(noisy, t):
-            return unet_fn(noisy, t, ctx, mask, added_cond)
+        if "class_labels" in batch:  # class-conditional models (DiT)
+            labels = batch["class_labels"]
+
+            def model_fn(noisy, t):
+                return unet_fn(noisy, t, labels, train=True)
+
+        else:
+
+            def model_fn(noisy, t):
+                return unet_fn(noisy, t, ctx, mask, added_cond)
 
         return self.loss(rng_loss, x, model_fn)
 
