@@ -1,0 +1,91 @@
+"""HuggingFace-datasets wrappers (parity with
+``duwu/data/hf_dataset.py``). Requires the ``datasets`` package and a
+locally cached dataset (zero-egress environment)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from uwudiff_tpu.data.base import UwUBaseDataset
+from uwudiff_tpu.data.utils import resize_and_crop_image, vae_image_preprocess
+
+__all__ = ["HfImageDataset", "HfPromptDataset"]
+
+
+class HfImageDataset(UwUBaseDataset):
+    def __init__(
+        self,
+        dataset_name_or_path: str,
+        split: str = "train",
+        image_column: str = "image",
+        caption_column: str | None = None,
+        image_size: tuple[int, int] = (1024, 1024),
+        tokenizers: Sequence = (),
+        default_caption: str = "",
+        **load_kwargs,
+    ):
+        import datasets
+
+        self.ds = datasets.load_dataset(
+            dataset_name_or_path, split=split, **load_kwargs
+        )
+        self.image_column = image_column
+        self.caption_column = caption_column
+        self.image_size = tuple(image_size)
+        self.tokenizers = list(tokenizers)
+        self.default_caption = default_caption
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, index: int) -> dict:
+        row = self.ds[int(index)]
+        img = row[self.image_column].convert("RGB")
+        img = resize_and_crop_image(img, self.image_size)
+        sample = vae_image_preprocess(img)
+        caption = (
+            row[self.caption_column]
+            if self.caption_column
+            else self.default_caption
+        )
+        if isinstance(caption, (list, tuple)):
+            caption = caption[0]
+        w, h = self.image_size
+        return {
+            "sample": sample,
+            "caption": caption,
+            "tokenizer_out": [
+                tok(caption, padding="max_length", truncation=True)
+                for tok in self.tokenizers
+            ],
+            "add_time_ids": np.asarray([h, w, 0, 0, h, w], dtype=np.float32),
+        }
+
+
+class HfPromptDataset:
+    """Prompt-only dataset for sampling/eval (``hf_dataset.py`` parity)."""
+
+    def __init__(
+        self,
+        dataset_name_or_path: str,
+        split: str = "train",
+        caption_column: str = "caption",
+        **load_kwargs,
+    ):
+        import datasets
+
+        self.ds = datasets.load_dataset(
+            dataset_name_or_path, split=split, **load_kwargs
+        )
+        self.caption_column = caption_column
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, index: int) -> str:
+        cap = self.ds[int(index)][self.caption_column]
+        if isinstance(cap, (list, tuple)):
+            cap = cap[0]
+        return cap

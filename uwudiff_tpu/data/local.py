@@ -1,0 +1,97 @@
+"""Local-folder image/caption datasets (parity with
+``duwu/data/text_image_local.py``)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+from uwudiff_tpu.data.base import UwUBaseDataset
+from uwudiff_tpu.data.utils import resize_and_crop_image, vae_image_preprocess
+from uwudiff_tpu.utils import get_images_recursively
+
+__all__ = [
+    "LocalImageDataset",
+    "LocalImageDatasetFromFolder",
+    "LocalTextImageDataset",
+]
+
+
+class LocalImageDataset(UwUBaseDataset):
+    """Images from an explicit path list, resized+center-cropped."""
+
+    def __init__(
+        self,
+        image_paths: Sequence[str],
+        image_size: tuple[int, int] = (1024, 1024),  # (W, H)
+        tokenizers: Sequence = (),
+        caption: str = "",
+    ):
+        self.image_paths = list(image_paths)
+        self.image_size = tuple(image_size)
+        self.tokenizers = list(tokenizers)
+        self.caption = caption
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def _load_image(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB")
+        img = resize_and_crop_image(img, self.image_size)
+        return vae_image_preprocess(img)  # HWC in [-1, 1]
+
+    def _caption_for(self, index: int) -> str:
+        return self.caption
+
+    def __getitem__(self, index: int) -> dict:
+        sample = self._load_image(self.image_paths[index])
+        caption = self._caption_for(index)
+        w, h = self.image_size
+        return {
+            "sample": sample,
+            "caption": caption,
+            "tokenizer_out": [
+                tok(caption, padding="max_length", truncation=True)
+                for tok in self.tokenizers
+            ],
+            "add_time_ids": np.asarray([h, w, 0, 0, h, w], dtype=np.float32),
+        }
+
+
+class LocalImageDatasetFromFolder(LocalImageDataset):
+    """All images found recursively under a folder."""
+
+    def __init__(self, image_dir: str, **kwargs):
+        paths = sorted(get_images_recursively(image_dir))
+        super().__init__(image_paths=paths, **kwargs)
+
+
+class LocalTextImageDataset(LocalImageDataset):
+    """Image list + sidecar caption files (``<image>.txt`` next to each
+    image, falling back to a default caption)."""
+
+    def __init__(
+        self,
+        image_paths: Sequence[str] | None = None,
+        image_dir: str | None = None,
+        caption_ext: str = ".txt",
+        default_caption: str = "",
+        **kwargs,
+    ):
+        if image_paths is None:
+            assert image_dir is not None
+            image_paths = sorted(get_images_recursively(image_dir))
+        super().__init__(image_paths=image_paths, caption=default_caption,
+                         **kwargs)
+        self.caption_ext = caption_ext
+
+    def _caption_for(self, index: int) -> str:
+        path = Path(self.image_paths[index]).with_suffix(self.caption_ext)
+        if os.path.exists(path):
+            return path.read_text().strip()
+        return self.caption

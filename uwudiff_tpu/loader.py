@@ -1,0 +1,121 @@
+"""Model loading config (parity with ``duwu/loader.py``).
+
+A model config node may carry ``_load_config_`` with:
+
+- ``ckpt_path``: local checkpoint (.safetensors/.pt/.bin torch file, .npz
+  export, or an Orbax directory)
+- ``state_dict_key`` / ``state_dict_prefix``: sub-dict extraction
+  (``duwu/loader.py:24-33``)
+- ``importer``: "unet" | "vae" | "clip" | "npz" (torch-name translation;
+  auto-detected from the module class when omitted)
+- ``param_dtype``: cast restored params (e.g. "bfloat16")
+- ``to_freeze``: exclude from training (the trainer freezes te/vae by
+  construction; this marks the unet frozen for adapter-only runs)
+
+The reference's ``precision``/``device``/``to_compile`` knobs map to the
+model's compute ``dtype`` field, GSPMD device placement, and default-on
+jit respectively — they are properties of the jitted program here, not
+of the loader.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from uwudiff_tpu.config import instantiate_any
+
+__all__ = ["ModelLoadConfig", "load_any", "apply_load_config"]
+
+
+@dataclasses.dataclass
+class ModelLoadConfig:
+    ckpt_path: str | None = None
+    state_dict_key: str | None = None
+    state_dict_prefix: str | None = None
+    importer: str | None = None
+    param_dtype: str | None = None
+    to_freeze: bool = False
+    # accepted for reference-config compatibility; handled elsewhere
+    precision: str | None = None
+    device: str | None = None
+    to_compile: bool = False
+
+
+def load_any(node: Any) -> tuple[Any, ModelLoadConfig | None]:
+    """Instantiate a model node, splitting off ``_load_config_``
+    (``duwu/loader.py:58-67`` semantics, params applied later)."""
+    load_cfg = None
+    if isinstance(node, dict) and "_load_config_" in node:
+        node = dict(node)
+        load_cfg = ModelLoadConfig(**node.pop("_load_config_"))
+    return instantiate_any(node), load_cfg
+
+
+def _auto_importer(module) -> str:
+    from uwudiff_tpu.models.clip import CLIPTextModel
+    from uwudiff_tpu.models.unet import UNet2DConditionModel
+    from uwudiff_tpu.models.vae import AutoencoderKL
+
+    if isinstance(module, UNet2DConditionModel):
+        return "unet"
+    if isinstance(module, AutoencoderKL):
+        return "vae"
+    if isinstance(module, CLIPTextModel):
+        return "clip"
+    return "npz"
+
+
+def apply_load_config(
+    params: Any, cfg: ModelLoadConfig | None, module=None
+) -> Any:
+    """Restore + cast params per the load config (``prepare_model``
+    equivalent, ``duwu/loader.py:36-55``)."""
+    if cfg is None:
+        return params
+    if cfg.ckpt_path:
+        path = cfg.ckpt_path
+        if os.path.isdir(path):  # Orbax checkpoint dir
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+            )
+            params = ckptr.restore(path, abstract)
+        elif path.endswith(".npz") and (cfg.importer or "npz") == "npz":
+            from uwudiff_tpu.training.checkpoint import load_params_npz
+
+            params = load_params_npz(path, params)
+        else:
+            from uwudiff_tpu.models.import_torch import (
+                clip_text_key_map,
+                extract_state_dict,
+                import_params,
+                load_torch_state_dict,
+                unet_key_map,
+                vae_key_map,
+            )
+
+            sd = load_torch_state_dict(path)
+            sd = extract_state_dict(
+                sd, cfg.state_dict_key, cfg.state_dict_prefix
+            )
+            importer = cfg.importer or _auto_importer(module)
+            key_map = {
+                "unet": unet_key_map,
+                "vae": vae_key_map,
+                "clip": clip_text_key_map,
+            }[importer]
+            params = import_params(params, sd, key_map)
+    dtype = cfg.param_dtype or cfg.precision
+    if dtype:
+        dtype = dtype.replace("torch.", "").replace("float16", "bfloat16")
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.dtype(dtype)), params
+        )
+    return params

@@ -1,0 +1,299 @@
+"""Pretrained-weight import: torch/diffusers/transformers checkpoints ->
+our flax param trees.
+
+Capability parity with the reference's pretrained loading
+(``from_pretrained`` targets in ``configs/model/pretrained_sdxl.yaml``,
+ckpt surgery in ``duwu/loader.py:24-46``). The environment has no hub
+access, so this operates on local ``.pt``/``.bin``/``.safetensors``
+files.
+
+The translation is rule-based over OUR param paths: each flax path maps
+to a torch key plus a tensor transform (conv OIHW->HWIO, linear
+[out,in]->[in,out] transpose, norm weight->scale, embedding passthrough).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+__all__ = [
+    "load_torch_state_dict",
+    "extract_state_dict",
+    "import_params",
+    "unet_key_map",
+    "vae_key_map",
+    "clip_text_key_map",
+]
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a torch checkpoint into numpy arrays (cpu, no grad state)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def extract_state_dict(
+    state_dict: dict, key: str | None = None, prefix: str | None = None
+) -> dict:
+    """Sub-dict extraction (``duwu/loader.py:24-33`` semantics)."""
+    if key is not None:
+        state_dict = state_dict[key]
+    if prefix is None:
+        return state_dict
+    return {
+        k[len(prefix):]: v
+        for k, v in state_dict.items()
+        if k.startswith(prefix)
+    }
+
+
+# --- tensor transforms ---
+
+
+def _t_linear(w):  # [out, in] -> [in, out]
+    return np.transpose(w, (1, 0))
+
+
+def _t_conv(w):  # OIHW -> HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _identity(w):
+    return w
+
+
+# --- path translation rules ---
+# each rule: (regex on our "/"-joined path, torch key template, transform)
+# `\g<N>` backrefs renumber indices straight through.
+
+_UNET_RULES: list[tuple[str, str, Callable]] = [
+    (r"^conv_in/kernel$", "conv_in.weight", _t_conv),
+    (r"^conv_in/bias$", "conv_in.bias", _identity),
+    (r"^conv_out/kernel$", "conv_out.weight", _t_conv),
+    (r"^conv_out/bias$", "conv_out.bias", _identity),
+    (r"^conv_norm_out/scale$", "conv_norm_out.weight", _identity),
+    (r"^conv_norm_out/bias$", "conv_norm_out.bias", _identity),
+    (r"^time_embedding/linear_(\d)/kernel$",
+     r"time_embedding.linear_\1.weight", _t_linear),
+    (r"^time_embedding/linear_(\d)/bias$",
+     r"time_embedding.linear_\1.bias", _identity),
+    (r"^add_embedding/linear_(\d)/kernel$",
+     r"add_embedding.linear_\1.weight", _t_linear),
+    (r"^add_embedding/linear_(\d)/bias$",
+     r"add_embedding.linear_\1.bias", _identity),
+    # resnets
+    (r"^down_(\d+)_res_(\d+)/", r"down_blocks.\1.resnets.\2.", None),
+    (r"^up_(\d+)_res_(\d+)/", r"up_blocks.\1.resnets.\2.", None),
+    (r"^mid_res_(\d+)/", r"mid_block.resnets.\1.", None),
+    # transformers
+    (r"^down_(\d+)_attn_(\d+)/", r"down_blocks.\1.attentions.\2.", None),
+    (r"^up_(\d+)_attn_(\d+)/", r"up_blocks.\1.attentions.\2.", None),
+    (r"^mid_attn/", r"mid_block.attentions.0.", None),
+    # samplers (leaf rules map conv/kernel -> conv.weight)
+    (r"^down_(\d+)_downsample/", r"down_blocks.\1.downsamplers.0.", None),
+    (r"^up_(\d+)_upsample/", r"up_blocks.\1.upsamplers.0.", None),
+]
+
+# within-module leaf rules (applied after the block-prefix rewrite)
+_LEAF_RULES: list[tuple[str, str, Callable]] = [
+    # resnet leaves
+    (r"(.*\.)norm(\d)/scale$", r"\1norm\2.weight", _identity),
+    (r"(.*\.)norm(\d)/bias$", r"\1norm\2.bias", _identity),
+    (r"(.*\.)conv(\d)/kernel$", r"\1conv\2.weight", _t_conv),
+    (r"(.*\.)conv(\d)/bias$", r"\1conv\2.bias", _identity),
+    (r"(.*\.)conv_shortcut/kernel$", r"\1conv_shortcut.weight", _t_conv),
+    (r"(.*\.)conv_shortcut/bias$", r"\1conv_shortcut.bias", _identity),
+    (r"(.*\.)time_emb_proj/kernel$", r"\1time_emb_proj.weight", _t_linear),
+    (r"(.*\.)time_emb_proj/bias$", r"\1time_emb_proj.bias", _identity),
+    (r"(.*\.)conv/kernel$", r"\1conv.weight", _t_conv),
+    (r"(.*\.)conv/bias$", r"\1conv.bias", _identity),
+    # transformer2d leaves
+    (r"(.*\.)norm/scale$", r"\1norm.weight", _identity),
+    (r"(.*\.)norm/bias$", r"\1norm.bias", _identity),
+    (r"(.*\.)proj_in/kernel$", r"\1proj_in.weight", None),  # conv or linear
+    (r"(.*\.)proj_in/bias$", r"\1proj_in.bias", _identity),
+    (r"(.*\.)proj_out/kernel$", r"\1proj_out.weight", None),
+    (r"(.*\.)proj_out/bias$", r"\1proj_out.bias", _identity),
+    (r"(.*\.)blocks_(\d+)/norm(\d)/scale$",
+     r"\1transformer_blocks.\2.norm\3.weight", _identity),
+    (r"(.*\.)blocks_(\d+)/norm(\d)/bias$",
+     r"\1transformer_blocks.\2.norm\3.bias", _identity),
+    (r"(.*\.)blocks_(\d+)/attn(\d)/to_(q|k|v)/kernel$",
+     r"\1transformer_blocks.\2.attn\3.to_\4.weight", _t_linear),
+    (r"(.*\.)blocks_(\d+)/attn(\d)/to_out/kernel$",
+     r"\1transformer_blocks.\2.attn\3.to_out.0.weight", _t_linear),
+    (r"(.*\.)blocks_(\d+)/attn(\d)/to_out/bias$",
+     r"\1transformer_blocks.\2.attn\3.to_out.0.bias", _identity),
+    (r"(.*\.)blocks_(\d+)/ff/proj_in/kernel$",
+     r"\1transformer_blocks.\2.ff.net.0.proj.weight", _t_linear),
+    (r"(.*\.)blocks_(\d+)/ff/proj_in/bias$",
+     r"\1transformer_blocks.\2.ff.net.0.proj.bias", _identity),
+    (r"(.*\.)blocks_(\d+)/ff/proj_out/kernel$",
+     r"\1transformer_blocks.\2.ff.net.2.weight", _t_linear),
+    (r"(.*\.)blocks_(\d+)/ff/proj_out/bias$",
+     r"\1transformer_blocks.\2.ff.net.2.bias", _identity),
+]
+
+
+def unet_key_map(our_path: str, use_linear_projection: bool = True):
+    """our flax path -> (torch key, transform) for the UNet."""
+    path = our_path
+    for pat, repl, tr in _UNET_RULES:
+        if re.match(pat, path):
+            if repl.endswith("."):  # block-prefix rewrite; leaf rules follow
+                path = re.sub(pat, repl, path)
+                break
+            return re.sub(pat, repl, path), tr
+    for pat, repl, tr in _LEAF_RULES:
+        m = re.match(pat, path)
+        if m:
+            key = re.sub(pat, repl, path)
+            if tr is None:  # proj_in/proj_out: conv (4D) vs linear (2D)
+                tr = "proj"
+            return key, tr
+    raise KeyError(f"no torch mapping for UNet param {our_path!r}")
+
+
+def _clip_rules():
+    return [
+        (r"^token_embedding/embedding$",
+         "text_model.embeddings.token_embedding.weight", _identity),
+        (r"^position_embedding$",
+         "text_model.embeddings.position_embedding.weight", _identity),
+        (r"^final_layer_norm/scale$", "text_model.final_layer_norm.weight",
+         _identity),
+        (r"^final_layer_norm/bias$", "text_model.final_layer_norm.bias",
+         _identity),
+        (r"^text_projection/kernel$", "text_projection.weight", _t_linear),
+        (r"^layers_(\d+)/layer_norm(\d)/scale$",
+         r"text_model.encoder.layers.\1.layer_norm\2.weight", _identity),
+        (r"^layers_(\d+)/layer_norm(\d)/bias$",
+         r"text_model.encoder.layers.\1.layer_norm\2.bias", _identity),
+        (r"^layers_(\d+)/(q|k|v|out)_proj/kernel$",
+         r"text_model.encoder.layers.\1.self_attn.\2_proj.weight", _t_linear),
+        (r"^layers_(\d+)/(q|k|v|out)_proj/bias$",
+         r"text_model.encoder.layers.\1.self_attn.\2_proj.bias", _identity),
+        (r"^layers_(\d+)/fc(\d)/kernel$",
+         r"text_model.encoder.layers.\1.mlp.fc\2.weight", _t_linear),
+        (r"^layers_(\d+)/fc(\d)/bias$",
+         r"text_model.encoder.layers.\1.mlp.fc\2.bias", _identity),
+    ]
+
+
+def clip_text_key_map(our_path: str):
+    for pat, repl, tr in _clip_rules():
+        if re.match(pat, our_path):
+            return re.sub(pat, repl, our_path), tr
+    raise KeyError(f"no torch mapping for CLIP param {our_path!r}")
+
+
+_VAE_RULES = [
+    (r"^quant_conv/kernel$", "quant_conv.weight", _t_conv),
+    (r"^quant_conv/bias$", "quant_conv.bias", _identity),
+    (r"^post_quant_conv/kernel$", "post_quant_conv.weight", _t_conv),
+    (r"^post_quant_conv/bias$", "post_quant_conv.bias", _identity),
+    (r"^(encoder|decoder)/conv_in/", r"\1.conv_in.", None),
+    (r"^(encoder|decoder)/conv_out/", r"\1.conv_out.", None),
+    (r"^(encoder|decoder)/conv_norm_out/", r"\1.conv_norm_out.", None),
+    (r"^encoder/down_(\d+)_res_(\d+)/", r"encoder.down_blocks.\1.resnets.\2.",
+     None),
+    (r"^encoder/down_(\d+)_downsample/conv/",
+     r"encoder.down_blocks.\1.downsamplers.0.conv.", None),
+    (r"^decoder/up_(\d+)_res_(\d+)/", r"decoder.up_blocks.\1.resnets.\2.",
+     None),
+    (r"^decoder/up_(\d+)_upsample/conv/",
+     r"decoder.up_blocks.\1.upsamplers.0.conv.", None),
+    (r"^(encoder|decoder)/mid_res_(\d+)/", r"\1.mid_block.resnets.\2.", None),
+    (r"^(encoder|decoder)/mid_attn/", r"\1.mid_block.attentions.0.", None),
+]
+
+_VAE_LEAF_RULES = _LEAF_RULES + [
+    (r"(.*\.)group_norm/scale$", r"\1group_norm.weight", _identity),
+    (r"(.*\.)group_norm/bias$", r"\1group_norm.bias", _identity),
+    (r"(.*\.)to_(q|k|v|out)/kernel$", r"\1to_\2.weight", _t_linear),
+    (r"(.*\.)to_(q|k|v)/bias$", r"\1to_\2.bias", _identity),
+    (r"(.*\.)to_out/bias$", r"\1to_out.0.bias", _identity),
+    (r"(.*\.)conv_in\.kernel$", r"\1conv_in.weight", _t_conv),
+]
+
+
+def vae_key_map(our_path: str):
+    path = our_path
+    for pat, repl, tr in _VAE_RULES:
+        if re.match(pat, path):
+            if repl.endswith("."):
+                path = re.sub(pat, repl, path)
+                break
+            return re.sub(pat, repl, path), tr
+    # VAE mid attention naming: ours to_out maps to to_out.0; norm -> group_norm
+    path = path.replace("norm/scale", "group_norm/scale").replace(
+        "norm/bias", "group_norm/bias"
+    ) if ".attentions." in path else path
+    for pat, repl, tr in _VAE_LEAF_RULES:
+        m = re.match(pat, path)
+        if m:
+            key = re.sub(pat, repl, path)
+            if key.endswith("to_out.weight"):
+                key = key.replace("to_out.weight", "to_out.0.weight")
+            return key, tr or _t_conv
+    # plain conv/norm leaves after prefix rewrite (conv_in.kernel etc.)
+    for suffix, torch_suffix, tr in [
+        ("kernel", "weight", _t_conv),
+        ("scale", "weight", _identity),
+        ("bias", "bias", _identity),
+    ]:
+        if path.endswith("/" + suffix):
+            return path[: -len(suffix) - 1] + "." + torch_suffix, tr
+    raise KeyError(f"no torch mapping for VAE param {our_path!r}")
+
+
+def import_params(
+    target_params: Any,
+    state_dict: dict[str, np.ndarray],
+    key_map: Callable[[str], tuple[str, Callable]],
+    strict: bool = True,
+) -> Any:
+    """Fill ``target_params``-shaped tree from a torch state dict."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(target_params)
+    leaves = []
+    missing = []
+    for path, leaf in flat:
+        our = "/".join(
+            str(getattr(p, "key", p)) for p in path
+        )
+        try:
+            torch_key, tr = key_map(our)
+        except KeyError:
+            if strict:
+                raise
+            leaves.append(leaf)
+            continue
+        if torch_key not in state_dict:
+            missing.append(torch_key)
+            leaves.append(leaf)
+            continue
+        w = np.asarray(state_dict[torch_key])
+        if tr == "proj":  # conv1x1 [O,I,1,1] or linear [O,I]
+            tr = _t_conv if w.ndim == 4 else _t_linear
+        w = tr(w)
+        if tuple(w.shape) != tuple(leaf.shape):
+            raise ValueError(
+                f"shape mismatch for {our} <- {torch_key}: "
+                f"{w.shape} vs {leaf.shape}"
+            )
+        leaves.append(w.astype(np.asarray(leaf).dtype))
+    if strict and missing:
+        raise KeyError(f"missing torch keys: {missing[:10]}...")
+    return jax.tree_util.tree_unflatten(treedef, leaves)

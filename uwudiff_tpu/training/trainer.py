@@ -55,12 +55,12 @@ class TrainState(struct.PyTreeNode):
 
 def _maybe_instantiate_module(node):
     if node is None:
-        return None
+        return None, None
     if isinstance(node, dict):
-        node = dict(node)
-        node.pop("_load_config_", None)  # dtype/freeze handled by trainer
-        return instantiate_any(node)
-    return node
+        from uwudiff_tpu.loader import load_any
+
+        return load_any(node)
+    return node, None
 
 
 def _strip_non_arrays(batch: dict) -> dict:
@@ -102,9 +102,9 @@ class DMTrainer:
 
     def __post_init__(self):
         mc = dict(self.model_config)
-        self.unet = _maybe_instantiate_module(mc.get("unet"))
-        self.te = _maybe_instantiate_module(mc.get("te"))
-        self.vae = _maybe_instantiate_module(mc.get("vae"))
+        self.unet, self._unet_load = _maybe_instantiate_module(mc.get("unet"))
+        self.te, self._te_load = _maybe_instantiate_module(mc.get("te"))
+        self.vae, self._vae_load = _maybe_instantiate_module(mc.get("vae"))
         assert self.unet is not None, "model_config must provide a unet"
 
         # tokenizers: explicit config node, else simple hash tokenizers
@@ -192,15 +192,23 @@ class DMTrainer:
         batch = _strip_non_arrays(example_batch)
         sample = jnp.asarray(batch["sample"][:1])
 
+        from uwudiff_tpu.loader import apply_load_config
+
         frozen = {}
         if self.vae is not None:
-            frozen["vae"] = self.vae.init(r_vae, sample, r_vae)["params"]
+            frozen["vae"] = apply_load_config(
+                self.vae.init(r_vae, sample, r_vae)["params"],
+                self._vae_load,
+                self.vae,
+            )
         if self.te is not None:
             tok_outs = [
                 {k: jnp.asarray(v[:1]) for k, v in t.items()}
                 for t in batch["tokenizer_outputs"]
             ]
-            frozen["te"] = self.te.init(r_te, tok_outs)["params"]
+            frozen["te"] = apply_load_config(
+                self.te.init(r_te, tok_outs)["params"], self._te_load, self.te
+            )
             emb, normed, pooled, mask = self.te.apply(
                 {"params": frozen["te"]}, tok_outs
             )
@@ -234,6 +242,9 @@ class DMTrainer:
             unet_params = self.unet.init(r_unet, lat, t0, emb, mask, added)[
                 "params"
             ]
+        unet_params = apply_load_config(
+            unet_params, self._unet_load, self.unet
+        )
 
         if self.adapter_config is not None:
             from uwudiff_tpu.training.adapters import LycorisAdapter
