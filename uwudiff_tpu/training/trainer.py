@@ -186,6 +186,21 @@ class DMTrainer:
                 self.mesh = make_mesh(
                     {"data": n_dev}, devices=jax.devices()[:n_dev]
                 )
+        # Parameter init runs on host CPU (fast, local) and transfers to
+        # the mesh once — avoids hundreds of tiny init dispatches to a
+        # (possibly remote) accelerator.
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = jax.devices()[0]
+        with jax.default_device(cpu):
+            self._setup_on_host(example_batch)
+        self._batch_sh = batch_sharding(self.mesh)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._val_step = jax.jit(self._val_step_impl)
+        self._built = True
+
+    def _setup_on_host(self, example_batch: dict):
         rng = jax.random.PRNGKey(self.seed)
         r_unet, r_te, r_vae, r_lat = jax.random.split(rng, 4)
 
@@ -277,10 +292,6 @@ class DMTrainer:
         # restore/resume sees consistent shardings
         self.state_sharding = fsdp_param_sharding(state, self.mesh)
         self.state = jax.device_put(state, self.state_sharding)
-        self._batch_sh = batch_sharding(self.mesh)
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
-        self._val_step = jax.jit(self._val_step_impl)
-        self._built = True
 
     def _added_cond(self, batch, pooled, n=None):
         if getattr(self.unet, "addition_embed_type", None) != "text_time":
