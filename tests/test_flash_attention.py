@@ -91,3 +91,26 @@ def test_gradients_match_xla():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_gradients_with_mask_and_ragged():
+    """Backward kernels must respect key masks and padded lengths."""
+    q, k, v = _rand_qkv(sq=200, sk=300)
+    mask = jnp.concatenate(
+        [jnp.ones((2, 250), jnp.int32), jnp.zeros((2, 50), jnp.int32)], axis=1
+    )
+    bias = attention_bias_from_mask(mask)
+
+    def loss_flash(q, k, v):
+        return (
+            flash_attention(q, k, v, bias=bias, interpret=True,
+                            block_q=128, block_k=128) ** 2
+        ).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention(q, k, v, bias=bias) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -21,6 +21,17 @@ import jax.numpy as jnp
 __all__ = ["dot_product_attention", "attention_bias_from_mask"]
 
 
+def _on_tpu() -> bool:
+    """TPU detection that also covers proxy platforms (e.g. 'axon')
+    whose platform name is not 'tpu' but whose devices are TPU chips."""
+    if jax.default_backend() == "tpu":
+        return True
+    try:
+        return "tpu" in jax.devices()[0].device_kind.lower()
+    except Exception:
+        return False
+
+
 def attention_bias_from_mask(
     mask: jnp.ndarray | None, dtype=jnp.float32
 ) -> jnp.ndarray | None:
@@ -63,7 +74,7 @@ def dot_product_attention(
             None = auto (TPU backend + shape constraints).
     """
     if use_flash is None:
-        use_flash = jax.default_backend() == "tpu"
+        use_flash = _on_tpu()
     if use_flash:
         from uwudiff_tpu.ops.flash_attention import (
             flash_attention,

@@ -1,29 +1,29 @@
-"""Pallas TPU flash attention.
+"""Pallas TPU flash attention — forward AND backward kernels.
 
-The framework's hot attention kernel — replaces the CUDA SDPA/xformers
-paths of the reference (``duwu/modules/rope_unet.py:151,249``) with one
-TPU-native implementation (SURVEY.md §2.2).
+The framework's hot attention path, replacing the CUDA SDPA/xformers
+backends of the reference (``duwu/modules/rope_unet.py:151,249``,
+SURVEY.md §2.2). O(S) memory in both directions: no [Sq, Sk] logits
+matrix ever hits HBM.
 
 Design:
-- inputs ``[B, S, H, D]`` are folded to ``[B*H, S, D]`` and tiled over a
-  ``(batch*heads, q_blocks)`` grid
-- K/V live in VMEM per program; the kernel streams K-blocks through the
-  MXU with online-softmax accumulation (m/l/acc carries) — no [Sq, Sk]
-  logits ever hit HBM
-- logits/accumulator in fp32, inputs bf16/fp32
-- optional additive key bias ``[B, Sk]`` (padding masks; CFG's ragged
-  text lengths) — broadcast over heads and queries
-- sequence lengths are padded to block multiples with -inf key bias, so
-  arbitrary shapes are exact
-- backward: custom VJP. The backward pass currently recomputes attention
-  with XLA einsums (correct, fuses well); a Pallas backward kernel is the
-  planned next optimization.
+- inputs ``[B, S, H, D]`` fold to ``[B*H, S, D]``; grid =
+  ``(batch*heads, seq_blocks)``
+- forward: K/V stream through VMEM in blocks with online-softmax
+  (m/l/acc carries); also emits the row logsumexp for the backward
+- backward (FlashAttention-2 scheme): one kernel tiles over Q blocks
+  accumulating dQ, a second tiles over K blocks accumulating dK/dV;
+  both recompute P = exp(S - lse) on the fly from saved lse and
+  delta = rowsum(dO * O)
+- logits/accumulators fp32 on the MXU (``preferred_element_type``),
+  inputs bf16/fp32
+- optional additive key bias ``[B, Sk]`` (padding masks, CFG ragged
+  text); sequence padding uses -inf key bias so arbitrary lengths are
+  exact
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -54,10 +54,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float, block_k: int
-):
-    # q_ref: [1, BQ, D]; k_ref/v_ref: [1, Sk, D]; bias_ref: [1, Sk]
+# ---------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
+                scale: float, block_k: int):
     q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
     sk = k_ref.shape[1]
     bq, d = q.shape
@@ -70,21 +73,19 @@ def _flash_fwd_kernel(
         b_blk = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         s = (
             jax.lax.dot_general(
-                q,
-                k_blk,
+                q, k_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             + b_blk[None, :]
-        )  # [BQ, BK]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+        )
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [BQ, BK]
-        alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc_prev * alpha + jax.lax.dot_general(
-            p,
-            v_blk,
+            p, v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -93,44 +94,39 @@ def _flash_fwd_kernel(
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    out = acc / jnp.maximum(l, 1e-30)
-    out_ref[0] = out.astype(out_ref.dtype)
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    l_safe = jnp.maximum(l, 1e-30)
+    out_ref[0] = (acc / l_safe).astype(out_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
 
 
-def _flash_forward(
-    q3: jnp.ndarray,  # [BH, Sq, D]
-    k3: jnp.ndarray,  # [BH, Sk, D]
-    v3: jnp.ndarray,
-    bias2: jnp.ndarray,  # [BH, 1, Sk] additive
-    scale: float,
-    block_q: int,
-    block_k: int,
-    interpret: bool,
-) -> jnp.ndarray:
+def _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
     bh, sq, d = q3.shape
     sk = k3.shape[1]
     grid = (bh, sq // block_q)
-    kernel = functools.partial(
-        _flash_fwd_kernel, scale=scale, block_k=block_k
-    )
-    return pl.pallas_call(
-        kernel,
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, sk), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, 1, sq), jnp.float32),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sq * sk * d,
@@ -138,51 +134,204 @@ def _flash_forward(
             transcendentals=bh * sq * sk,
         ),
     )(q3, k3, v3, bias2)
+    return out, lse
 
 
-def _xla_attention_bhsd(q3, k3, v3, bias2, scale):
-    """Reference path on folded [BH, S, D] tensors (used by the VJP)."""
-    logits = (
-        jnp.einsum("bqd,bkd->bqk", q3.astype(jnp.float32), k3.astype(jnp.float32))
-        * scale
+# ---------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, *, scale: float, block_k: int):
+    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    do = do_ref[0].astype(jnp.float32)  # [BQ, D]
+    lse = lse_ref[0, 0].astype(jnp.float32)[:, None]  # [BQ, 1]
+    delta = delta_ref[0, 0].astype(jnp.float32)[:, None]  # [BQ, 1]
+    sk = k_ref.shape[1]
+    bq, d = q.shape
+    num_kb = sk // block_k
+
+    def body(i, dq_acc):
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        b_blk = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        s = (
+            jax.lax.dot_general(
+                q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + b_blk[None, :]
+        )
+        p = jnp.exp(s - lse)  # [BQ, BK]
+        dp = jax.lax.dot_general(
+            do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        return dq_acc + jax.lax.dot_general(
+            ds, k_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref, *, scale: float,
+                    block_q: int):
+    k = k_ref[0].astype(jnp.float32)  # [BK, D]
+    v = v_ref[0].astype(jnp.float32)  # [BK, D]
+    bias = bias_ref[0, 0].astype(jnp.float32)[None, :]  # [1, BK]
+    sq = q_ref.shape[1]
+    bk, d = k.shape
+    num_qb = sq // block_q
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse_blk = lse_ref[0, 0, pl.ds(i * block_q, block_q)].astype(
+            jnp.float32
+        )[:, None]
+        delta_blk = delta_ref[0, 0, pl.ds(i * block_q, block_q)].astype(
+            jnp.float32
+        )[:, None]
+        s = (
+            jax.lax.dot_general(
+                q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + bias
+        )
+        p = jnp.exp(s - lse_blk)  # [BQ, BK]
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do_blk, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_blk)  # [BQ, BK]
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q_blk, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    dk, dv = jax.lax.fori_loop(
+        0, num_qb, body,
+        (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32)),
     )
-    logits = logits + bias2.astype(jnp.float32)  # [BH, 1, Sk] broadcasts
-    weights = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bqk,bkd->bqd", weights, v3.astype(jnp.float32)).astype(
-        q3.dtype
-    )
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
+                    interpret):
+    bh, sq, d = q3.shape
+    sk = k3.shape[1]
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, None, :]  # [BH, 1, Sq]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k),
+        grid=(bh, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * bh * sq * sk * d,
+            bytes_accessed=(q3.size * 3) * q3.dtype.itemsize,
+            transcendentals=bh * sq * sk,
+        ),
+    )(q3, k3, v3, bias2, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q),
+        grid=(bh, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq, d), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq, d), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sq), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sq), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk, d), k3.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), v3.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * bh * sq * sk * d,
+            bytes_accessed=(q3.size * 3) * q3.dtype.itemsize,
+            transcendentals=bh * sq * sk,
+        ),
+    )(q3, k3, v3, bias2, g, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------
+# custom VJP plumbing
+# ---------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_core(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
-    return _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret)
+    out, _ = _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k,
+                            interpret)
+    return out
 
 
 def _flash_core_fwd(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
-    out = _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret)
-    return out, (q3, k3, v3, bias2)
+    out, lse = _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k,
+                              interpret)
+    return out, (q3, k3, v3, bias2, out, lse)
 
 
 def _flash_core_bwd(scale, block_q, block_k, interpret, res, g):
-    q3, k3, v3, bias2 = res
-    qf = q3.astype(jnp.float32)
-    kf = k3.astype(jnp.float32)
-    vf = v3.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    logits = jnp.einsum("bqd,bkd->bqk", qf, kf) * scale
-    logits = logits + bias2.astype(jnp.float32)  # [BH, 1, Sk]
-    p = jax.nn.softmax(logits, axis=-1)
-    dv = jnp.einsum("bqk,bqd->bkd", p, gf)
-    dp = jnp.einsum("bqd,bkd->bqk", gf, vf)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
-    return (
-        dq.astype(q3.dtype),
-        dk.astype(k3.dtype),
-        dv.astype(v3.dtype),
-        jnp.zeros_like(bias2),
+    q3, k3, v3, bias2, out, lse = res
+    dq, dk, dv = _flash_backward(
+        q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k, interpret
     )
+    return dq, dk, dv, jnp.zeros_like(bias2)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -202,7 +351,9 @@ def flash_attention(
     sk = k.shape[1]
     scale = scale if scale is not None else d**-0.5
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from uwudiff_tpu.ops.attention import _on_tpu
+
+        interpret = not _on_tpu()
 
     # key bias [B, Sk]: accept None or [B, 1, 1, Sk]-style key masks
     if bias is None:
@@ -211,14 +362,13 @@ def flash_attention(
         bias2 = jnp.broadcast_to(bias, (b, 1, 1, sk))[:, 0, 0, :].astype(
             jnp.float32
         )
-    # clamp -inf-ish masks to a finite mask value (exp underflows to 0)
     bias2 = jnp.maximum(bias2, NEG_INF)
 
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
 
-    # pad sequences to block multiples (exact: padded keys get -inf bias,
-    # padded queries are sliced off)
+    # pad sequences to block multiples (-inf bias on padded keys is exact;
+    # padded query rows are sliced off)
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k)
     qp = jnp.pad(q, [(0, 0), (0, sq_p - sq), (0, 0), (0, 0)])
@@ -226,15 +376,12 @@ def flash_attention(
     vp = jnp.pad(v, [(0, 0), (0, sk_p - sk), (0, 0), (0, 0)])
     bias2 = jnp.pad(bias2, [(0, 0), (0, sk_p - sk)], constant_values=NEG_INF)
 
-    # fold heads: [B, S, H, D] -> [B*H, S, D]
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
     q3, k3, v3 = fold(qp), fold(kp), fold(vp)
     bias_bh = jnp.repeat(bias2, h, axis=0)[:, None, :]  # [B*H, 1, Sk]
 
-    out3 = _flash_core(
-        q3, k3, v3, bias_bh, scale, block_q, block_k, interpret
-    )
+    out3 = _flash_core(q3, k3, v3, bias_bh, scale, block_q, block_k, interpret)
     out = out3.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
     return out[:, :sq]
