@@ -44,11 +44,7 @@ def main():
         trainer.te, trainer.frozen["te"], trainer.tokenizers
     )
 
-    unet_params = (
-        trainer.adapter.merge(trainer.frozen["unet_base"], trainer.state.params)
-        if trainer.adapter is not None
-        else trainer.state.params
-    )
+    unet_params = trainer.merged_unet_params()
 
     def unet_fn(x, t, ctx, mask, added):
         return trainer.unet.apply({"params": unet_params}, x, t, ctx, mask, added)

@@ -21,6 +21,7 @@ checkpoint/resume, adapter training) re-designed TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Callable
 
@@ -441,6 +442,8 @@ class DMTrainer:
         callbacks: list | None = None,
         fast_dev_run: bool = False,
         logger=None,
+        profile_dir: str | None = None,
+        profile_steps: tuple[int, int] = (5, 10),
     ):
         """The fit loop (``test_scripts/test_train.py:43-77`` +
         Lightning's loop, condensed)."""
@@ -483,14 +486,24 @@ class DMTrainer:
             except FileNotFoundError:
                 pass
 
+        from uwudiff_tpu.training.profiling import StepTimer
+
+        timer = StepTimer()
         step = int(self.state.step)
         batch = first_batch
+        last_epoch = loader.epoch
         while step < max_steps:
             if max_epochs is not None and loader.epoch >= max_epochs:
                 break
+            if profile_dir is not None and step == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
             metrics, aux = self.train_step(batch, rng)
             step = int(self.state.step)
+            if profile_dir is not None and step == profile_steps[1]:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
             host_metrics = {k: float(v) for k, v in metrics.items()}
+            host_metrics.update(timer.tick())
             logger.log_scalars(step, host_metrics)
             for cb in callbacks:
                 cb.on_train_batch_end(self, step, host_metrics, aux, logger)
@@ -498,6 +511,16 @@ class DMTrainer:
                 ckpt_mgr.save(step, self.state, loader.state_dict())
             if val_every and step % val_every == 0 and val_loader is not None:
                 self._run_validation(val_loader, logger, callbacks, rng)
+            if loader.epoch != last_epoch:
+                last_epoch = loader.epoch
+                # per-epoch adapter-only export (``trainer.py:189-215``)
+                if self.adapter is not None and log_dir is not None:
+                    self.export_adapter(
+                        os.path.join(
+                            log_dir, "adapter_weights",
+                            f"epoch={last_epoch - 1}.npz",
+                        )
+                    )
             if step >= max_steps:
                 break
             batch = next(data_iter)
@@ -511,6 +534,32 @@ class DMTrainer:
                 cb.on_fit_end(self, step, logger)
         logger.close()
         return self.state
+
+    def _model_params(self):
+        params = self.state.params
+        if isinstance(params, dict) and set(params) == {"model", "loss_pred"}:
+            params = params["model"]
+        return params
+
+    def export_adapter(self, path: str):
+        """Adapter-only export (LyCORIS ``lycoris_weight`` parity)."""
+        assert self.adapter is not None, "no adapter configured"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        adapter = type(self.adapter)(
+            self.adapter.specs,
+            jax.tree_util.tree_map(np.asarray, self._model_params()),
+            self.adapter.multiplier,
+        )
+        adapter.save(path)
+
+    def merged_unet_params(self):
+        """Adapter merged into the base for inference
+        (``merge_lycoris`` parity, ``trainer.py:184-187``)."""
+        if self.adapter is None:
+            return self._model_params()
+        return self.adapter.merge(
+            self.frozen["unet_base"], self._model_params()
+        )
 
     def _run_validation(self, val_loader, logger, callbacks, rng):
         losses = []
