@@ -204,6 +204,7 @@ class Transformer2DModel(nn.Module):
     use_linear_projection: bool = False
     use_rope: bool = False
     out_init_stddev: float = -1.0
+    norm_num_groups: int = 32
     norm_eps: float = 1e-6
     dtype: Any = jnp.float32
 
@@ -220,7 +221,10 @@ class Transformer2DModel(nn.Module):
         residual = hidden_states
 
         x = nn.GroupNorm(
-            num_groups=32, epsilon=self.norm_eps, dtype=self.dtype, name="norm"
+            num_groups=self.norm_num_groups,
+            epsilon=self.norm_eps,
+            dtype=self.dtype,
+            name="norm",
         )(hidden_states)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)

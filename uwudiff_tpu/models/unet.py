@@ -180,6 +180,7 @@ class UNet2DConditionModel(nn.Module):
                         num_layers=tf_layers[i],
                         cross_attention_dim=self.cross_attention_dim,
                         use_linear_projection=self.use_linear_projection,
+                        norm_num_groups=self.norm_num_groups,
                         use_rope=self.use_rope,
                         out_init_stddev=self.zero_init_stddev,
                         dtype=self.dtype,
@@ -213,6 +214,7 @@ class UNet2DConditionModel(nn.Module):
                 num_layers=tf_layers[-1],
                 cross_attention_dim=self.cross_attention_dim,
                 use_linear_projection=self.use_linear_projection,
+                        norm_num_groups=self.norm_num_groups,
                 use_rope=self.use_rope,
                 out_init_stddev=self.zero_init_stddev,
                 dtype=self.dtype,
@@ -250,6 +252,7 @@ class UNet2DConditionModel(nn.Module):
                         num_layers=up_tf_layers[i],
                         cross_attention_dim=self.cross_attention_dim,
                         use_linear_projection=self.use_linear_projection,
+                        norm_num_groups=self.norm_num_groups,
                         use_rope=self.use_rope,
                         out_init_stddev=self.zero_init_stddev,
                         dtype=self.dtype,

@@ -41,7 +41,10 @@ def flash_shape_supported(q, k, v) -> bool:
     """Gate for the dispatch layer: last dim must be MXU-friendly and
     sequences long enough to be worth a kernel launch."""
     d = q.shape[-1]
-    if d % 64 != 0 or d > 256:
+    # blocks carry the full head dim (legal for any d — the last block
+    # dim equals the array dim); Mosaic pads lanes internally, so odd
+    # head dims (SD1.5's 40/80/160) work, just at lower MXU utilization
+    if d % 8 != 0 or d > 256:
         return False
     if q.shape[1] < 128 or k.shape[1] < 128:
         return False
