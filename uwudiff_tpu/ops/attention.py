@@ -21,6 +21,26 @@ import jax.numpy as jnp
 __all__ = ["dot_product_attention", "attention_bias_from_mask"]
 
 
+_flash_override: bool | None = None
+
+
+class flash_disabled:
+    """Context manager forcing the XLA attention path — used when
+    tracing/initializing on host CPU while TPU devices exist (the
+    device_kind heuristic would otherwise pick the compiled kernel)."""
+
+    def __enter__(self):
+        global _flash_override
+        self._prev = _flash_override
+        _flash_override = False
+        return self
+
+    def __exit__(self, *exc):
+        global _flash_override
+        _flash_override = self._prev
+        return False
+
+
 def _on_tpu() -> bool:
     """TPU detection that also covers proxy platforms (e.g. 'axon')
     whose platform name is not 'tpu' but whose devices are TPU chips."""
@@ -74,7 +94,7 @@ def dot_product_attention(
             None = auto (TPU backend + shape constraints).
     """
     if use_flash is None:
-        use_flash = _on_tpu()
+        use_flash = _flash_override if _flash_override is not None else _on_tpu()
     if use_flash:
         from uwudiff_tpu.ops.flash_attention import (
             flash_attention,

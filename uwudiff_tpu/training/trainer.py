@@ -190,11 +190,13 @@ class DMTrainer:
         # Parameter init runs on host CPU (fast, local) and transfers to
         # the mesh once — avoids hundreds of tiny init dispatches to a
         # (possibly remote) accelerator.
+        from uwudiff_tpu.ops.attention import flash_disabled
+
         try:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
             cpu = jax.devices()[0]
-        with jax.default_device(cpu):
+        with jax.default_device(cpu), flash_disabled():
             self._setup_on_host(example_batch)
         self._batch_sh = batch_sharding(self.mesh)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
