@@ -29,6 +29,7 @@ MODEL = os.environ.get("BENCH_MODEL", "sd15")
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 LATENT = int(os.environ.get("BENCH_LATENT", "64"))  # 64 -> 512px images
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+MODE = os.environ.get("BENCH_MODE", "train")  # train | sample
 
 
 def _enable_compile_cache():
@@ -42,8 +43,75 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+def bench_sampler():
+    """Sampler steps/sec: jitted Euler-ancestral CFG loop on the SD-class
+    UNet (the BASELINE.md 'sampler throughput' metric)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from uwudiff_tpu.diffusion import NoiseSchedule
+    from uwudiff_tpu.models.unet import UNet2DConditionModel
+    from uwudiff_tpu.sampling import KDiffusionDenoiser, sample_euler_ancestral
+
+    unet = UNet2DConditionModel.from_config(MODEL, dtype=jnp.bfloat16)
+    sched = NoiseSchedule.sd15()
+    bs, hw, ctx_dim = 2, LATENT, unet.cross_attention_dim
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((bs, hw, hw, 4))
+    ctx = jnp.zeros((2 * bs, 77, ctx_dim))
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    from uwudiff_tpu.ops.attention import flash_disabled
+
+    with jax.default_device(cpu), flash_disabled():
+        params = unet.init(rng, x[:1], jnp.zeros((1,)), ctx[:1])["params"]
+
+    n_steps = 16
+
+    def cfg_model(xx, sigma, sigma_cond=None):
+        den = KDiffusionDenoiser(
+            model_fn=lambda z, t, **kw: unet.apply(
+                {"params": params}, z, t, ctx, None, None
+            ),
+            schedule=sched,
+        )
+        out = den(jnp.concatenate([xx, xx]), jnp.concatenate([sigma, sigma]),
+                  sigma_cond=None)
+        cond, uncond = jnp.split(out, 2)
+        return uncond + (cond - uncond) * 3.0, uncond
+
+    sigmas = sched.sample_sigmas_descending(n_steps)
+
+    @jax.jit
+    def run(rng):
+        init = jax.random.normal(rng, x.shape) * jnp.sqrt(1 + sigmas[0] ** 2)
+        return sample_euler_ancestral(cfg_model, init, sigmas, rng=rng)
+
+    run(rng).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(3):
+        out = run(jax.random.fold_in(rng, i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / 3
+    steps_per_sec = n_steps / dt
+    print(json.dumps({
+        "metric": f"{MODEL}-class Euler-ancestral CFG sampler steps/sec "
+                  f"(bs={bs}, {LATENT}x{LATENT} latents, bf16, jitted loop)",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     _enable_compile_cache()
+    if MODE == "sample":
+        bench_sampler()
+        return
     import jax
     import jax.numpy as jnp
     import numpy as np

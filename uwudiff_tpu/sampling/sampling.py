@@ -47,6 +47,7 @@ def diffusion_sampling(
     vae_downscale: int = 8,
     internal_sampling_func: Callable | None = None,
     return_latents: bool = False,
+    jit_compile: bool = True,
 ):
     rng = jax.random.PRNGKey(seed)
     internal_sampling_func = internal_sampling_func or sample_euler_ancestral
@@ -97,21 +98,26 @@ def diffusion_sampling(
         sigmas = jnp.asarray(np.asarray(get_sigma_func(num_steps), np.float32))
 
     rng, rng_init, rng_samp = jax.random.split(rng, 3)
-    init_x = jax.random.normal(
-        rng_init,
-        (
-            num_samples,
-            height // vae_downscale,
-            width // vae_downscale,
-            latent_channels,
-        ),
-    ) * jnp.sqrt(1 + sigmas[0] ** 2)
 
-    latents = internal_sampling_func(cfg_fn, init_x, sigmas, rng=rng_samp)
-    if rescale:
-        std = latents.reshape(latents.shape[0], -1).std(axis=1)
-        latents = latents / std[:, None, None, None]
-    latents = latents * vae_std + vae_mean
+    def sample_latents(rng_init, rng_samp, sigmas):
+        init_x = jax.random.normal(
+            rng_init,
+            (
+                num_samples,
+                height // vae_downscale,
+                width // vae_downscale,
+                latent_channels,
+            ),
+        ) * jnp.sqrt(1 + sigmas[0] ** 2)
+        latents = internal_sampling_func(cfg_fn, init_x, sigmas, rng=rng_samp)
+        if rescale:
+            std = latents.reshape(latents.shape[0], -1).std(axis=1)
+            latents = latents / std[:, None, None, None]
+        return latents * vae_std + vae_mean
+
+    if jit_compile:  # the whole sigma loop is one XLA program
+        sample_latents = jax.jit(sample_latents)
+    latents = sample_latents(rng_init, rng_samp, sigmas)
     if return_latents or vae_decode is None:
         return latents
     images = vae_decode(latents)
