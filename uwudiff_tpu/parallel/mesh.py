@@ -54,8 +54,8 @@ def make_mesh(
         assert n % known == 0, f"{n} devices not divisible by {known}"
         sizes[sizes.index(-1)] = n // known
     total = int(np.prod(sizes))
-    assert total == n, f"mesh {dict(zip(names, sizes))} != {n} devices"
-    dev_array = np.asarray(devices).reshape(sizes)
+    assert total <= n, f"mesh {dict(zip(names, sizes))} needs {total} > {n} devices"
+    dev_array = np.asarray(devices[:total]).reshape(sizes)
     return Mesh(dev_array, tuple(names))
 
 
