@@ -118,6 +118,56 @@ class CachedLatentDataset(UwUBaseDataset):
                 item[k] = shard[k][i]
         return item
 
+    def native_batch_iterator(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        n_threads: int = 4,
+    ):
+        """GIL-free prefetching batch stream via the C++ runtime
+        (``native/uwu_dataio.cpp``): yields train-step-ready dict batches
+        of latents (+ctx/pooled/mask when cached)."""
+        from uwudiff_tpu.data.native import NativeBatchLoader, NativeShardReader
+
+        reader = NativeShardReader(self.files)
+        order = list(self._index)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        names = ["latent", "add_time_ids"]
+        probe = self._shard(0)
+        ctx_key = "normed_ctx" if self.use_normed_ctx else "ctx"
+        extra = [k for k in (ctx_key, "pooled", "ctx_mask") if k in probe]
+        loaders = {
+            name: NativeBatchLoader(
+                reader, name, order, batch_size, n_threads=n_threads
+            )
+            for name in names + extra
+        }
+        iters = {k: iter(v) for k, v in loaders.items()}
+        try:
+            while True:
+                try:
+                    arrays = {k: next(it) for k, it in iters.items()}
+                except StopIteration:
+                    break
+                batch = {
+                    "latent": arrays["latent"],
+                    "sample": arrays["latent"],
+                    "added_cond": {"time_ids": arrays["add_time_ids"]},
+                    "tokenizer_outputs": [],
+                }
+                if ctx_key in arrays:
+                    batch["ctx"] = arrays[ctx_key]
+                for k in ("pooled", "ctx_mask"):
+                    if k in arrays:
+                        batch[k] = arrays[k]
+                yield batch
+        finally:
+            for v in loaders.values():
+                v.stop()
+            reader.close()
+
     @staticmethod
     def collate(batch: list[dict]) -> dict:
         out = {
