@@ -30,6 +30,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 LATENT = int(os.environ.get("BENCH_LATENT", "64"))  # 64 -> 512px images
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 MODE = os.environ.get("BENCH_MODE", "train")  # train | sample
+REMAT = os.environ.get("BENCH_REMAT", "1") == "1"
 
 
 def _enable_compile_cache():
@@ -123,7 +124,7 @@ def main():
     unet = UNet2DConditionModel.from_config(
         MODEL,
         dtype=jnp.bfloat16,
-        gradient_checkpointing=True,
+        gradient_checkpointing=REMAT,
     )
     ctx_dim = unet.cross_attention_dim
     trainer = DMTrainer(
@@ -170,7 +171,7 @@ def main():
     result = {
         "metric": (
             f"{MODEL}-class latent train imgs/sec/chip "
-            f"(bs={BATCH}, {LATENT}x{LATENT} latents, bf16, remat, "
+            f"(bs={BATCH}, {LATENT}x{LATENT} latents, bf16, {"remat, " if REMAT else ""}"
             f"fused adamw-fp16 step)"
         ),
         "value": round(imgs_per_sec, 3),

@@ -21,7 +21,14 @@ def _rand_qkv(b=2, sq=256, sk=256, h=2, d=64, seed=0, dtype=jnp.float32):
 def test_shape_gate():
     q, k, v = _rand_qkv(d=64)
     assert flash_shape_supported(q, k, v)
+    # odd-but-aligned head dims (SD1.5's 40) are supported
     q, k, v = _rand_qkv(d=40)
+    assert flash_shape_supported(q, k, v)
+    # tiny sequences fall back to XLA
+    q, k, v = _rand_qkv(sq=64, sk=64)
+    assert not flash_shape_supported(q, k, v)
+    # unaligned head dim falls back
+    q, k, v = _rand_qkv(d=36)
     assert not flash_shape_supported(q, k, v)
 
 

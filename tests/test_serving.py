@@ -1,0 +1,48 @@
+import jax
+import numpy as np
+
+from uwudiff_tpu.data import DummyDataset
+from uwudiff_tpu.models.text_encoders import ConcatTextEncoders
+from uwudiff_tpu.models.unet import UNet2DConditionModel
+from uwudiff_tpu.models.vae import AutoencoderKL
+from uwudiff_tpu.serving import Txt2ImgPipeline
+from uwudiff_tpu.training import DMTrainer
+
+
+def test_pipeline_from_trainer_end_to_end():
+    te = ConcatTextEncoders.from_config(
+        [({"model_type": "clip", "preset": "tiny"},
+          {"use_pooled": False, "layer_idx": -2})]
+    )
+    trainer = DMTrainer(
+        model_config={
+            "unet": UNet2DConditionModel.from_config("tiny"),
+            "te": te,
+            "vae": AutoencoderKL.from_config("tiny"),
+        },
+        lr=1e-4,
+        use_warm_up=False,
+        seed=0,
+    )
+    ds = DummyDataset(sample_size=(32, 32, 3), n_samples=4)
+    ds.set_tokenizers(trainer.tokenizers)
+    trainer.train_step(ds.collate([ds[0], ds[1]]))
+
+    pipe = Txt2ImgPipeline.from_trainer(trainer)
+    # tiny vae downsamples 2x
+    assert pipe.vae_downscale == 2
+    images = pipe(
+        prompt="a cat", neg_prompt="", num_steps=2, num_samples=2,
+        width=32, height=32, seed=0,
+    )
+    assert len(images) == 2
+    assert images[0].size == (32, 32)
+    arr = np.asarray(images[0])
+    assert arr.shape == (32, 32, 3) and arr.dtype == np.uint8
+
+    latents = pipe(
+        prompt="a cat", num_steps=2, num_samples=1, width=32, height=32,
+        return_latents=True,
+    )
+    assert latents.shape == (1, 16, 16, 4)
+    assert np.isfinite(np.asarray(latents)).all()
