@@ -30,7 +30,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 LATENT = int(os.environ.get("BENCH_LATENT", "64"))  # 64 -> 512px images
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 MODE = os.environ.get("BENCH_MODE", "train")  # train | sample
-REMAT = os.environ.get("BENCH_REMAT", "1") == "1"
+# remat off by default: bs=8 fits v5e HBM without it and runs ~17% faster
+# (324ms -> 277ms/step); turn on for larger batches/resolutions
+REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 
 
 def _enable_compile_cache():
