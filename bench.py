@@ -31,8 +31,11 @@ LATENT = int(os.environ.get("BENCH_LATENT", "64"))  # 64 -> 512px images
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 MODE = os.environ.get("BENCH_MODE", "train")  # train | sample
 # remat off by default: bs=8 fits v5e HBM without it and runs ~17% faster
-# (324ms -> 277ms/step); turn on for larger batches/resolutions
-REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
+# (324ms -> 277ms/step). "1" = full-block remat; any other non-"0" value
+# names a jax.checkpoint_policies policy for selective remat.
+_REMAT_ENV = os.environ.get("BENCH_REMAT", "0")
+REMAT = _REMAT_ENV != "0"
+REMAT_POLICY = None if _REMAT_ENV in ("0", "1") else _REMAT_ENV
 
 
 def _enable_compile_cache():
@@ -127,6 +130,7 @@ def main():
         MODEL,
         dtype=jnp.bfloat16,
         gradient_checkpointing=REMAT,
+        remat_policy=REMAT_POLICY,
     )
     ctx_dim = unet.cross_attention_dim
     trainer = DMTrainer(

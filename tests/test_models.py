@@ -203,3 +203,27 @@ def test_pipeline_nested_encode():
     assert mask.shape == (2, 28)
     # second image's second caption slot is zero-padded
     np.testing.assert_allclose(np.asarray(emb[1, 14:]), 0.0)
+
+
+def test_unet_remat_policy_same_output():
+    """Selective remat (policy) must be numerically identical too."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    t = jnp.array([10])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    unet_a = UNet2DConditionModel.from_config("tiny", zero_init_stddev=-1.0)
+    unet_b = UNet2DConditionModel.from_config(
+        "tiny", zero_init_stddev=-1.0, gradient_checkpointing=True,
+        remat_policy="dots_with_no_batch_dims_saveable",
+    )
+    params = unet_a.init(rng, x, t, ctx)["params"]
+    out_a = unet_a.apply({"params": params}, x, t, ctx)
+    out_b = unet_b.apply({"params": params}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-4)
+    # gradients flow through the policy-rematted blocks
+    g = jax.grad(
+        lambda p: unet_b.apply({"params": p}, x, t, ctx).sum()
+    )(params)
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(g)[0])
+    ).all()

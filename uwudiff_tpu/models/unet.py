@@ -71,6 +71,10 @@ class UNet2DConditionModel(nn.Module):
     norm_num_groups: int = 32
     zero_init_stddev: float = 1e-5
     gradient_checkpointing: bool = False
+    # selective remat: None saves nothing (min memory); a name from
+    # jax.checkpoint_policies (e.g. "dots_with_no_batch_dims_saveable")
+    # keeps matmul outputs and only recomputes the cheap elementwise work
+    remat_policy: str | None = None
     dtype: Any = jnp.float32
 
     @classmethod
@@ -105,10 +109,17 @@ class UNet2DConditionModel(nn.Module):
             "transformer": Transformer2DModel,
         }
         if self.gradient_checkpointing:
+            import jax
+
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy
+                else None
+            )
             block_cls = {
-                "resnet": nn.remat(ResnetBlock2D),
+                "resnet": nn.remat(ResnetBlock2D, policy=policy),
                 "transformer": nn.remat(
-                    Transformer2DModel, static_argnums=()
+                    Transformer2DModel, policy=policy, static_argnums=()
                 ),
             }
 
