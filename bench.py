@@ -26,7 +26,7 @@ A100_ANCHOR_IMGS_PER_SEC = 3.0  # documented anchor, see module docstring
 # model scale: full SD1.5-class UNet by default (fits one v5e with
 # half-precision optimizer moments); override via env for bigger chips
 MODEL = os.environ.get("BENCH_MODEL", "sd15")
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 LATENT = int(os.environ.get("BENCH_LATENT", "64"))  # 64 -> 512px images
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 MODE = os.environ.get("BENCH_MODE", "train")  # train | sample
