@@ -508,7 +508,8 @@ class DMTrainer:
             host_metrics.update(timer.tick())
             logger.log_scalars(step, host_metrics)
             for cb in callbacks:
-                cb.on_train_batch_end(self, step, host_metrics, aux, logger)
+                if hasattr(cb, "on_train_batch_end"):
+                    cb.on_train_batch_end(self, step, host_metrics, aux, logger)
             if ckpt_mgr is not None and ckpt_mgr.should_save(step):
                 ckpt_mgr.save(step, self.state, loader.state_dict())
             if val_every and step % val_every == 0 and val_loader is not None:
