@@ -34,12 +34,22 @@ def main():
 
     images = [vae_image_preprocess(Image.open(p)) for p in paths]
     prompts = config.get("prompts")
+    real_images = None
+    if config.get("real_image_dir"):
+        real_paths = sorted(get_images_recursively(config["real_image_dir"]))
+        real_images = [vae_image_preprocess(Image.open(p)) for p in real_paths]
 
-    metric_configs = [
-        MetricConfig(**instantiate_any(m)) if not isinstance(m, MetricConfig) else m
-        for m in config["metrics"]
-    ]
-    results = compute_metrics(metric_configs, images, prompts)
+    metric_configs = []
+    for m in config["metrics"]:
+        if isinstance(m, MetricConfig):
+            metric_configs.append(m)
+            continue
+        m = dict(m)
+        m["metric_func"] = instantiate_any(m["metric_func"])
+        metric_configs.append(MetricConfig(**m))
+    results = compute_metrics(
+        metric_configs, images, prompts, real_images=real_images
+    )
     print(json.dumps(results, default=float))
 
 

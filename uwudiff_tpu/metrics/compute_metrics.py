@@ -14,6 +14,7 @@ class MetricConfig:
     name: str
     metric_func: Callable  # partial taking generated inputs
     needs_prompts: bool = False
+    needs_real: bool = False  # FID-style: (real, generated) pair
     kwargs: dict = dataclasses.field(default_factory=dict)
 
 
@@ -21,12 +22,18 @@ def compute_metrics(
     metric_configs: list[MetricConfig],
     generated_images,
     prompts=None,
+    real_images=None,
 ) -> dict[str, Any]:
     """Run every configured metric over the generated set
     (``compute_metrics.py:15-29``)."""
     results: dict[str, Any] = {}
     for cfg in metric_configs:
-        if cfg.needs_prompts:
+        if cfg.needs_real:
+            ref = real_images if real_images is not None else generated_images
+            results[cfg.name] = cfg.metric_func(
+                ref, generated_images, **cfg.kwargs
+            )
+        elif cfg.needs_prompts:
             results[cfg.name] = cfg.metric_func(
                 generated_images, prompts, **cfg.kwargs
             )
