@@ -5,15 +5,16 @@ backends of the reference (``duwu/modules/rope_unet.py:151,249``,
 SURVEY.md §2.2). O(S) memory in both directions: no [Sq, Sk] logits
 matrix ever hits HBM.
 
-Design:
-- inputs ``[B, S, H, D]`` fold to ``[B*H, S, D]``; grid =
-  ``(batch*heads, seq_blocks)``
-- forward: K/V stream through VMEM in blocks with online-softmax
-  (m/l/acc carries); also emits the row logsumexp for the backward
-- backward (FlashAttention-2 scheme): one kernel tiles over Q blocks
-  accumulating dQ, a second tiles over K blocks accumulating dK/dV;
-  both recompute P = exp(S - lse) on the fly from saved lse and
-  delta = rowsum(dO * O)
+Design (canonical TPU tiling):
+- inputs ``[B, S, H, D]`` fold to ``[B*H, S, D]``
+- forward grid = ``(batch*heads, q_blocks, k_blocks)`` with the K axis
+  marked "arbitrary" (sequential): online-softmax state (m/l/acc) lives
+  in VMEM scratch across K steps; K/V stream through as (BK, D) blocks —
+  VMEM residency is O(BQ*D + BK*D), independent of sequence length
+- the forward also emits the row logsumexp for the backward
+- backward (FlashAttention-2 scheme): dQ kernel iterates K blocks per Q
+  block; dK/dV kernel iterates Q blocks per K block; P is recomputed
+  from the saved lse and ``delta = rowsum(dO * O)``
 - logits/accumulators fp32 on the MXU (``preferred_element_type``),
   inputs bf16/fp32
 - optional additive key bias ``[B, Sk]`` (padding masks, CFG ragged
@@ -57,78 +58,103 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _compiler_params(parallel_dims: int):
+    """First `parallel_dims` grid dims are parallel, the rest arbitrary
+    (sequential, so VMEM scratch carries across them)."""
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * parallel_dims + ("arbitrary",)
+        )
+    except TypeError:  # older API without dimension_semantics
+        return None
+
+
 # ---------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref, *,
-                scale: float, block_k: int):
-    q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
-    sk = k_ref.shape[1]
-    bq, d = q.shape
-    num_kb = sk // block_k
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, scale: float):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
 
-    def body(i, carry):
-        m_prev, l_prev, acc_prev = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        b_blk = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
-        s = (
-            jax.lax.dot_general(
-                q, k_blk,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b_blk[None, :]
-        )
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc_prev * alpha + jax.lax.dot_general(
-            p, v_blk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
+    k_blk = k_ref[0].astype(jnp.float32)  # [BK, D]
+    v_blk = v_ref[0].astype(jnp.float32)  # [BK, D]
+    b_blk = bias_ref[0, 0].astype(jnp.float32)  # [BK]
+
+    s = (
+        jax.lax.dot_general(
+            q, k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return m_new, l_new, acc_new
+        + b_blk[None, :]
+    )  # [BQ, BK]
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v_blk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_new
+    l_scr[:] = l_new
 
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    l_safe = jnp.maximum(l, 1e-30)
-    out_ref[0] = (acc / l_safe).astype(out_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+    @pl.when(ki == nk - 1)
+    def _():
+        l_safe = jnp.maximum(l_scr[:], 1e-30)
+        out_ref[0] = (acc_scr[:] / l_safe).astype(out_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:] + jnp.log(l_safe))[:, 0]
 
 
 def _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
     bh, sq, d = q3.shape
     sk = k3.shape[1]
-    grid = (bh, sq // block_q)
+    grid = (bh, sq // block_q, sk // block_k)
+    kwargs = {}
+    cp = _compiler_params(2)
+    if cp is not None and not interpret:
+        kwargs["compiler_params"] = cp
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, block_k=block_k),
+        functools.partial(_fwd_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
             jax.ShapeDtypeStruct((bh, 1, sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -136,6 +162,7 @@ def _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
             bytes_accessed=(q3.size + k3.size + v3.size) * q3.dtype.itemsize,
             transcendentals=bh * sq * sk,
         ),
+        **kwargs,
     )(q3, k3, v3, bias2)
     return out, lse
 
@@ -146,92 +173,92 @@ def _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, *, scale: float, block_k: int):
+                   delta_ref, dq_ref, dq_scr, *, scale: float):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
     q = q_ref[0].astype(jnp.float32)  # [BQ, D]
     do = do_ref[0].astype(jnp.float32)  # [BQ, D]
     lse = lse_ref[0, 0].astype(jnp.float32)[:, None]  # [BQ, 1]
     delta = delta_ref[0, 0].astype(jnp.float32)[:, None]  # [BQ, 1]
-    sk = k_ref.shape[1]
-    bq, d = q.shape
-    num_kb = sk // block_k
+    k_blk = k_ref[0].astype(jnp.float32)  # [BK, D]
+    v_blk = v_ref[0].astype(jnp.float32)  # [BK, D]
+    b_blk = bias_ref[0, 0].astype(jnp.float32)  # [BK]
 
-    def body(i, dq_acc):
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        b_blk = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
-        s = (
-            jax.lax.dot_general(
-                q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
-            + b_blk[None, :]
-        )
-        p = jnp.exp(s - lse)  # [BQ, BK]
-        dp = jax.lax.dot_general(
-            do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+    s = (
+        jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta)
-        return dq_acc + jax.lax.dot_general(
-            ds, k_blk, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        * scale
+        + b_blk[None, :]
+    )
+    p = jnp.exp(s - lse)  # [BQ, BK]
+    dp = jax.lax.dot_general(
+        do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds, k_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0] = (dq_scr[:] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                    delta_ref, dk_ref, dv_ref, *, scale: float,
-                    block_q: int):
+                    delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                    scale: float):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
     k = k_ref[0].astype(jnp.float32)  # [BK, D]
     v = v_ref[0].astype(jnp.float32)  # [BK, D]
     bias = bias_ref[0, 0].astype(jnp.float32)[None, :]  # [1, BK]
-    sq = q_ref.shape[1]
-    bk, d = k.shape
-    num_qb = sq // block_q
+    q_blk = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    do_blk = do_ref[0].astype(jnp.float32)  # [BQ, D]
+    lse_blk = lse_ref[0, 0].astype(jnp.float32)[:, None]  # [BQ, 1]
+    delta_blk = delta_ref[0, 0].astype(jnp.float32)[:, None]
 
-    def body(i, carry):
-        dk_acc, dv_acc = carry
-        q_blk = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse_blk = lse_ref[0, 0, pl.ds(i * block_q, block_q)].astype(
-            jnp.float32
-        )[:, None]
-        delta_blk = delta_ref[0, 0, pl.ds(i * block_q, block_q)].astype(
-            jnp.float32
-        )[:, None]
-        s = (
-            jax.lax.dot_general(
-                q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
-            + bias
-        )
-        p = jnp.exp(s - lse_blk)  # [BQ, BK]
-        dv_acc = dv_acc + jax.lax.dot_general(
-            p, do_blk, dimension_numbers=(((0,), (0,)), ((), ())),
+    s = (
+        jax.lax.dot_general(
+            q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dp = jax.lax.dot_general(
-            do_blk, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta_blk)  # [BQ, BK]
-        dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q_blk, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return dk_acc, dv_acc
-
-    dk, dv = jax.lax.fori_loop(
-        0, num_qb, body,
-        (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32)),
+        * scale
+        + bias
     )
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    p = jnp.exp(s - lse_blk)  # [BQ, BK]
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, do_blk, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do_blk, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_blk)  # [BQ, BK]
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q_blk, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
@@ -241,72 +268,83 @@ def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
     delta = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     )[:, None, :]  # [BH, 1, Sq]
+    kwargs = {}
+    cp = _compiler_params(2)
+    if cp is not None and not interpret:
+        kwargs["compiler_params"] = cp
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k),
-        grid=(bh, sq // block_q),
+        functools.partial(_bwd_dq_kernel, scale=scale),
+        grid=(bh, sq // block_q, sk // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=5 * bh * sq * sk * d,
             bytes_accessed=(q3.size * 3) * q3.dtype.itemsize,
             transcendentals=bh * sq * sk,
         ),
+        **kwargs,
     )(q3, k3, v3, bias2, g, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q),
-        grid=(bh, sk // block_k),
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        grid=(bh, sk // block_k, sq // block_q),
         in_specs=[
-            pl.BlockSpec((1, sq, d), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda b, j: (b, 0, j),
+            pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq, d), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sq), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sq), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sk, d), k3.dtype),
             jax.ShapeDtypeStruct((bh, sk, d), v3.dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=5 * bh * sq * sk * d,
             bytes_accessed=(q3.size * 3) * q3.dtype.itemsize,
             transcendentals=bh * sq * sk,
         ),
+        **kwargs,
     )(q3, k3, v3, bias2, g, lse, delta)
     return dq, dk, dv
 
