@@ -77,30 +77,32 @@ def bench_sampler():
         params = unet.init(rng, x[:1], jnp.zeros((1,)), ctx[:1])["params"]
 
     n_steps = 16
-
-    def cfg_model(xx, sigma, sigma_cond=None):
-        den = KDiffusionDenoiser(
-            model_fn=lambda z, t, **kw: unet.apply(
-                {"params": params}, z, t, ctx, None, None
-            ),
-            schedule=sched,
-        )
-        out = den(jnp.concatenate([xx, xx]), jnp.concatenate([sigma, sigma]),
-                  sigma_cond=None)
-        cond, uncond = jnp.split(out, 2)
-        return uncond + (cond - uncond) * 3.0, uncond
-
     sigmas = sched.sample_sigmas_descending(n_steps)
 
     @jax.jit
-    def run(rng):
+    def run(params, rng):
+        # params are jit ARGUMENTS (closure capture would bake 3.4GB of
+        # weights into the program as constants)
+        def cfg_model(xx, sigma, sigma_cond=None):
+            den = KDiffusionDenoiser(
+                model_fn=lambda z, t, **kw: unet.apply(
+                    {"params": params}, z, t, ctx, None, None
+                ),
+                schedule=sched,
+            )
+            out = den(
+                jnp.concatenate([xx, xx]), jnp.concatenate([sigma, sigma])
+            )
+            cond, uncond = jnp.split(out, 2)
+            return uncond + (cond - uncond) * 3.0, uncond
+
         init = jax.random.normal(rng, x.shape) * jnp.sqrt(1 + sigmas[0] ** 2)
         return sample_euler_ancestral(cfg_model, init, sigmas, rng=rng)
 
-    run(rng).block_until_ready()
+    run(params, rng).block_until_ready()
     t0 = time.perf_counter()
     for i in range(3):
-        out = run(jax.random.fold_in(rng, i))
+        out = run(params, jax.random.fold_in(rng, i))
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / 3
     steps_per_sec = n_steps / dt

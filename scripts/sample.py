@@ -46,8 +46,8 @@ def main():
 
     unet_params = trainer.merged_unet_params()
 
-    def unet_fn(x, t, ctx, mask, added):
-        return trainer.unet.apply({"params": unet_params}, x, t, ctx, mask, added)
+    def unet_fn(params, x, t, ctx, mask, added):
+        return trainer.unet.apply({"params": params}, x, t, ctx, mask, added)
 
     vae_decode = None
     if trainer.vae is not None:
@@ -69,6 +69,7 @@ def main():
         train_schedule=trainer.loss.schedule,
         vae_std=trainer.vae_std,
         vae_mean=trainer.vae_mean,
+        unet_params=unet_params,
         **sampling_kwargs,
     )
     os.makedirs(args.out_dir, exist_ok=True)

@@ -69,18 +69,16 @@ def cond_text_wrapper(
     return model_fn
 
 
-def cfg_wrapper(
+def encode_cfg_inputs(
     prompt,
     neg_prompt,
     width: int,
     height: int,
-    unet: Callable,  # KDiffusionDenoiser
     te,  # TextEncodingPipeline
-    cfg: float = 5.0,
     time_ids: jnp.ndarray | None = None,
-) -> Callable:
-    """CFG wrapper: doubled-batch single call,
-    ``out = uncond + (cond - uncond) * cfg`` (``cfg.py:54-127``)."""
+) -> dict:
+    """Host-side half of CFG: encode cond/uncond prompts and assemble the
+    doubled-batch conditioning tensors (``cfg.py:68-111``)."""
     emb, normed_emb, pool, mask = te.encode(prompt, padding=True, truncation=True)
     neg_emb, normed_neg_emb, neg_pool, neg_mask = te.encode(
         neg_prompt, padding=True, truncation=True
@@ -112,6 +110,18 @@ def cfg_wrapper(
     else:
         attn_mask = None
     text_ctx_emb = jnp.concatenate([emb, neg_emb])
+    return {
+        "ctx": text_ctx_emb,
+        "mask": attn_mask,
+        "added_cond": added_cond,
+    }
+
+
+def build_cfg_fn(unet: Callable, enc: dict, cfg: float) -> Callable:
+    """Device-side half: the doubled-batch model fn (``cfg.py:113-126``).
+    Safe to call inside jit (``enc`` tensors may be traced arguments —
+    this is how large params avoid being baked into the program as
+    constants)."""
 
     def cfg_fn(x, sigma, sigma_cond=None):
         if sigma_cond is not None:
@@ -120,12 +130,28 @@ def cfg_wrapper(
             jnp.concatenate([x, x]),
             jnp.concatenate([sigma, sigma]),
             sigma_cond=sigma_cond,
-            encoder_hidden_states=text_ctx_emb,
-            encoder_attention_mask=attn_mask,
-            added_cond=added_cond,
+            encoder_hidden_states=enc["ctx"],
+            encoder_attention_mask=enc["mask"],
+            added_cond=enc["added_cond"],
         )
         cond, uncond = jnp.split(out, 2)
         cfg_output = uncond + (cond - uncond) * cfg
         return cfg_output, uncond
 
     return cfg_fn
+
+
+def cfg_wrapper(
+    prompt,
+    neg_prompt,
+    width: int,
+    height: int,
+    unet: Callable,  # KDiffusionDenoiser
+    te,  # TextEncodingPipeline
+    cfg: float = 5.0,
+    time_ids: jnp.ndarray | None = None,
+) -> Callable:
+    """CFG wrapper: doubled-batch single call,
+    ``out = uncond + (cond - uncond) * cfg`` (``cfg.py:54-127``)."""
+    enc = encode_cfg_inputs(prompt, neg_prompt, width, height, te, time_ids)
+    return build_cfg_fn(unet, enc, cfg)

@@ -25,7 +25,10 @@ __all__ = ["diffusion_sampling"]
 
 
 def diffusion_sampling(
-    unet_fn: Callable,  # (x, t, ctx, mask, added_cond) -> eps  (params bound)
+    unet_fn: Callable,  # (x, t, ctx, mask, added_cond) -> eps (params bound)
+    # OR (params, x, t, ctx, mask, added_cond) when unet_params is given —
+    # then params enter the jitted program as an ARGUMENT rather than
+    # being baked in as multi-GB HLO constants
     te,  # TextEncodingPipeline
     vae_decode: Callable | None,  # latents -> [-1,1] images (params bound)
     train_schedule: NoiseSchedule,
@@ -48,6 +51,7 @@ def diffusion_sampling(
     internal_sampling_func: Callable | None = None,
     return_latents: bool = False,
     jit_compile: bool = True,
+    unet_params=None,
 ):
     rng = jax.random.PRNGKey(seed)
     internal_sampling_func = internal_sampling_func or sample_euler_ancestral
@@ -66,28 +70,25 @@ def diffusion_sampling(
         neg_prompt, num_samples, padding_mode=padding_mode
     )
 
-    def eps_fn(x, t, **kwargs):
-        return unet_fn(
-            x,
-            t,
-            kwargs.get("encoder_hidden_states"),
-            kwargs.get("encoder_attention_mask"),
-            kwargs.get("added_cond"),
+    from uwudiff_tpu.sampling.cfg import build_cfg_fn, encode_cfg_inputs
+
+    enc = encode_cfg_inputs(prompt, neg_prompt, width, height, te)
+
+    def make_cfg_fn(params):
+        def eps_fn(x, t, **kwargs):
+            args = (
+                x,
+                t,
+                kwargs.get("encoder_hidden_states"),
+                kwargs.get("encoder_attention_mask"),
+                kwargs.get("added_cond"),
+            )
+            return unet_fn(params, *args) if params is not None else unet_fn(*args)
+
+        model_wrapper = KDiffusionDenoiser(
+            model_fn=eps_fn, schedule=train_schedule, quantize=False
         )
-
-    model_wrapper = KDiffusionDenoiser(
-        model_fn=eps_fn, schedule=train_schedule, quantize=False
-    )
-
-    cfg_fn = cfg_wrapper(
-        prompt=prompt,
-        neg_prompt=neg_prompt,
-        width=width,
-        height=height,
-        unet=model_wrapper,
-        te=te,
-        cfg=cfg_scale,
-    )
+        return build_cfg_fn(model_wrapper, enc, cfg_scale)
 
     sample_schedule = sample_schedule or train_schedule
     if get_sigma_func is None:
@@ -99,7 +100,8 @@ def diffusion_sampling(
 
     rng, rng_init, rng_samp = jax.random.split(rng, 3)
 
-    def sample_latents(rng_init, rng_samp, sigmas):
+    def sample_latents(params, rng_init, rng_samp, sigmas):
+        cfg_fn = make_cfg_fn(params)
         init_x = jax.random.normal(
             rng_init,
             (
@@ -117,7 +119,7 @@ def diffusion_sampling(
 
     if jit_compile:  # the whole sigma loop is one XLA program
         sample_latents = jax.jit(sample_latents)
-    latents = sample_latents(rng_init, rng_samp, sigmas)
+    latents = sample_latents(unet_params, rng_init, rng_samp, sigmas)
     if return_latents or vae_decode is None:
         return latents
     images = vae_decode(latents)

@@ -25,7 +25,8 @@ __all__ = ["Txt2ImgPipeline"]
 class Txt2ImgPipeline:
     def __init__(
         self,
-        unet_fn: Callable,  # (x, t, ctx, mask, added) -> eps, params bound
+        unet_fn: Callable,  # (params, x, t, ctx, mask, added) -> eps if
+        # unet_params given, else (x, t, ctx, mask, added) with params bound
         te_pipeline,  # TextEncodingPipeline
         vae_decode: Callable | None,  # latents -> [-1,1] images, params bound
         schedule: NoiseSchedule,
@@ -34,8 +35,10 @@ class Txt2ImgPipeline:
         vae_downscale: int = 8,
         latent_channels: int = 4,
         sampler: Callable = sample_euler_ancestral,
+        unet_params=None,
     ):
         self.unet_fn = unet_fn
+        self.unet_params = unet_params
         self.te = te_pipeline
         self.vae_decode = (
             jax.jit(vae_decode) if vae_decode is not None else None
@@ -54,10 +57,8 @@ class Txt2ImgPipeline:
 
         unet_params = trainer.merged_unet_params()
 
-        def unet_fn(x, t, ctx, mask, added):
-            return trainer.unet.apply(
-                {"params": unet_params}, x, t, ctx, mask, added
-            )
+        def unet_fn(params, x, t, ctx, mask, added):
+            return trainer.unet.apply({"params": params}, x, t, ctx, mask, added)
 
         te_pipe = TextEncodingPipeline(
             trainer.te, trainer.frozen["te"], trainer.tokenizers
@@ -85,6 +86,7 @@ class Txt2ImgPipeline:
             vae_std=trainer.vae_std if trainer.vae_std is not None else 1.0,
             vae_mean=trainer.vae_mean,
             vae_downscale=downs,
+            unet_params=unet_params,
             **kwargs,
         )
 
@@ -120,6 +122,7 @@ class Txt2ImgPipeline:
             latent_channels=self.latent_channels,
             internal_sampling_func=self.sampler,
             return_latents=return_latents,
+            unet_params=self.unet_params,
             **kwargs,
         )
 
