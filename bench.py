@@ -75,6 +75,10 @@ def bench_sampler():
 
     with jax.default_device(cpu), flash_disabled():
         params = unet.init(rng, x[:1], jnp.zeros((1,)), ctx[:1])["params"]
+    # commit params to the accelerator ONCE (host-committed args would
+    # re-upload 3.4GB per call)
+    params = jax.device_put(params, jax.devices()[0])
+    ctx = jax.device_put(ctx, jax.devices()[0])
 
     n_steps = 16
     sigmas = sched.sample_sigmas_descending(n_steps)
