@@ -114,7 +114,9 @@ def apply_load_config(
             params = import_params(params, sd, key_map)
     dtype = cfg.param_dtype or cfg.precision
     if dtype:
-        dtype = dtype.replace("torch.", "").replace("float16", "bfloat16")
+        dtype = dtype.replace("torch.", "")
+        if dtype == "float16":  # TPU-native half is bfloat16
+            dtype = "bfloat16"
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.dtype(dtype)), params
         )
