@@ -35,7 +35,8 @@ def test_apply_load_config_npz_restore_and_cast(tmp_path):
     ):
         assert b.dtype == jnp.bfloat16
         np.testing.assert_allclose(
-            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-2
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-2, atol=1e-2,
         )
 
 
