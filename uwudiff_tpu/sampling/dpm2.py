@@ -33,6 +33,7 @@ def sample_dpm2(
     x: jnp.ndarray,
     sigmas: jnp.ndarray,
     rng: jax.Array | None = None,
+    extra_args: dict | None = None,
     s_churn: float = 0.0,
     s_tmin: float = 0.0,
     s_tmax: float = float("inf"),
@@ -41,13 +42,14 @@ def sample_dpm2(
     image_to_noise: bool = False,  # unused, parity (``dpm2.py:21``)
 ) -> jnp.ndarray:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    extra_args = extra_args or {}
     s_in = jnp.ones((x.shape[0],), x.dtype)
     n_steps = sigmas.shape[0] - 1
     sig, sig_next = sigmas[:-1], sigmas[1:]
 
     def first_stage_d(x, sigma_hat, d_cached, have_cache):
         def fresh(_):
-            denoised, _u = model(x, sigma_hat * s_in)
+            denoised, _u = model(x, sigma_hat * s_in, **extra_args)
             return to_d(x, sigma_hat, denoised)
 
         if not single_call:
@@ -65,7 +67,7 @@ def sample_dpm2(
         x = x + eps * jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
 
         def euler_branch(_):
-            denoised, _u = model(x, sigma_hat * s_in)
+            denoised, _u = model(x, sigma_hat * s_in, **extra_args)
             d = to_d(x, sigma_hat, denoised)
             return x + d * (sigma_next - sigma_hat), d_cached, have_cache
 
@@ -78,7 +80,7 @@ def sample_dpm2(
             dt_1 = sigma_mid - sigma_hat
             dt_2 = sigma_next - sigma_hat
             x_2 = x + d * dt_1
-            denoised_2, _u = model(x_2, sigma_mid * s_in)
+            denoised_2, _u = model(x_2, sigma_mid * s_in, **extra_args)
             d_2 = to_d(x_2, sigma_mid, denoised_2)
             return x + d_2 * dt_2, d_2, jnp.asarray(True)
 
@@ -97,6 +99,7 @@ def sample_dpm2_cfgpp(
     x: jnp.ndarray,
     sigmas: jnp.ndarray,
     rng: jax.Array | None = None,
+    extra_args: dict | None = None,
     s_churn: float = 0.0,
     s_tmin: float = 0.0,
     s_tmax: float = float("inf"),
@@ -107,6 +110,7 @@ def sample_dpm2_cfgpp(
     """``k_diffusion_dpm2.py:62-111`` — anchors on the CFG output, steps
     with the uncond derivative."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    extra_args = extra_args or {}
     s_in = jnp.ones((x.shape[0],), x.dtype)
     n_steps = sigmas.shape[0] - 1
     sig, sig_next = sigmas[:-1], sigmas[1:]
@@ -120,12 +124,12 @@ def sample_dpm2_cfgpp(
         x = x + eps * jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
 
         def euler_branch(_):
-            cfg_denoised, _u = model(x, sigma_hat * s_in)
+            cfg_denoised, _u = model(x, sigma_hat * s_in, **extra_args)
             return cfg_denoised, cfg_cached, d_cached, have_cache
 
         def dpm2_branch(_):
             def fresh(_):
-                cfg_denoised, uncond_denoised = model(x, sigma_hat * s_in)
+                cfg_denoised, uncond_denoised = model(x, sigma_hat * s_in, **extra_args)
                 return cfg_denoised, to_d(x, sigma_hat, uncond_denoised)
 
             if single_call:
@@ -142,7 +146,7 @@ def sample_dpm2_cfgpp(
                 / 2
             )
             x_2 = cfg_denoised + uncond_d * sigma_mid
-            cfg_denoised_2, uncond_denoised_2 = model(x_2, sigma_mid * s_in)
+            cfg_denoised_2, uncond_denoised_2 = model(x_2, sigma_mid * s_in, **extra_args)
             uncond_d_2 = to_d(x_2, sigma_mid, uncond_denoised_2)
             new_x = cfg_denoised_2 + uncond_d_2 * sigma_next
             return new_x, cfg_denoised_2, uncond_d_2, jnp.asarray(True)
