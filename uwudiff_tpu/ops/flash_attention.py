@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["flash_attention", "flash_shape_supported"]
 
 DEFAULT_BLOCK_Q = 512  # larger Q tiles halve K/V re-reads across the grid
-DEFAULT_BLOCK_K = 1024
+DEFAULT_BLOCK_K = 2048
 NEG_INF = -1e30
 
 
