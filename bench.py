@@ -21,19 +21,37 @@ import os
 import sys
 import time
 
-A100_ANCHOR_IMGS_PER_SEC = 3.0  # documented anchor, see module docstring
+# Documented anchors (NOT measured in this environment): approximate
+# A100-80GB PyTorch per-chip full-fine-tune throughput at the same
+# latent resolution, used only to scale vs_baseline. The driver's
+# north-star is >=3x the A100 baseline per chip (BASELINE.md).
+A100_ANCHOR_IMGS_PER_SEC = {
+    "sd15": 3.0,  # round-1 anchor, kept for continuity
+    "sdxl": 1.5,  # SDXL-class (2.6B UNet) fine-tune, 64x64 latents
+}
 
-# model scale: full SD1.5-class UNet by default (fits one v5e with
-# half-precision optimizer moments); override via env for bigger chips
-MODEL = os.environ.get("BENCH_MODEL", "sd15")
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+# model scale: full SDXL-class UNet by default (the BASELINE.md north
+# star). The 2.6B-param full fine-tune fits one 16GB v5e via bf16
+# params + stochastic rounding + factored-second-moment AdamW.
+MODEL = os.environ.get("BENCH_MODEL", "sdxl")
+_MODEL_DEFAULTS = {
+    # model: (batch, remat, optimizer, param_dtype)
+    "sdxl": (8, "1", "adamw_factored", "bfloat16"),
+    "sd15": (16, "0", "adamw_fp16", None),
+}
+_DEF_BATCH, _DEF_REMAT, _DEF_OPT, _DEF_PDTYPE = _MODEL_DEFAULTS.get(
+    MODEL, (8, "0", "adamw_fp16", None)
+)
+BATCH = int(os.environ.get("BENCH_BATCH", str(_DEF_BATCH)))
 LATENT = int(os.environ.get("BENCH_LATENT", "64"))  # 64 -> 512px images
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 MODE = os.environ.get("BENCH_MODE", "train")  # train | sample
-# remat off by default: bs=8 fits v5e HBM without it and runs ~17% faster
-# (324ms -> 277ms/step). "1" = full-block remat; any other non-"0" value
-# names a jax.checkpoint_policies policy for selective remat.
-_REMAT_ENV = os.environ.get("BENCH_REMAT", "0")
+OPTIMIZER = os.environ.get("BENCH_OPT", _DEF_OPT)
+PARAM_DTYPE = os.environ.get("BENCH_PARAM_DTYPE", _DEF_PDTYPE or "") or None
+# remat: "1" = full-block remat; any other non-"0" value names a
+# jax.checkpoint_policies policy for selective remat. SD1.5 runs ~17%
+# faster without it (fits HBM); SDXL needs it.
+_REMAT_ENV = os.environ.get("BENCH_REMAT", _DEF_REMAT)
 REMAT = _REMAT_ENV != "0"
 REMAT_POLICY = None if _REMAT_ENV in ("0", "1") else _REMAT_ENV
 
@@ -142,11 +160,12 @@ def main():
     trainer = DMTrainer(
         model_config={"unet": unet, "te": None, "vae": None},
         lr=1e-5,
-        optimizer="adamw_fp16",  # half-precision moments: fits one chip
+        optimizer=OPTIMIZER,
         opt_config={"weight_decay": 0.01, "betas": (0.9, 0.999)},
         use_warm_up=False,
         loss_config=DiffusionLoss(schedule=NoiseSchedule.sd15()),
         grad_clip=1.0,
+        param_dtype=PARAM_DTYPE,
         seed=0,
     )
 
@@ -164,6 +183,15 @@ def main():
             )
         },
     }
+    if getattr(unet, "addition_embed_type", None) == "text_time":
+        # SDXL micro-conditioning also needs the pooled text embedding
+        pooled_dim = (
+            unet.projection_class_embeddings_input_dim
+            - 6 * unet.addition_time_embed_dim
+        )
+        batch["pooled"] = rng.standard_normal(
+            (BATCH, pooled_dim), dtype=np.float32
+        )
 
     # compile + warmup
     t0 = time.perf_counter()
@@ -180,15 +208,17 @@ def main():
     dt = (time.perf_counter() - t0) / STEPS
 
     imgs_per_sec = BATCH / dt
+    anchor = A100_ANCHOR_IMGS_PER_SEC.get(MODEL, A100_ANCHOR_IMGS_PER_SEC["sd15"])
     result = {
         "metric": (
-            f"{MODEL}-class latent train imgs/sec/chip "
-            f"(bs={BATCH}, {LATENT}x{LATENT} latents, bf16, {"remat, " if REMAT else ""}"
-            f"fused adamw-fp16 step)"
+            f"{MODEL}-class full-finetune latent train imgs/sec/chip "
+            f"(bs={BATCH}, {LATENT}x{LATENT} latents, bf16 compute, "
+            f"{'remat, ' if REMAT else ''}"
+            f"{OPTIMIZER}{', bf16+SR params' if PARAM_DTYPE else ''} step)"
         ),
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec/chip",
-        "vs_baseline": round(imgs_per_sec / A100_ANCHOR_IMGS_PER_SEC, 3),
+        "vs_baseline": round(imgs_per_sec / anchor, 3),
     }
     print(json.dumps(result))
     print(

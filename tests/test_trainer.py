@@ -204,3 +204,23 @@ def test_checkpoint_resume(tmp_path):
         int(p.name) for p in ckpt_dir.iterdir() if p.name.isdigit()
     )
     assert 4 in mgr_steps and 6 in mgr_steps
+
+
+def test_train_step_bf16_params_stochastic_rounding():
+    """param_dtype='bfloat16' + adamw_factored: the single-chip SDXL
+    memory recipe. Params stay bf16 and the loss still decreases."""
+    trainer = _tiny_trainer(
+        optimizer="adamw_factored",
+        opt_config={"weight_decay": 0.0},
+        param_dtype="bfloat16",
+        lr=1e-3,
+    )
+    batch = _latent_batch(bs=4)
+    losses = []
+    for i in range(12):
+        metrics, _ = trainer.train_step(batch, rng=jax.random.PRNGKey(i))
+        losses.append(float(metrics["train/loss"]))
+    for p in jax.tree_util.tree_leaves(trainer.state.params):
+        assert p.dtype == jnp.bfloat16
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])

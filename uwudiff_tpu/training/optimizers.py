@@ -19,7 +19,70 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["build_optimizer", "adamw_fp16_state", "AdamWFP16State"]
+__all__ = [
+    "build_optimizer",
+    "adamw_fp16_state",
+    "AdamWFP16State",
+    "adamw_factored",
+    "stochastic_round_add",
+]
+
+
+def stochastic_round_add(param: jnp.ndarray, update, key) -> jnp.ndarray:
+    """``param + update`` stochastically rounded back to bf16.
+
+    TPU-idiomatic low-memory parameter storage: keep master params in
+    bfloat16 and compensate the lost mantissa bits by rounding each
+    update stochastically (unbiased in expectation), so sub-ulp updates
+    still accumulate.  Implementation: compute in fp32, add a uniform
+    16-bit integer below the bf16 mantissa cut, truncate to bf16.
+    """
+    assert param.dtype == jnp.bfloat16, param.dtype
+    x = param.astype(jnp.float32) + jnp.asarray(update, jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    noise = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    hi = ((bits + noise) >> 16).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(hi, jnp.bfloat16)
+
+
+def adamw_factored(
+    learning_rate: float | Callable,
+    b1: float = 0.9,
+    b2: float = 0.999,  # accepted for config compat; see decay_rate note
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    min_dim_size_to_factor: int = 128,
+    moment_dtype=jnp.bfloat16,
+    decay_rate: float = 0.8,
+) -> optax.GradientTransformation:
+    """Memory-lean AdamW-style optimizer: bf16 first moment + factored
+    second moment.
+
+    The single-chip recipe for SDXL-scale (2.6B-param) full fine-tunes
+    on 16GB HBM: the second moment is stored as Adafactor-style row/col
+    statistics (negligible memory) while the first moment is kept dense
+    in ``moment_dtype``.  Combine with bf16 params + stochastic-rounding
+    updates (``DMTrainer(param_dtype="bfloat16")``).
+
+    Built from optax.adafactor configured AdamW-like: momentum=b1, no
+    per-parameter scale multiplication, no update clipping, decoupled
+    weight decay.  NOTE: the second moment uses Adafactor's
+    time-dependent decay beta2_t = 1 - t**(-decay_rate) — ``b2`` is
+    accepted for config compatibility but intentionally unused.
+    """
+    del b2
+    return optax.adafactor(
+        learning_rate=learning_rate,
+        min_dim_size_to_factor=min_dim_size_to_factor,
+        decay_rate=decay_rate,
+        multiply_by_parameter_scale=False,
+        clipping_threshold=None,
+        momentum=b1,
+        dtype_momentum=moment_dtype,
+        weight_decay_rate=weight_decay,
+        eps=max(eps, 1e-30),
+        factored=True,
+    )
 
 
 class AdamWFP16State(NamedTuple):
@@ -157,6 +220,11 @@ def build_optimizer(
         return optax.adam(learning_rate, b1=b1, b2=b2, eps=eps, **kwargs)
     if name == "adamw_fp16":
         return adamw_fp16_state(
+            learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+            **kwargs,
+        )
+    if name == "adamw_factored":
+        return adamw_factored(
             learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
             **kwargs,
         )

@@ -100,6 +100,10 @@ class DMTrainer:
     mesh_axes: dict | None = None  # e.g. {"data": 2, "fsdp": 4}
     ema_decay: float = 0.99
     seed: int = 42
+    # "bfloat16" stores trainable params in bf16 and applies optimizer
+    # updates with stochastic rounding (halves param memory; the
+    # single-chip recipe for SDXL-scale full fine-tunes). None = fp32.
+    param_dtype: str | None = None
 
     def __post_init__(self):
         mc = dict(self.model_config)
@@ -275,6 +279,12 @@ class DMTrainer:
         else:
             train_params = unet_params
 
+        if self.param_dtype is not None:
+            store_dtype = jnp.dtype(self.param_dtype)
+            train_params = jax.tree_util.tree_map(
+                lambda p: p.astype(store_dtype), train_params
+            )
+
         # shard + place
         params_sh = fsdp_param_sharding(train_params, self.mesh)
         train_params = jax.device_put(train_params, params_sh)
@@ -379,7 +389,22 @@ class DMTrainer:
         updates, new_opt_state = self.tx.update(
             grads, state.opt_state, state.params
         )
-        new_params = optax.apply_updates(state.params, updates)
+        if self.param_dtype == "bfloat16":
+            # bf16 param storage: unbiased stochastic-rounding updates
+            from uwudiff_tpu.training.optimizers import stochastic_round_add
+
+            rng_sr = jax.random.fold_in(rng, 0x5757)
+            leaves, treedef = jax.tree_util.tree_flatten(state.params)
+            upd_leaves = treedef.flatten_up_to(updates)
+            keys = jax.random.split(rng_sr, max(len(leaves), 1))
+            new_params = treedef.unflatten(
+                [
+                    stochastic_round_add(p, u, k)
+                    for p, u, k in zip(leaves, upd_leaves, keys)
+                ]
+            )
+        else:
+            new_params = optax.apply_updates(state.params, updates)
 
         # EMA with warmup-aware decay (``trainer.py:276-278``)
         step_f = state.step.astype(jnp.float32)
