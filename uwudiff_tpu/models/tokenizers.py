@@ -13,10 +13,167 @@ int arrays. Two providers:
 from __future__ import annotations
 
 import hashlib
+import json
+from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["SimpleTokenizer", "load_hf_tokenizer", "clamp_tokenizer_length"]
+__all__ = [
+    "SimpleTokenizer",
+    "CLIPBPETokenizer",
+    "load_hf_tokenizer",
+    "clamp_tokenizer_length",
+]
+
+
+@lru_cache(maxsize=1)
+def _byte_to_unicode() -> dict[int, str]:
+    """GPT-2/CLIP reversible byte<->printable-unicode table: printable
+    latin bytes map to themselves, the rest to U+0100.. codepoints."""
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    table = {b: chr(b) for b in keep}
+    shift = 0
+    for b in range(256):
+        if b not in table:
+            table[b] = chr(256 + shift)
+            shift += 1
+    return table
+
+
+class CLIPBPETokenizer:
+    """Self-contained CLIP byte-level BPE tokenizer.
+
+    Loads the standard ``vocab.json`` + ``merges.txt`` pair (the file
+    format used by every CLIP checkpoint) and reproduces the reference
+    tokenization exactly — the reference tokenizes with HF
+    ``AutoTokenizer`` CLIP vocabularies
+    (``duwu/modules/text_encoders.py:68-75``); id-equality with
+    ``transformers.CLIPTokenizer`` is asserted in
+    ``tests/test_tokenizers.py``.
+
+    Pipeline: whitespace-collapse + lowercase, CLIP's word/number/
+    punctuation regex, utf-8 bytes -> printable unicode, greedy
+    lowest-rank BPE merges with a ``</w>`` end-of-word marker, then
+    ``<|startoftext|> ids <|endoftext|>`` with truncation keeping the
+    final eos and padding to ``max_length``.
+    """
+
+    def __init__(
+        self,
+        vocab_file: str,
+        merges_file: str,
+        model_max_length: int = 77,
+        pad_token: str | None = None,  # default: eos (HF CLIP behavior)
+    ):
+        import regex
+
+        with open(vocab_file, encoding="utf-8") as f:
+            self.encoder: dict[str, int] = json.load(f)
+        with open(merges_file, encoding="utf-8") as f:
+            lines = f.read().strip().split("\n")
+        # first line is the "#version:" header
+        merges = [tuple(l.split()) for l in lines[1:] if l and len(l.split()) == 2]
+        self.merge_rank = {pair: i for i, pair in enumerate(merges)}
+
+        self.byte_enc = _byte_to_unicode()
+        self.model_max_length = model_max_length
+        self.bos_token = "<|startoftext|>"
+        self.eos_token = "<|endoftext|>"
+        self.bos_token_id = self.encoder[self.bos_token]
+        self.eos_token_id = self.encoder[self.eos_token]
+        self.pad_token = pad_token or self.eos_token
+        self.pad_token_id = self.encoder[self.pad_token]
+        self.vocab_size = len(self.encoder)
+        self._bpe_cache: dict[str, list[str]] = {}
+
+        self._pattern = regex.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+            r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+            regex.IGNORECASE,
+        )
+        self._ws = regex.compile(r"\s+")
+
+    # -- BPE ----------------------------------------------------------
+
+    def _bpe(self, token: str) -> list[str]:
+        cached = self._bpe_cache.get(token)
+        if cached is not None:
+            return cached
+        parts = list(token[:-1]) + [token[-1] + "</w>"]
+        while len(parts) > 1:
+            pairs = [(parts[i], parts[i + 1]) for i in range(len(parts) - 1)]
+            best = min(
+                pairs, key=lambda p: self.merge_rank.get(p, float("inf"))
+            )
+            if best not in self.merge_rank:
+                break
+            merged: list[str] = []
+            i = 0
+            while i < len(parts):
+                if (
+                    i + 1 < len(parts)
+                    and parts[i] == best[0]
+                    and parts[i + 1] == best[1]
+                ):
+                    merged.append(parts[i] + parts[i + 1])
+                    i += 2
+                else:
+                    merged.append(parts[i])
+                    i += 1
+            parts = merged
+        self._bpe_cache[token] = parts
+        return parts
+
+    def tokenize(self, text: str) -> list[int]:
+        """Raw BPE ids for one string, no special tokens."""
+        text = self._ws.sub(" ", text).strip().lower()
+        ids: list[int] = []
+        unk = self.encoder.get(self.eos_token)
+        for chunk in self._pattern.findall(text):
+            if chunk in (self.bos_token, self.eos_token):
+                ids.append(self.encoder[chunk])
+                continue
+            mapped = "".join(self.byte_enc[b] for b in chunk.encode("utf-8"))
+            for piece in self._bpe(mapped):
+                ids.append(self.encoder.get(piece, unk))
+        return ids
+
+    def __call__(
+        self,
+        text: str | list[str],
+        padding: bool | str = "max_length",
+        truncation: bool = True,
+        max_length: int | None = None,
+        return_tensors: str | None = None,  # accepted for API parity
+    ) -> dict[str, np.ndarray]:
+        if isinstance(text, str):
+            text = [text]
+        max_length = max_length or self.model_max_length
+        ids_batch, mask_batch = [], []
+        for t in text:
+            ids = [self.bos_token_id] + self.tokenize(t) + [self.eos_token_id]
+            if truncation and len(ids) > max_length:
+                ids = ids[: max_length - 1] + [self.eos_token_id]
+            mask = [1] * len(ids)
+            if padding in (True, "max_length", "longest"):
+                pad_n = max_length - len(ids)
+                ids += [self.pad_token_id] * pad_n
+                mask += [0] * pad_n
+            ids_batch.append(ids)
+            mask_batch.append(mask)
+        longest = max(len(i) for i in ids_batch)
+        ids_batch = [
+            i + [self.pad_token_id] * (longest - len(i)) for i in ids_batch
+        ]
+        mask_batch = [m + [0] * (longest - len(m)) for m in mask_batch]
+        return {
+            "input_ids": np.asarray(ids_batch, dtype=np.int32),
+            "attention_mask": np.asarray(mask_batch, dtype=np.int32),
+        }
 
 
 class SimpleTokenizer:
