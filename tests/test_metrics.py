@@ -102,3 +102,30 @@ def test_metric_harness():
     ]
     out = compute_metrics(configs, [1, 2, 3], prompts=["a", "b", "c"])
     assert out == {"count": 3, "with_prompts": 3}
+
+
+def test_fid_self_zero_and_noise_monotonic_inception():
+    """VERDICT r1 #3: with a deterministic-weight Inception tower, FID of
+    a set against itself is ~0 and grows monotonically with noise."""
+    import jax.numpy as jnp
+
+    from uwudiff_tpu.metrics import compute_fid
+    from uwudiff_tpu.metrics.features import inception_features
+
+    rng = np.random.default_rng(0)
+    # structured images (not iid noise) so covariances are non-trivial
+    base = rng.uniform(-1, 1, (12, 1, 1, 3)) * np.ones((12, 32, 32, 3))
+    grad = np.linspace(-0.5, 0.5, 32)[None, :, None, None]
+    images = np.clip(base * 0.5 + grad, -1, 1).astype(np.float32)
+
+    fn = inception_features()  # deterministic random init
+    fid_self = compute_fid(images, images.copy(), fn, batch_size=6)
+    assert abs(fid_self) < 1e-3, fid_self
+
+    fids = [fid_self]
+    for sigma in (0.1, 0.3):
+        noisy = np.clip(
+            images + rng.normal(0, sigma, images.shape), -1, 1
+        ).astype(np.float32)
+        fids.append(compute_fid(images, noisy, fn, batch_size=6))
+    assert fids[0] < fids[1] < fids[2], fids

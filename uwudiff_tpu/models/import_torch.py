@@ -27,6 +27,8 @@ __all__ = [
     "unet_key_map",
     "vae_key_map",
     "clip_text_key_map",
+    "clip_vision_key_map",
+    "inception_key_map",
 ]
 
 
@@ -197,6 +199,68 @@ def clip_text_key_map(our_path: str):
         if re.match(pat, our_path):
             return re.sub(pat, repl, our_path), tr
     raise KeyError(f"no torch mapping for CLIP param {our_path!r}")
+
+
+_CLIP_VISION_RULES = [
+    (r"^patch_embedding/kernel$",
+     "vision_model.embeddings.patch_embedding.weight", _t_conv),
+    (r"^class_embedding$",
+     "vision_model.embeddings.class_embedding", _identity),
+    (r"^position_embedding$",
+     "vision_model.embeddings.position_embedding.weight", _identity),
+    # NOTE: "pre_layrnorm" is the (misspelled) HF transformers key
+    (r"^pre_layernorm/scale$", "vision_model.pre_layrnorm.weight", _identity),
+    (r"^pre_layernorm/bias$", "vision_model.pre_layrnorm.bias", _identity),
+    (r"^post_layernorm/scale$",
+     "vision_model.post_layernorm.weight", _identity),
+    (r"^post_layernorm/bias$", "vision_model.post_layernorm.bias", _identity),
+    (r"^visual_projection/kernel$", "visual_projection.weight", _t_linear),
+    (r"^layers_(\d+)/layer_norm(\d)/scale$",
+     r"vision_model.encoder.layers.\1.layer_norm\2.weight", _identity),
+    (r"^layers_(\d+)/layer_norm(\d)/bias$",
+     r"vision_model.encoder.layers.\1.layer_norm\2.bias", _identity),
+    (r"^layers_(\d+)/(q|k|v|out)_proj/kernel$",
+     r"vision_model.encoder.layers.\1.self_attn.\2_proj.weight", _t_linear),
+    (r"^layers_(\d+)/(q|k|v|out)_proj/bias$",
+     r"vision_model.encoder.layers.\1.self_attn.\2_proj.bias", _identity),
+    (r"^layers_(\d+)/fc(\d)/kernel$",
+     r"vision_model.encoder.layers.\1.mlp.fc\2.weight", _t_linear),
+    (r"^layers_(\d+)/fc(\d)/bias$",
+     r"vision_model.encoder.layers.\1.mlp.fc\2.bias", _identity),
+]
+
+
+def clip_vision_key_map(our_path: str):
+    """CLIPVisionModel paths -> HF ``CLIPVisionModelWithProjection`` keys
+    (the CLIP-score tower, ``duwu/metrics/clip.py:8-33``)."""
+    for pat, repl, tr in _CLIP_VISION_RULES:
+        if re.match(pat, our_path):
+            return re.sub(pat, repl, our_path), tr
+    raise KeyError(f"no torch mapping for CLIP-vision param {our_path!r}")
+
+
+# Inception-v3: our BasicConv2d {conv/kernel, bn/{scale,bias,mean,var}}
+# maps 1:1 onto torchvision/torch-fidelity {conv.weight,
+# bn.{weight,bias,running_mean,running_var}} under the same module path.
+_INCEPTION_LEAVES = [
+    (r"conv/kernel$", "conv.weight", _t_conv),
+    (r"bn/scale$", "bn.weight", _identity),
+    (r"bn/bias$", "bn.bias", _identity),
+    (r"bn/mean$", "bn.running_mean", _identity),
+    (r"bn/var$", "bn.running_var", _identity),
+]
+
+
+def inception_key_map(our_path: str):
+    """InceptionV3Features paths -> torchvision ``inception_v3`` /
+    torch-fidelity ``pt_inception-2015-12-05`` state-dict keys
+    (the torchmetrics FID backbone, ``duwu/metrics/fid.py:17-41``)."""
+    for suffix, torch_suffix, tr in _INCEPTION_LEAVES:
+        m = re.search(suffix, our_path)
+        if m:
+            prefix = our_path[: m.start()].replace("/", ".")
+            return prefix + torch_suffix, tr
+    raise KeyError(f"no torch mapping for Inception param {our_path!r}")
 
 
 _VAE_RULES = [
