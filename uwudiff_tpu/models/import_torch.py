@@ -312,14 +312,18 @@ def vae_key_map(our_path: str):
             if key.endswith("to_out.weight"):
                 key = key.replace("to_out.weight", "to_out.0.weight")
             return key, tr or _t_conv
-    # plain conv/norm leaves after prefix rewrite (conv_in.kernel etc.)
+    # plain conv/norm leaves after prefix rewrite (conv_in.kernel etc.);
+    # the separator is "." once a block-prefix rule rewrote the path
     for suffix, torch_suffix, tr in [
         ("kernel", "weight", _t_conv),
         ("scale", "weight", _identity),
         ("bias", "bias", _identity),
     ]:
-        if path.endswith("/" + suffix):
-            return path[: -len(suffix) - 1] + "." + torch_suffix, tr
+        if path.endswith("/" + suffix) or path.endswith("." + suffix):
+            return (
+                path[: -len(suffix) - 1].replace("/", ".") + "." + torch_suffix,
+                tr,
+            )
     raise KeyError(f"no torch mapping for VAE param {our_path!r}")
 
 
