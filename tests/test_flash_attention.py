@@ -121,3 +121,43 @@ def test_gradients_with_mask_and_ragged():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_full_bias_matches_xla():
+    """[B, H, Sq, Sk] additive biases stream as [BQ, BK] blocks."""
+    q, k, v = _rand_qkv(sq=256, sk=256)
+    bias = jax.random.normal(jax.random.PRNGKey(7), (2, 2, 256, 256)) * 2.0
+    out = flash_attention(q, k, v, bias=bias, interpret=True,
+                          block_q=128, block_k=128)
+    ref = _xla_attention(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_full_bias_broadcast_heads_and_ragged():
+    """[B, 1, Sq, Sk] broadcast over heads + unaligned lengths."""
+    q, k, v = _rand_qkv(sq=200, sk=300)
+    bias = jax.random.normal(jax.random.PRNGKey(8), (2, 1, 200, 300))
+    out = flash_attention(q, k, v, bias=bias, interpret=True,
+                          block_q=128, block_k=128)
+    ref = _xla_attention(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_full_bias_qkv_gradients_match_xla():
+    """q/k/v grads with a constant full bias (bias itself has no grad by
+    design - documented kernel limitation)."""
+    q, k, v = _rand_qkv(sq=128, sk=128)
+    bias = jax.random.normal(jax.random.PRNGKey(9), (2, 2, 128, 128))
+
+    def loss_flash(q, k, v):
+        return flash_attention(
+            q, k, v, bias=bias, interpret=True, block_q=128, block_k=128
+        ).sum()
+
+    def loss_ref(q, k, v):
+        return _xla_attention(q, k, v, bias=bias).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

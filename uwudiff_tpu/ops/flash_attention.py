@@ -17,9 +17,16 @@ Design (canonical TPU tiling):
   from the saved lse and ``delta = rowsum(dO * O)``
 - logits/accumulators fp32 on the MXU (``preferred_element_type``),
   inputs bf16/fp32
-- optional additive key bias ``[B, Sk]`` (padding masks, CFG ragged
-  text); sequence padding uses -inf key bias so arbitrary lengths are
-  exact
+- additive bias, two forms sharing one kernel body (the block is
+  broadcast against the [BQ, BK] logits):
+    * key bias, anything broadcastable to ``[B, 1, 1, Sk]`` (padding
+      masks, CFG ragged text) — streamed as [1, BK] blocks, O(Sk) HBM
+    * full bias, anything broadcastable to ``[B, H, Sq, Sk]`` (e.g.
+      relative-position biases) — streamed as [BQ, BK] blocks; costs
+      O(B*H*Sq*Sk) HBM for the materialized bias but never materializes
+      logits. NOTE: the bias is treated as a constant (zero gradient) —
+      fine for masks; a *learned* bias must use the XLA path.
+  Sequence padding uses -inf key bias so arbitrary lengths are exact.
 """
 
 from __future__ import annotations
@@ -88,7 +95,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
     q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
     k_blk = k_ref[0].astype(jnp.float32)  # [BK, D]
     v_blk = v_ref[0].astype(jnp.float32)  # [BK, D]
-    b_blk = bias_ref[0, 0].astype(jnp.float32)  # [BK]
+    b_blk = bias_ref[0].astype(jnp.float32)  # [1, BK] or [BQ, BK]
 
     s = (
         jax.lax.dot_general(
@@ -96,7 +103,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + b_blk[None, :]
+        + b_blk
     )  # [BQ, BK]
     m_prev = m_scr[:]
     l_prev = l_scr[:]
@@ -120,6 +127,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
         lse_ref[0, 0] = (m_scr[:] + jnp.log(l_safe))[:, 0]
 
 
+def _bias_spec(bias3, block_q, block_k, k_axis_first: bool):
+    """BlockSpec for the bias operand: [*, 1, Sk] key biases stream
+    [1, BK] blocks; [*, Sq, Sk] full biases stream [BQ, BK] blocks.
+    ``k_axis_first``: grid is (b, k_block, q_block) (the dK/dV kernel)."""
+    rows = bias3.shape[1]
+    if rows == 1:
+        if k_axis_first:
+            return pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b, 0, j),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j),
+                            memory_space=pltpu.VMEM)
+    if k_axis_first:
+        return pl.BlockSpec((1, block_q, block_k), lambda b, j, i: (b, i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, block_q, block_k), lambda b, i, j: (b, i, j),
+                        memory_space=pltpu.VMEM)
+
+
 def _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
     bh, sq, d = q3.shape
     sk = k3.shape[1]
@@ -138,8 +163,7 @@ def _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j),
-                         memory_space=pltpu.VMEM),
+            _bias_spec(bias2, block_q, block_k, k_axis_first=False),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
@@ -187,7 +211,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     delta = delta_ref[0, 0].astype(jnp.float32)[:, None]  # [BQ, 1]
     k_blk = k_ref[0].astype(jnp.float32)  # [BK, D]
     v_blk = v_ref[0].astype(jnp.float32)  # [BK, D]
-    b_blk = bias_ref[0, 0].astype(jnp.float32)  # [BK]
+    b_blk = bias_ref[0].astype(jnp.float32)  # [1, BK] or [BQ, BK]
 
     s = (
         jax.lax.dot_general(
@@ -195,7 +219,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
             preferred_element_type=jnp.float32,
         )
         * scale
-        + b_blk[None, :]
+        + b_blk
     )
     p = jnp.exp(s - lse)  # [BQ, BK]
     dp = jax.lax.dot_general(
@@ -226,7 +250,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
     k = k_ref[0].astype(jnp.float32)  # [BK, D]
     v = v_ref[0].astype(jnp.float32)  # [BK, D]
-    bias = bias_ref[0, 0].astype(jnp.float32)[None, :]  # [1, BK]
+    bias = bias_ref[0].astype(jnp.float32)  # [1, BK] or [BQ, BK]
     q_blk = q_ref[0].astype(jnp.float32)  # [BQ, D]
     do_blk = do_ref[0].astype(jnp.float32)  # [BQ, D]
     lse_blk = lse_ref[0, 0].astype(jnp.float32)[:, None]  # [BQ, 1]
@@ -283,8 +307,7 @@ def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j),
-                         memory_space=pltpu.VMEM),
+            _bias_spec(bias2, block_q, block_k, k_axis_first=False),
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
@@ -315,8 +338,7 @@ def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b, 0, j),
-                         memory_space=pltpu.VMEM),
+            _bias_spec(bias2, block_q, block_k, k_axis_first=True),
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i),
@@ -396,14 +418,16 @@ def flash_attention(
 
         interpret = not _on_tpu()
 
-    # key bias [B, Sk]: accept None or [B, 1, 1, Sk]-style key masks
-    if bias is None:
-        bias2 = jnp.zeros((b, sk), jnp.float32)
-    else:
-        bias2 = jnp.broadcast_to(bias, (b, 1, 1, sk))[:, 0, 0, :].astype(
-            jnp.float32
-        )
-    bias2 = jnp.maximum(bias2, NEG_INF)
+    # bias: None | key bias broadcastable to [B, 1, 1, Sk] (fast path,
+    # streamed as [1, BK] blocks) | full bias broadcastable to
+    # [B, H, Sq, Sk] (streamed as [BQ, BK] blocks; constant, no grad)
+    if bias is not None:
+        bias = jnp.asarray(bias, jnp.float32)
+        while bias.ndim < 4:
+            bias = bias[None]
+    key_bias_only = bias is None or (
+        bias.shape[1] == 1 and bias.shape[2] == 1
+    )
 
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
@@ -415,13 +439,32 @@ def flash_attention(
     qp = jnp.pad(q, [(0, 0), (0, sq_p - sq), (0, 0), (0, 0)])
     kp = jnp.pad(k, [(0, 0), (0, sk_p - sk), (0, 0), (0, 0)])
     vp = jnp.pad(v, [(0, 0), (0, sk_p - sk), (0, 0), (0, 0)])
-    bias2 = jnp.pad(bias2, [(0, 0), (0, sk_p - sk)], constant_values=NEG_INF)
+
+    if key_bias_only:
+        if bias is None:
+            bias2 = jnp.zeros((b, sk), jnp.float32)
+        else:
+            bias2 = jnp.broadcast_to(bias, (b, 1, 1, sk))[:, 0, 0, :]
+        bias2 = jnp.maximum(bias2, NEG_INF)
+        bias2 = jnp.pad(
+            bias2, [(0, 0), (0, sk_p - sk)], constant_values=NEG_INF
+        )
+        bias_bh = jnp.repeat(bias2, h, axis=0)[:, None, :]  # [B*H, 1, Sk]
+    else:
+        bias4 = jnp.maximum(
+            jnp.broadcast_to(bias, (b, h, sq, sk)), NEG_INF
+        )
+        bias4 = jnp.pad(
+            bias4,
+            [(0, 0), (0, 0), (0, sq_p - sq), (0, sk_p - sk)],
+            constant_values=NEG_INF,
+        )
+        bias_bh = bias4.reshape(b * h, sq_p, sk_p)
 
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
     q3, k3, v3 = fold(qp), fold(kp), fold(vp)
-    bias_bh = jnp.repeat(bias2, h, axis=0)[:, None, :]  # [B*H, 1, Sk]
 
     out3 = _flash_core(q3, k3, v3, bias_bh, scale, block_q, block_k, interpret)
     out = out3.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
