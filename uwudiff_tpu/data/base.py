@@ -108,7 +108,17 @@ class DummyDataset(UwUBaseDataset):
 
 
 class DataLoader:
-    """Deterministic shuffling batcher with exact resume state."""
+    """Deterministic shuffling batcher with exact resume state.
+
+    Multi-host: ``shard_id``/``num_shards`` restrict each host to a
+    disjoint slice of the (identically-seeded) shuffled index order —
+    the per-host data independence the reference runs DDP with
+    (``use_distributed_sampler: False``, "each node has different
+    data", ``test_scripts/test_train.py:49-53``). ``batch_size`` is
+    per-host; the global batch is ``batch_size * num_shards``,
+    assembled on device by ``DMTrainer._put_batch`` via
+    ``jax.make_array_from_process_local_data``.
+    """
 
     def __init__(
         self,
@@ -118,6 +128,8 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = True,
         collate_fn=None,
+        shard_id: int | None = None,
+        num_shards: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -125,12 +137,25 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.collate_fn = collate_fn or type(dataset).collate
+        if (shard_id is None) != (num_shards is None):
+            raise ValueError("shard_id and num_shards must be set together")
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.epoch = 0
         self.batch_idx = 0  # next batch to yield within the epoch
 
+    def _shard_len(self) -> int:
+        n = len(self.dataset)
+        if self.num_shards is None:
+            return n
+        from uwudiff_tpu.utils import balance_sharding_index
+
+        bounds = list(balance_sharding_index(n, self.num_shards))
+        return bounds[self.shard_id][1]
+
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = self._shard_len() // self.batch_size
+        if not self.drop_last and self._shard_len() % self.batch_size:
             n += 1
         return n
 
@@ -138,6 +163,10 @@ class DataLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        if self.num_shards is not None:
+            from uwudiff_tpu.utils import balance_sharding
+
+            idx = list(balance_sharding(idx, self.num_shards))[self.shard_id]
         return idx
 
     def __iter__(self):
@@ -207,6 +236,13 @@ class TrainDataModule:
         self.setup()
         cfg = dict(self.dataloader_config)
         cfg.pop("num_workers", None)  # accepted for config parity; unused
+        if cfg.pop("shard_per_process", False):
+            # per-host disjoint shard (multi-host training); explicit
+            # shard_id/num_shards in the config win over auto-detection
+            import jax
+
+            cfg.setdefault("shard_id", jax.process_index())
+            cfg.setdefault("num_shards", jax.process_count())
         return DataLoader(self.dataset, collate_fn=self.dataset.collate, **cfg)
 
     def val_dataloader(self) -> DataLoader | None:

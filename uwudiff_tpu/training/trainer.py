@@ -435,9 +435,29 @@ class DMTrainer:
 
     def _put_batch(self, batch):
         batch = _strip_non_arrays(batch)
+        if jax.process_count() > 1:
+            return self._put_batch_multihost(batch)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), self._batch_sh), batch
         )
+
+    def _put_batch_multihost(self, batch):
+        """Assemble the global batch from per-host local batches: each
+        host contributes its loader shard (``DataLoader(shard_id=...)``)
+        and the global array is built without cross-host gathers
+        (``jax.make_array_from_process_local_data``). Global batch =
+        local batch x process_count. Degenerates to device_put at one
+        process (exercised directly by tests)."""
+        n_proc = jax.process_count()
+
+        def put(x):
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                self._batch_sh, x, global_shape
+            )
+
+        return jax.tree_util.tree_map(put, batch)
 
     def train_step(self, batch, rng=None):
         self.setup(batch)
