@@ -1,0 +1,94 @@
+"""Fused GroupNorm+SiLU kernel vs the XLA reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uwudiff_tpu.ops.groupnorm_silu import (
+    _gn_silu,
+    fused_supported,
+    group_norm_silu,
+    group_norm_silu_reference,
+)
+
+
+def _data(n=2, h=16, w=16, c=64, seed=0, dtype=jnp.float32):
+    rng = jax.random.PRNGKey(seed)
+    kx, kg, kb = jax.random.split(rng, 3)
+    x = jax.random.normal(kx, (n, h, w, c), dtype) * 2.0 + 0.5
+    gamma = jax.random.normal(kg, (c,)) * 0.2 + 1.0
+    beta = jax.random.normal(kb, (c,)) * 0.1
+    return x, gamma, beta
+
+
+def test_reference_matches_flax_groupnorm():
+    import flax.linen as nn
+
+    x, gamma, beta = _data()
+    ref = group_norm_silu_reference(x, gamma, beta, groups=32, eps=1e-5)
+    gn = nn.GroupNorm(num_groups=32, epsilon=1e-5)
+    flax_out = nn.silu(
+        gn.apply({"params": {"scale": gamma, "bias": beta}}, x)
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(flax_out), atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 16, 64), (1, 8, 8, 320), (2, 32, 32, 64)])
+def test_kernel_matches_reference(shape):
+    n, h, w, c = shape
+    x, gamma, beta = _data(n, h, w, c)
+    groups = 32
+    assert fused_supported(x, groups)
+    out = _gn_silu(x, gamma, beta, groups, 1e-5, True)  # interpret
+    ref = group_norm_silu_reference(x, gamma, beta, groups, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_kernel_chunked_stats_path():
+    # hw = 32*32 = 1024 > 512 chunk: exercises the fori_loop accumulation
+    x, gamma, beta = _data(1, 32, 32, 64)
+    out = _gn_silu(x, gamma, beta, 8, 1e-5, True)
+    ref = group_norm_silu_reference(x, gamma, beta, 8, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_kernel_bf16():
+    x, gamma, beta = _data(dtype=jnp.bfloat16)
+    out = _gn_silu(x, gamma, beta, 32, 1e-5, True)
+    ref = group_norm_silu_reference(x, gamma, beta, 32, 1e-5)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
+    )
+
+
+def test_gradients_match_reference():
+    x, gamma, beta = _data(1, 8, 8, 64)
+
+    def loss_fused(x, g, b):
+        return (_gn_silu(x, g, b, 32, 1e-5, True) ** 2).sum()
+
+    def loss_ref(x, g, b):
+        return (group_norm_silu_reference(x, g, b, 32, 1e-5) ** 2).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, gamma, beta)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_dispatch_gates():
+    x, gamma, beta = _data(c=64)
+    assert fused_supported(x, 32)
+    assert not fused_supported(x, 7)  # c % groups
+    bad = jnp.zeros((1, 600, 36))  # c % 8
+    assert not fused_supported(bad, 4)
+    huge = jnp.zeros((1, 1 << 16, 1024), jnp.float32)  # tile > VMEM
+    assert not fused_supported(huge, 32)
+    odd_hw = jnp.zeros((1, 520, 1, 64))  # hw not chunkable
+    assert not fused_supported(odd_hw, 8)
+    # dispatch on CPU silently uses the reference (no pallas)
+    out = group_norm_silu(x, gamma, beta, 32)
+    ref = group_norm_silu_reference(x, gamma, beta, 32, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -91,10 +91,33 @@ class TimestepEmbedding(nn.Module):
         return sample
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm+SiLU through the fused Pallas kernel
+    (``ops/groupnorm_silu.py``; XLA fallback off-TPU / odd shapes).
+    Param names match ``nn.GroupNorm`` (scale/bias) so checkpoints and
+    the torch import maps are unchanged."""
+
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from uwudiff_tpu.ops.groupnorm_silu import group_norm_silu
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm_silu(
+            x.astype(self.dtype), scale, bias, self.groups, self.eps
+        )
+
+
 class ResnetBlock2D(nn.Module):
     """GN -> SiLU -> conv3x3 -> (+time proj) -> GN -> SiLU -> conv3x3,
     residual with optional 1x1 shortcut. conv2 uses zero-family init
-    (``unet_patch.py:43-44`` / HDUNet exact-zero)."""
+    (``unet_patch.py:43-44`` / HDUNet exact-zero). The GN+SiLU pairs run
+    through the fused Pallas kernel (SURVEY.md §2.2 row 3)."""
 
     out_channels: int
     dropout: float = 0.0
@@ -113,10 +136,9 @@ class ResnetBlock2D(nn.Module):
         residual = hidden_states
         in_channels = hidden_states.shape[-1]
 
-        h = nn.GroupNorm(
-            num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1"
+        h = GroupNormSiLU(
+            groups=self.groups, eps=self.eps, dtype=self.dtype, name="norm1"
         )(hidden_states)
-        h = nn.silu(h)
         h = nn.Conv(
             self.out_channels,
             (3, 3),
@@ -131,10 +153,9 @@ class ResnetBlock2D(nn.Module):
             )(nn.silu(temb))
             h = h + temb_proj[:, None, None, :]
 
-        h = nn.GroupNorm(
-            num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2"
+        h = GroupNormSiLU(
+            groups=self.groups, eps=self.eps, dtype=self.dtype, name="norm2"
         )(h)
-        h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         conv2_init = (

@@ -1,0 +1,234 @@
+"""Fused GroupNorm+SiLU Pallas kernel for the ResNet hot path.
+
+TPU-native replacement for the cuDNN GroupNorm/SiLU pair inside the
+reference's diffusers UNet ResNet blocks (SURVEY.md §2.2 row 3;
+``ResnetBlock2D`` here). The fusion wins HBM bandwidth: XLA executes
+GN+SiLU as reduce(x) + normalize(x) = 2 reads + 1 write of the
+activation; this kernel keeps the [HW, C] tile resident in VMEM and
+does 1 read + 1 write.
+
+Kernel scheme (grid over batch):
+- per-channel sum / sum-of-squares over the spatial axis (sublane
+  reduction — C stays on lanes)
+- channel->group reduction and group->channel broadcast as matmuls with
+  a one-hot [C, G] indicator (avoids lane-dim reshapes Mosaic dislikes)
+- y = silu((x - mean_c) * rsqrt(var_c + eps) * gamma + beta)
+
+Backward is exact XLA autodiff of the reference formulation (the
+forward saves only (x, gamma, beta) — GN recompute is cheap), wired via
+``jax.custom_vjp``.
+
+Dispatch: ``group_norm_silu`` uses the kernel on TPU when the [HW, C]
+tile fits VMEM (covers every SDXL/SD1.5 resolution at 64x64 latents)
+and falls back to the pure-XLA path otherwise or on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["group_norm_silu", "group_norm_silu_reference", "fused_supported"]
+
+_VMEM_TILE_BYTES = 8 * 1024 * 1024
+
+
+def group_norm_silu_reference(x, gamma, beta, groups: int, eps: float):
+    """Pure-XLA GN+SiLU (the fallback and the autodiff source of truth).
+    x: [N, H, W, C] (or [N, S, C]); gamma/beta: [C]."""
+    orig_shape = x.shape
+    n, c = x.shape[0], x.shape[-1]
+    xr = x.reshape(n, -1, groups, c // groups).astype(jnp.float32)
+    mean = xr.mean(axis=(1, 3), keepdims=True)
+    var = xr.var(axis=(1, 3), keepdims=True)
+    xn = (xr - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn.reshape(n, -1, c) * gamma.astype(jnp.float32) + beta.astype(
+        jnp.float32
+    )
+    return jax.nn.silu(xn).reshape(orig_shape).astype(x.dtype)
+
+
+_STAT_CHUNK = 512  # max rows per stats-accumulation step
+
+
+def _chunk_for(hw: int) -> int | None:
+    """Row-chunk size: full tile when small, 512 when it divides evenly
+    (every UNet/VAE spatial size is a power of two, so this covers all
+    real shapes); None -> XLA fallback."""
+    if hw <= _STAT_CHUNK:
+        return hw
+    if hw % _STAT_CHUNK == 0:
+        return _STAT_CHUNK
+    return None
+
+
+def fused_supported(x, groups: int) -> bool:
+    c = x.shape[-1]
+    if c % groups or c % 8:  # keep channel lanes tileable
+        return False
+    hw = 1
+    for d in x.shape[1:-1]:
+        hw *= d
+    if _chunk_for(hw) is None:
+        return False
+    # in/out tiles must fit VMEM (stats are accumulated in row chunks,
+    # so no full-size fp32 temp exists)
+    return hw * c * x.dtype.itemsize * 2 <= _VMEM_TILE_BYTES and hw >= 8
+
+
+def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, onehot_ref, out_ref, *,
+                    eps: float, group_size: int, hw: int, chunk: int):
+    onehot = onehot_ref[...].astype(jnp.float32)  # [C, G]
+    c = onehot.shape[0]
+    denom = hw * group_size
+    n_chunks = hw // chunk
+
+    def stats_step(i, carry):
+        s1, s2 = carry
+        rows = x_ref[0, pl.ds(i * chunk, chunk)].astype(jnp.float32)
+        return s1 + jnp.sum(rows, axis=0), s2 + jnp.sum(rows * rows, axis=0)
+
+    s1, s2 = jax.lax.fori_loop(
+        0, n_chunks, stats_step,
+        (jnp.zeros((c,), jnp.float32), jnp.zeros((c,), jnp.float32)),
+    )
+    g1 = jax.lax.dot_general(  # [G] group sums
+        s1[None, :], onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]
+    g2 = jax.lax.dot_general(
+        s2[None, :], onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]
+    mean_g = g1 / denom
+    var_g = g2 / denom - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast group stats back to channels: [1, G] @ [G, C] via dot
+    # with the transposed indicator (contract the G axis of onehot)
+    mean_c = jax.lax.dot_general(
+        mean_g[None, :], onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]
+    inv_c = jax.lax.dot_general(
+        inv_g[None, :], onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]
+
+    gamma = gamma_ref[...].astype(jnp.float32)
+    beta = beta_ref[...].astype(jnp.float32)
+    scale = (inv_c * gamma)[None, :]
+    shift = (beta - mean_c * inv_c * gamma)[None, :]
+
+    def apply_step(i, _):
+        rows = x_ref[0, pl.ds(i * chunk, chunk)].astype(jnp.float32)
+        y = rows * scale + shift
+        y = y * jax.nn.sigmoid(y)
+        out_ref[0, pl.ds(i * chunk, chunk)] = y.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, apply_step, 0)
+
+
+def _gn_silu_fwd_pallas(x, gamma, beta, groups: int, eps: float,
+                        interpret: bool):
+    orig_shape = x.shape
+    n, c = x.shape[0], x.shape[-1]
+    x3 = x.reshape(n, -1, c)
+    hw = x3.shape[1]
+    group_size = c // groups
+    onehot = (
+        (jnp.arange(c)[:, None] // group_size) == jnp.arange(groups)[None, :]
+    ).astype(jnp.float32)
+
+    kwargs = {}
+    try:
+        cp = pltpu.CompilerParams(dimension_semantics=("parallel",))
+        if not interpret:
+            kwargs["compiler_params"] = cp
+    except TypeError:
+        pass
+    chunk = _chunk_for(hw)
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_silu_kernel, eps=eps, group_size=group_size, hw=hw,
+            chunk=chunk,
+        ),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, groups), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * n * hw * c,
+            bytes_accessed=2 * n * hw * c * x.dtype.itemsize,
+            transcendentals=n * hw * c,
+        ),
+        **kwargs,
+    )(x3, gamma, beta, onehot)
+    return out.reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_silu(x, gamma, beta, groups, eps, interpret):
+    return _gn_silu_fwd_pallas(x, gamma, beta, groups, eps, interpret)
+
+
+def _gn_silu_vjp_fwd(x, gamma, beta, groups, eps, interpret):
+    out = _gn_silu_fwd_pallas(x, gamma, beta, groups, eps, interpret)
+    return out, (x, gamma, beta)
+
+
+def _gn_silu_vjp_bwd(groups, eps, interpret, res, g):
+    x, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda x, gamma, beta: group_norm_silu_reference(
+            x, gamma, beta, groups, eps
+        ),
+        x, gamma, beta,
+    )
+    return vjp(g)
+
+
+_gn_silu.defvjp(_gn_silu_vjp_fwd, _gn_silu_vjp_bwd)
+
+
+def group_norm_silu(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    groups: int = 32,
+    eps: float = 1e-5,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused GroupNorm+SiLU with XLA fallback (see module docstring).
+    ``UWU_FUSED_GN=0`` forces the XLA path (bench A/B switch)."""
+    import os
+
+    from uwudiff_tpu.ops import attention as _attn
+    from uwudiff_tpu.ops.attention import _on_tpu
+
+    if os.environ.get("UWU_FUSED_GN", "1") == "0":
+        return group_norm_silu_reference(x, gamma, beta, groups, eps)
+    if _attn._flash_override is False:
+        # host-CPU tracing/init window (``flash_disabled``): no Pallas
+        return group_norm_silu_reference(x, gamma, beta, groups, eps)
+    if interpret is None:
+        on_tpu = _on_tpu()
+        if not on_tpu:
+            return group_norm_silu_reference(x, gamma, beta, groups, eps)
+        interpret = False
+    if not fused_supported(x, groups):
+        return group_norm_silu_reference(x, gamma, beta, groups, eps)
+    return _gn_silu(x, gamma, beta, groups, eps, interpret)
