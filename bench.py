@@ -68,8 +68,12 @@ def _enable_compile_cache():
 
 
 def bench_sampler():
-    """Sampler steps/sec: jitted Euler-ancestral CFG loop on the SD-class
-    UNet (the BASELINE.md 'sampler throughput' metric)."""
+    """Sampler steps/sec (the BASELINE.md 'sampler throughput' metric):
+    jitted CFG sampling loops on the SD-class UNet.
+
+    BENCH_SAMPLER=euler|dpm2, BENCH_SAMPLE_BS="1,4,8" sweeps batch
+    sizes; one JSON line for the first (bs, sampler) cell, full table on
+    stderr."""
     import time
 
     import jax
@@ -77,14 +81,23 @@ def bench_sampler():
 
     from uwudiff_tpu.diffusion import NoiseSchedule
     from uwudiff_tpu.models.unet import UNet2DConditionModel
-    from uwudiff_tpu.sampling import KDiffusionDenoiser, sample_euler_ancestral
+    from uwudiff_tpu.sampling import (
+        KDiffusionDenoiser,
+        sample_dpm2,
+        sample_euler_ancestral,
+    )
+
+    samplers = {
+        "euler": sample_euler_ancestral,
+        "dpm2": sample_dpm2,
+    }
+    names = os.environ.get("BENCH_SAMPLER", "euler").split(",")
+    bss = [int(b) for b in os.environ.get("BENCH_SAMPLE_BS", "2").split(",")]
 
     unet = UNet2DConditionModel.from_config(MODEL, dtype=jnp.bfloat16)
     sched = NoiseSchedule.sd15()
-    bs, hw, ctx_dim = 2, LATENT, unet.cross_attention_dim
+    hw, ctx_dim = LATENT, unet.cross_attention_dim
     rng = jax.random.PRNGKey(0)
-    x = jnp.zeros((bs, hw, hw, 4))
-    ctx = jnp.zeros((2 * bs, 77, ctx_dim))
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
@@ -92,49 +105,78 @@ def bench_sampler():
     from uwudiff_tpu.ops.attention import flash_disabled
 
     with jax.default_device(cpu), flash_disabled():
-        params = unet.init(rng, x[:1], jnp.zeros((1,)), ctx[:1])["params"]
+        params = unet.init(
+            rng,
+            jnp.zeros((1, hw, hw, 4)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 77, ctx_dim)),
+        )["params"]
     # commit params to the accelerator ONCE (host-committed args would
     # re-upload 3.4GB per call)
     params = jax.device_put(params, jax.devices()[0])
-    ctx = jax.device_put(ctx, jax.devices()[0])
 
     n_steps = 16
     sigmas = sched.sample_sigmas_descending(n_steps)
-
-    @jax.jit
-    def run(params, rng):
-        # params are jit ARGUMENTS (closure capture would bake 3.4GB of
-        # weights into the program as constants)
-        def cfg_model(xx, sigma, sigma_cond=None):
-            den = KDiffusionDenoiser(
-                model_fn=lambda z, t, **kw: unet.apply(
-                    {"params": params}, z, t, ctx, None, None
-                ),
-                schedule=sched,
+    first = None
+    for name in names:
+        sampler = samplers[name]
+        for bs in bss:
+            x_shape = (bs, hw, hw, 4)
+            ctx = jax.device_put(
+                jnp.zeros((2 * bs, 77, ctx_dim)), jax.devices()[0]
             )
-            out = den(
-                jnp.concatenate([xx, xx]), jnp.concatenate([sigma, sigma])
+
+            @jax.jit
+            def run(params, rng, ctx=ctx, sampler=sampler, x_shape=x_shape):
+                # params are jit ARGUMENTS (closure capture would bake
+                # 3.4GB of weights into the program as constants)
+                def cfg_model(xx, sigma, sigma_cond=None):
+                    den = KDiffusionDenoiser(
+                        model_fn=lambda z, t, **kw: unet.apply(
+                            {"params": params}, z, t, ctx, None, None
+                        ),
+                        schedule=sched,
+                    )
+                    out = den(
+                        jnp.concatenate([xx, xx]),
+                        jnp.concatenate([sigma, sigma]),
+                    )
+                    cond, uncond = jnp.split(out, 2)
+                    return uncond + (cond - uncond) * 3.0, uncond
+
+                init = jax.random.normal(rng, x_shape) * jnp.sqrt(
+                    1 + sigmas[0] ** 2
+                )
+                return sampler(cfg_model, init, sigmas, rng=rng)
+
+            run(params, rng).block_until_ready()
+            t0 = time.perf_counter()
+            reps = 3
+            for i in range(reps):
+                out = run(params, jax.random.fold_in(rng, i))
+            out.block_until_ready()
+            dt = (time.perf_counter() - t0) / reps
+            steps_per_sec = n_steps / dt
+            imgs_per_sec = bs * n_steps / dt / n_steps
+            print(
+                f"# sampler={name} bs={bs} {LATENT}x{LATENT}: "
+                f"{steps_per_sec:.2f} steps/sec "
+                f"({dt/n_steps*1000:.1f} ms/step, {imgs_per_sec:.2f} imgs/sec "
+                f"at {n_steps} steps)",
+                file=sys.stderr,
             )
-            cond, uncond = jnp.split(out, 2)
-            return uncond + (cond - uncond) * 3.0, uncond
-
-        init = jax.random.normal(rng, x.shape) * jnp.sqrt(1 + sigmas[0] ** 2)
-        return sample_euler_ancestral(cfg_model, init, sigmas, rng=rng)
-
-    run(params, rng).block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(3):
-        out = run(params, jax.random.fold_in(rng, i))
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / 3
-    steps_per_sec = n_steps / dt
-    print(json.dumps({
-        "metric": f"{MODEL}-class Euler-ancestral CFG sampler steps/sec "
-                  f"(bs={bs}, {LATENT}x{LATENT} latents, bf16, jitted loop)",
-        "value": round(steps_per_sec, 3),
-        "unit": "steps/sec",
-        "vs_baseline": 1.0,
-    }))
+            if first is None:
+                first = {
+                    "metric": (
+                        f"{MODEL}-class {name} CFG sampler steps/sec "
+                        f"(bs={bs}, {LATENT}x{LATENT} latents, bf16, "
+                        f"jitted loop)"
+                    ),
+                    "value": round(steps_per_sec, 3),
+                    "unit": "steps/sec",
+                    "vs_baseline": 1.0,
+                }
+    print(json.dumps(first))
 
 
 def main():
