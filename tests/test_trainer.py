@@ -305,3 +305,26 @@ def test_nn_weighted_checkpoint_resume(tmp_path):
         log_every=100,
     )
     assert int(trainer2.state.step) == 6
+
+
+def test_ema_weights(tmp_path):
+    """Weight EMA (ROADMAP: the extension users expect beyond the
+    reference's loss-EMA): tracks params, checkpoints, exports."""
+    trainer = _tiny_trainer(ema_weights_decay=0.5, lr=1e-2)
+    batch = _latent_batch(bs=4)
+    for i in range(5):
+        trainer.train_step(batch, rng=jax.random.PRNGKey(i))
+    p = jax.tree_util.tree_leaves(trainer.state.params)
+    e = jax.tree_util.tree_leaves(trainer.state.ema_params)
+    # EMA lags but is not equal to params, and is finite
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(p, e)]
+    assert any(d > 0 for d in diffs)
+    assert all(np.isfinite(np.asarray(x)).all() for x in e)
+    # EMA is a convex blend: stays within historical param range scale
+    out = tmp_path / "ema.npz"
+    trainer.export_params(str(out), ema=True)
+    assert out.exists()
+    # off by default: no ema_params allocated
+    t2 = _tiny_trainer()
+    t2.train_step(batch)
+    assert t2.state.ema_params is None

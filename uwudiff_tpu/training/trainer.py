@@ -52,6 +52,10 @@ class TrainState(struct.PyTreeNode):
     params: Any  # trainable params
     opt_state: Any
     ema_loss: jnp.ndarray  # f32 scalar
+    # exponential moving average of the trainable params (None unless
+    # DMTrainer(ema_weights_decay=...) — the weight-EMA users expect
+    # from diffusion trainers; the reference only EMAs the loss scalar)
+    ema_params: Any = None
 
 
 def _maybe_instantiate_module(node):
@@ -104,6 +108,10 @@ class DMTrainer:
     # updates with stochastic rounding (halves param memory; the
     # single-chip recipe for SDXL-scale full fine-tunes). None = fp32.
     param_dtype: str | None = None
+    # weight EMA: decay factor (e.g. 0.9999) or None (off). Costs one
+    # extra params copy in HBM; EMA params ride the checkpoint and are
+    # exported via export_params(ema=True).
+    ema_weights_decay: float | None = None
 
     def __post_init__(self):
         mc = dict(self.model_config)
@@ -300,6 +308,11 @@ class DMTrainer:
             params=train_params,
             opt_state=opt_state,
             ema_loss=jnp.zeros((), jnp.float32),
+            ema_params=(
+                jax.tree_util.tree_map(jnp.copy, train_params)
+                if self.ema_weights_decay is not None
+                else None
+            ),
         )
         # commit every leaf (incl. scalars, replicated) to the mesh so
         # restore/resume sees consistent shardings
@@ -411,11 +424,27 @@ class DMTrainer:
         decay = jnp.minimum(step_f / (10.0 + step_f), self.ema_decay)
         ema = decay * state.ema_loss + (1.0 - decay) * loss
 
+        ema_params = state.ema_params
+        if self.ema_weights_decay is not None and ema_params is not None:
+            # warmup-aware weight EMA (same ramp shape as the loss EMA)
+            d_w = jnp.minimum(
+                (1.0 + step_f) / (10.0 + step_f), self.ema_weights_decay
+            )
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: (
+                    d_w * e.astype(jnp.float32)
+                    + (1.0 - d_w) * p.astype(jnp.float32)
+                ).astype(e.dtype),
+                ema_params,
+                new_params,
+            )
+
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
             ema_loss=ema,
+            ema_params=ema_params,
         )
         metrics = {
             "train/loss": loss,
@@ -583,11 +612,25 @@ class DMTrainer:
         logger.close()
         return self.state
 
-    def _model_params(self):
+    def _model_params(self, ema: bool = False):
         params = self.state.params
+        if ema:
+            assert self.state.ema_params is not None, (
+                "EMA weights not enabled (set ema_weights_decay)"
+            )
+            params = self.state.ema_params
         if isinstance(params, dict) and set(params) == {"model", "loss_pred"}:
             params = params["model"]
         return params
+
+    def export_params(self, path: str, ema: bool = False):
+        """Flat .npz export of the trainable (or EMA) params."""
+        from uwudiff_tpu.training.checkpoint import save_params_npz
+
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        save_params_npz(path, self._model_params(ema=ema))
 
     def export_adapter(self, path: str):
         """Adapter-only export (LyCORIS ``lycoris_weight`` parity)."""
