@@ -1,0 +1,301 @@
+// uwu_imageio — native image-decoding runtime for uwudiff_tpu.
+//
+// GIL-free JPEG/PNG decode + aspect-preserving resize + center-crop for
+// the pixel-space training path (LocalImageDataset). PIL decode in the
+// Python loop stalls the train step at high throughput; this pool
+// decodes and preprocesses in C++ worker threads while the device
+// computes, emitting train-ready [B, H, W, 3] float32 batches in
+// [-1, 1] (the `vae_image_preprocess` convention).
+//
+// Pipeline per image (mirrors `data/utils.py::resize_and_crop_image`):
+//   decode (libjpeg / libpng) -> RGB8
+//   scale = max(tw/w, th/h); bilinear resize with area prefilter on
+//   minification (anti-aliased, PIL-comparable on natural images)
+//   center-crop to (th, tw) -> float32 /127.5 - 1
+//
+// C ABI (ctypes-friendly):
+//   uwu_img_probe(path, &w, &h)            -> 0 ok (dims only)
+//   uwu_img_load(path, th, tw, dst)        -> one image, [th,tw,3] f32
+//   uwu_imgload_start(paths, n, th, tw, bs, threads) -> ring loader
+//   uwu_imgload_next(loader, dst)          -> next [bs,th,tw,3] batch
+//   uwu_imgload_stop(loader)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct Image {
+  int w = 0, h = 0;
+  std::vector<uint8_t> rgb;  // [h, w, 3]
+};
+
+// --- JPEG ---------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  std::jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(err->jump, 1);
+}
+
+bool decode_jpeg(FILE* f, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->rgb.resize(size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->rgb.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// --- PNG (libpng16 simplified API) --------------------------------
+
+bool decode_png(const char* path, Image* out) {
+  png_image img;
+  std::memset(&img, 0, sizeof(img));
+  img.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&img, path)) return false;
+  img.format = PNG_FORMAT_RGB;
+  out->w = img.width;
+  out->h = img.height;
+  out->rgb.resize(PNG_IMAGE_SIZE(img));
+  if (!png_image_finish_read(&img, nullptr, out->rgb.data(), 0, nullptr)) {
+    png_image_free(&img);
+    return false;
+  }
+  return true;
+}
+
+bool decode_image(const char* path, Image* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  uint8_t magic[8] = {0};
+  size_t got = std::fread(magic, 1, 8, f);
+  bool ok = false;
+  if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    std::rewind(f);
+    ok = decode_jpeg(f, out);
+    std::fclose(f);
+  } else if (got >= 8 && std::memcmp(magic, "\x89PNG\r\n\x1a\n", 8) == 0) {
+    std::fclose(f);
+    ok = decode_png(path, out);
+  } else {
+    std::fclose(f);
+  }
+  return ok;
+}
+
+// --- resize + crop + normalize ------------------------------------
+
+// Area-prefiltered bilinear: kernel support scales with the minification
+// factor (PIL-style anti-aliasing); pure bilinear on magnification.
+void resize_rgb(const Image& src, int th, int tw, std::vector<float>* out) {
+  double scale = std::max(double(tw) / src.w, double(th) / src.h);
+  int rw = std::max(tw, int(std::lround(src.w * scale)));
+  int rh = std::max(th, int(std::lround(src.h * scale)));
+
+  std::vector<float> resized(size_t(rw) * rh * 3);
+  const double sx = double(src.w) / rw;  // source pixels per dst pixel
+  const double sy = double(src.h) / rh;
+  const double support_x = std::max(1.0, sx);
+  const double support_y = std::max(1.0, sy);
+
+  // separable: rows then columns
+  std::vector<float> tmp(size_t(rw) * src.h * 3);
+  for (int y = 0; y < src.h; ++y) {
+    for (int x = 0; x < rw; ++x) {
+      double cx = (x + 0.5) * sx - 0.5;
+      int x0 = int(std::floor(cx - support_x + 0.5));
+      int x1 = int(std::floor(cx + support_x + 0.5));
+      double acc[3] = {0, 0, 0}, wsum = 0;
+      for (int xx = x0; xx <= x1; ++xx) {
+        int xs = std::clamp(xx, 0, src.w - 1);
+        double d = std::abs((xx - cx) / support_x);
+        double wgt = std::max(0.0, 1.0 - d);
+        if (wgt <= 0) continue;
+        const uint8_t* p = &src.rgb[(size_t(y) * src.w + xs) * 3];
+        for (int c = 0; c < 3; ++c) acc[c] += wgt * p[c];
+        wsum += wgt;
+      }
+      float* q = &tmp[(size_t(y) * rw + x) * 3];
+      for (int c = 0; c < 3; ++c) q[c] = float(acc[c] / std::max(wsum, 1e-12));
+    }
+  }
+  for (int y = 0; y < rh; ++y) {
+    double cy = (y + 0.5) * sy - 0.5;
+    int y0 = int(std::floor(cy - support_y + 0.5));
+    int y1 = int(std::floor(cy + support_y + 0.5));
+    for (int x = 0; x < rw; ++x) {
+      double acc[3] = {0, 0, 0}, wsum = 0;
+      for (int yy = y0; yy <= y1; ++yy) {
+        int ys = std::clamp(yy, 0, src.h - 1);
+        double d = std::abs((yy - cy) / support_y);
+        double wgt = std::max(0.0, 1.0 - d);
+        if (wgt <= 0) continue;
+        const float* p = &tmp[(size_t(ys) * rw + x) * 3];
+        for (int c = 0; c < 3; ++c) acc[c] += wgt * p[c];
+        wsum += wgt;
+      }
+      float* q = &resized[(size_t(y) * rw + x) * 3];
+      for (int c = 0; c < 3; ++c) q[c] = float(acc[c] / std::max(wsum, 1e-12));
+    }
+  }
+
+  // center crop + normalize to [-1, 1]
+  int ox = (rw - tw) / 2;
+  int oy = (rh - th) / 2;
+  out->resize(size_t(th) * tw * 3);
+  for (int y = 0; y < th; ++y) {
+    const float* srow = &resized[(size_t(y + oy) * rw + ox) * 3];
+    float* drow = &(*out)[size_t(y) * tw * 3];
+    for (int i = 0; i < tw * 3; ++i) drow[i] = srow[i] / 127.5f - 1.0f;
+  }
+}
+
+bool load_one(const char* path, int th, int tw, float* dst) {
+  Image img;
+  if (!decode_image(path, &img)) return false;
+  std::vector<float> out;
+  resize_rgb(img, th, tw, &out);
+  std::memcpy(dst, out.data(), out.size() * sizeof(float));
+  return true;
+}
+
+// --- threaded batch ring (same scheme as uwu_dataio's BatchLoader) --
+
+struct ImgBatch {
+  std::vector<float> data;
+  bool ok = true;
+};
+
+struct ImgLoader {
+  std::vector<std::string> paths;
+  int th = 0, tw = 0, batch_size = 0;
+  size_t img_floats() const { return size_t(th) * tw * 3; }
+  size_t n_batches() const { return paths.size() / batch_size; }
+
+  std::map<size_t, ImgBatch> ring;
+  size_t ring_cap = 4;
+  size_t consume_cursor = 0;
+  std::mutex mu;
+  std::condition_variable cv_put, cv_get;
+  std::atomic<bool> stop{false};
+  std::atomic<size_t> next_batch{0};
+  std::vector<std::thread> workers;
+
+  void worker() {
+    while (!stop.load()) {
+      size_t b = next_batch.fetch_add(1);
+      if (b >= n_batches()) break;
+      ImgBatch batch;
+      batch.data.resize(img_floats() * batch_size);
+      for (int i = 0; i < batch_size; ++i) {
+        const auto& p = paths[b * batch_size + i];
+        if (!load_one(p.c_str(), th, tw,
+                      batch.data.data() + i * img_floats()))
+          batch.ok = false;
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_put.wait(lk, [&] {
+        return b < consume_cursor + ring_cap || stop.load();
+      });
+      if (stop.load()) break;
+      ring.emplace(b, std::move(batch));
+      cv_get.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int uwu_img_probe(const char* path, int* w, int* h) {
+  Image img;  // full decode; probe is a test/debug helper, not hot
+  if (!decode_image(path, &img)) return -1;
+  *w = img.w;
+  *h = img.h;
+  return 0;
+}
+
+int uwu_img_load(const char* path, int th, int tw, float* dst) {
+  return load_one(path, th, tw, dst) ? 0 : -1;
+}
+
+void* uwu_imgload_start(const char** paths, int n, int th, int tw,
+                        int batch_size, int n_threads) {
+  auto* il = new ImgLoader();
+  il->paths.assign(paths, paths + n);
+  il->th = th;
+  il->tw = tw;
+  il->batch_size = batch_size;
+  for (int t = 0; t < n_threads; ++t)
+    il->workers.emplace_back([il] { il->worker(); });
+  return il;
+}
+
+// blocking pop of the NEXT batch in path order; 0 ok, 1 exhausted,
+// -1 a decode in the batch failed (batch data still written)
+int uwu_imgload_next(void* loader, float* dst) {
+  auto* il = static_cast<ImgLoader*>(loader);
+  std::unique_lock<std::mutex> lk(il->mu);
+  if (il->consume_cursor >= il->n_batches()) return 1;
+  size_t want = il->consume_cursor;
+  il->cv_get.wait(lk, [&] {
+    return il->ring.count(want) > 0 || il->stop.load();
+  });
+  if (il->stop.load() && il->ring.count(want) == 0) return 1;
+  ImgBatch b = std::move(il->ring.at(want));
+  il->ring.erase(want);
+  il->consume_cursor = want + 1;
+  il->cv_put.notify_all();
+  lk.unlock();
+  std::memcpy(dst, b.data.data(), b.data.size() * sizeof(float));
+  return b.ok ? 0 : -1;
+}
+
+void uwu_imgload_stop(void* loader) {
+  auto* il = static_cast<ImgLoader*>(loader);
+  il->stop.store(true);
+  il->cv_put.notify_all();
+  il->cv_get.notify_all();
+  for (auto& w : il->workers)
+    if (w.joinable()) w.join();
+  delete il;
+}
+
+}  // extern "C"

@@ -29,16 +29,31 @@ class LocalImageDataset(UwUBaseDataset):
         image_size: tuple[int, int] = (1024, 1024),  # (W, H)
         tokenizers: Sequence = (),
         caption: str = "",
+        native_decode: bool = True,  # C++ decode pool; PIL fallback
     ):
         self.image_paths = list(image_paths)
         self.image_size = tuple(image_size)
         self.tokenizers = list(tokenizers)
         self.caption = caption
+        self.native_decode = native_decode
+        self._native_ok: bool | None = None
 
     def __len__(self):
         return len(self.image_paths)
 
     def _load_image(self, path: str) -> np.ndarray:
+        if self.native_decode and self._native_ok is not False:
+            try:
+                from uwudiff_tpu.data.native_image import decode_image
+
+                w, h = self.image_size
+                out = decode_image(path, (h, w))
+                self._native_ok = True
+                return out
+            except Exception:
+                if self._native_ok:  # was working: real decode error
+                    raise
+                self._native_ok = False  # no toolchain/libs: PIL fallback
         from PIL import Image
 
         img = Image.open(path).convert("RGB")
