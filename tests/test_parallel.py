@@ -144,3 +144,86 @@ def test_grad_accumulation_matches_large_batch():
         )
     )
     assert changed, "no update applied after grad_accum steps"
+
+
+def test_tensor_parallel_sharding_rules():
+    """Megatron-style TP: q/k/v + up-proj split output features over
+    `tensor`, out/down-proj split input features; fsdp composes on a
+    free axis; non-matching leaves keep plain FSDP."""
+    mesh = make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    params = {
+        "blocks_0": {
+            "attn1": {
+                "to_q": {"kernel": jnp.zeros((320, 320))},
+                "to_out": {
+                    "kernel": jnp.zeros((320, 320)),
+                    "bias": jnp.zeros((320,)),
+                },
+            },
+            "ff": {
+                "proj_in": {
+                    "kernel": jnp.zeros((320, 2560)),
+                    "bias": jnp.zeros((2560,)),
+                },
+                "proj_out": {"kernel": jnp.zeros((1280, 320))},
+            },
+        },
+        "conv1": {"kernel": jnp.zeros((3, 3, 320, 320))},
+    }
+    sh = fsdp_param_sharding(params, mesh, min_size=0)
+    b = sh["blocks_0"]
+    assert str(b["attn1"]["to_q"]["kernel"].spec) == (
+        "PartitionSpec('fsdp', 'tensor')"
+    )
+    assert str(b["attn1"]["to_out"]["kernel"].spec) == (
+        "PartitionSpec('tensor', 'fsdp')"
+    )
+    assert str(b["ff"]["proj_in"]["kernel"].spec) == (
+        "PartitionSpec('fsdp', 'tensor')"
+    )
+    assert str(b["ff"]["proj_in"]["bias"].spec) == "PartitionSpec('tensor',)"
+    assert str(b["ff"]["proj_out"]["kernel"].spec) == (
+        "PartitionSpec('tensor', 'fsdp')"
+    )
+    # out-proj bias: row-parallel layers keep replicated bias
+    assert "tensor" not in str(b["attn1"]["to_out"]["bias"].spec)
+    # conv kernels: no TP rule -> plain FSDP on a divisible dim
+    assert "tensor" not in str(sh["conv1"]["kernel"].spec)
+    assert "fsdp" in str(sh["conv1"]["kernel"].spec)
+
+
+def test_tensor_parallel_train_step_runs():
+    """Full DMTrainer step over a data x fsdp x tensor mesh: loss
+    finite, attention kernels actually carry the tensor axis."""
+    from uwudiff_tpu.diffusion import DiffusionLoss, NoiseSchedule
+    from uwudiff_tpu.models.unet import UNet2DConditionModel
+    from uwudiff_tpu.training import DMTrainer
+
+    trainer = DMTrainer(
+        model_config={
+            "unet": UNet2DConditionModel.from_config("tiny"),
+            "te": None,
+            "vae": None,
+        },
+        lr=1e-3,
+        use_warm_up=False,
+        loss_config=DiffusionLoss(schedule=NoiseSchedule.sdxl()),
+        mesh_axes={"data": 2, "fsdp": 2, "tensor": 2},
+        seed=0,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "sample": rng.standard_normal((8, 16, 16, 4)).astype(np.float32),
+        "ctx": rng.standard_normal((8, 7, 32)).astype(np.float32),
+        "tokenizer_outputs": [],
+    }
+    losses = []
+    for i in range(3):
+        metrics, _ = trainer.train_step(batch, rng=jax.random.PRNGKey(i))
+        losses.append(float(metrics["train/loss"]))
+    assert np.isfinite(losses).all()
+    specs = [
+        str(v.sharding.spec)
+        for v in jax.tree_util.tree_leaves(trainer.state.params)
+    ]
+    assert any("tensor" in s for s in specs), "no TP sharding applied"

@@ -2,18 +2,23 @@
 communication backend".
 
 The reference delegates DP to Lightning/NCCL (SURVEY.md §2.4). Here the
-equivalent is declarative: a ``jax.sharding.Mesh`` with ``data`` and
-``fsdp`` axes, ``NamedSharding`` annotations on the batch and the param
-pytree, and GSPMD emitting the collectives over ICI. FSDP (absent in the
-reference, SURVEY.md §2.3) falls out of the same mechanism: shard each
-large param along its largest divisible axis over ``fsdp``.
+equivalent is declarative: a ``jax.sharding.Mesh`` with ``data``,
+``fsdp`` and optional ``tensor`` axes, ``NamedSharding`` annotations on
+the batch and the param pytree, and GSPMD emitting the collectives over
+ICI. FSDP (absent in the reference, SURVEY.md §2.3) falls out of the
+same mechanism: shard each large param along its largest divisible axis
+over ``fsdp``.
 
-An optional ``tensor`` axis is reserved for megamodels (>10B); SDXL-class
-parity needs only data+fsdp.
+Tensor parallelism (the >SDXL scale-out lever) is Megatron-style rules
+keyed on param paths: attention q/k/v and MLP up-projections split
+their OUTPUT features over ``tensor`` (column parallel), out/down
+projections split their INPUT features (row parallel — GSPMD emits the
+psum). FSDP then shards a remaining free axis of the same tensor.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Any, Mapping
 
 import jax
@@ -91,19 +96,92 @@ def _fsdp_spec_for_leaf(
     return P()
 
 
+# Megatron-style tensor-parallel rules over OUR param paths
+# ("/"-joined). Value: which kernel dim carries the tensor axis —
+# "col" = output features (last dim), "row" = input features (dim 0 for
+# linear kernels [in, out]). Biases of column-parallel layers shard too.
+_TP_RULES: list[tuple[str, str]] = [
+    # UNet/DiT transformer blocks (models/transformer.py naming)
+    (r"attn\d/to_(q|k|v)/kernel$", "col"),
+    (r"attn\d/to_out/kernel$", "row"),
+    (r"ff/proj_in/kernel$", "col"),   # GEGLU up-projection
+    (r"ff/proj_out/kernel$", "row"),
+    (r"attn\d/to_(q|k|v)/bias$", "col1d"),
+    (r"ff/proj_in/bias$", "col1d"),
+    # CLIP/T5 towers (models/clip.py, t5.py naming)
+    (r"(q|k|v)_proj/kernel$", "col"),
+    (r"out_proj/kernel$", "row"),
+    (r"fc1/kernel$", "col"),
+    (r"fc2/kernel$", "row"),
+    (r"(q|k|v)_proj/bias$", "col1d"),
+    (r"fc1/bias$", "col1d"),
+]
+
+
+def _tp_spec_for_path(
+    path: str, shape: tuple[int, ...], tp_size: int
+) -> tuple[int, ...] | None:
+    """Returns the dim index carrying the tensor axis, or None."""
+    for pat, kind in _TP_RULES:
+        if re.search(pat, path):
+            if kind == "col" and len(shape) >= 2:
+                dim = len(shape) - 1
+            elif kind == "row" and len(shape) >= 2:
+                dim = 0
+            elif kind == "col1d" and len(shape) == 1:
+                dim = 0
+            else:
+                continue
+            if shape[dim] % tp_size == 0 and shape[dim] >= tp_size:
+                return (dim,)
+            return None
+    return None
+
+
 def fsdp_param_sharding(
     params: Any, mesh: Mesh, min_size: int = 2**16
 ) -> Any:
-    """NamedSharding pytree for params: FSDP over the ``fsdp`` axis
-    (replicated over ``data``). If the mesh has no fsdp axis, fully
-    replicate."""
-    if FSDP_AXIS not in mesh.axis_names or mesh.shape[FSDP_AXIS] == 1:
+    """NamedSharding pytree for params.
+
+    - ``tensor`` axis (if in the mesh, size>1): Megatron-style
+      column/row splits on attention and MLP kernels (``_TP_RULES``).
+    - ``fsdp`` axis: shard the largest remaining divisible axis of each
+      large leaf; replicate small/indivisible leaves.
+    - replicated over ``data`` always.
+    """
+    has_fsdp = FSDP_AXIS in mesh.axis_names and mesh.shape[FSDP_AXIS] > 1
+    has_tp = TENSOR_AXIS in mesh.axis_names and mesh.shape[TENSOR_AXIS] > 1
+    if not has_fsdp and not has_tp:
         rep = replicate_sharding(mesh)
         return jax.tree_util.tree_map(lambda _: rep, params)
-    fsdp_size = mesh.shape[FSDP_AXIS]
+    fsdp_size = mesh.shape[FSDP_AXIS] if has_fsdp else 1
+    tp_size = mesh.shape[TENSOR_AXIS] if has_tp else 1
 
-    def leaf_sharding(x):
-        spec = _fsdp_spec_for_leaf(tuple(x.shape), fsdp_size, min_size)
-        return NamedSharding(mesh, spec)
+    def leaf_sharding(path, x):
+        shape = tuple(x.shape)
+        spec = [None] * len(shape)
+        tp_dim = None
+        if has_tp:
+            our = "/".join(str(getattr(p, "key", p)) for p in path)
+            hit = _tp_spec_for_path(our, shape, tp_size)
+            if hit is not None:
+                tp_dim = hit[0]
+                spec[tp_dim] = TENSOR_AXIS
+        if has_fsdp and int(np.prod(shape)) >= min_size:
+            order = sorted(
+                range(len(shape)), key=lambda i: (shape[i], i), reverse=True
+            )
+            for dim in order:
+                if dim == tp_dim:
+                    continue
+                # a dim already carrying tensor can't also carry fsdp;
+                # sharded-dim remainder must still divide
+                size = shape[dim]
+                if size % fsdp_size == 0 and size >= fsdp_size:
+                    spec[dim] = FSDP_AXIS
+                    break
+        while spec and spec[-1] is None:  # canonical form, trailing-trimmed
+            spec.pop()
+        return NamedSharding(mesh, P(*spec))
 
-    return jax.tree_util.tree_map(leaf_sharding, params)
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
