@@ -213,13 +213,19 @@ def group_norm_silu(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused GroupNorm+SiLU with XLA fallback (see module docstring).
-    ``UWU_FUSED_GN=0`` forces the XLA path (bench A/B switch)."""
+
+    Default: XLA path. Measured on a v5e (SDXL bs=4 full fine-tune,
+    64x64 latents): fused 348.2 ms/step vs XLA 345.6 ms/step — XLA's own
+    GN+SiLU fusion is already bandwidth-optimal inside the large fused
+    train step, so the kernel buys nothing there. ``UWU_FUSED_GN=1``
+    enables it (useful standalone or for future shapes XLA fuses worse).
+    """
     import os
 
     from uwudiff_tpu.ops import attention as _attn
     from uwudiff_tpu.ops.attention import _on_tpu
 
-    if os.environ.get("UWU_FUSED_GN", "1") == "0":
+    if os.environ.get("UWU_FUSED_GN", "0") == "0":
         return group_norm_silu_reference(x, gamma, beta, groups, eps)
     if _attn._flash_override is False:
         # host-CPU tracing/init window (``flash_disabled``): no Pallas
