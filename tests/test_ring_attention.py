@@ -54,7 +54,7 @@ def _ring_sharded(q, k, v, key_bias=None):
 
     sharded = shard_map(
         fn, mesh=mesh, in_specs=tuple(in_specs), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     placed = [
         jax.device_put(a, NamedSharding(mesh, s))
@@ -87,7 +87,7 @@ def test_ring_attention_gradients():
     ring = shard_map(
         lambda q, k, v: ring_attention(q, k, v, axis_name="seq"),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
 
     def loss_ring(q, k, v):
