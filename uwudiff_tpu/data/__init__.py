@@ -4,5 +4,18 @@ from uwudiff_tpu.data.base import (
     TrainDataModule,
     DataLoader,
 )
+from uwudiff_tpu.data.aspect_buckets import (
+    AspectBucketDataset,
+    BucketBatchLoader,
+    make_buckets,
+)
 
-__all__ = ["UwUBaseDataset", "DummyDataset", "TrainDataModule", "DataLoader"]
+__all__ = [
+    "UwUBaseDataset",
+    "DummyDataset",
+    "TrainDataModule",
+    "DataLoader",
+    "AspectBucketDataset",
+    "BucketBatchLoader",
+    "make_buckets",
+]
