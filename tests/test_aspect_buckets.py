@@ -124,3 +124,21 @@ def test_trainer_over_multiple_buckets(image_paths):
         assert np.isfinite(float(metrics["train/loss"]))
         shapes_trained.add(batch["sample"].shape[1:3])
     assert len(shapes_trained) == 2, shapes_trained
+
+
+def test_train_data_module_returns_bucket_loader(image_paths):
+    from uwudiff_tpu.data import BucketBatchLoader, TrainDataModule
+
+    dm = TrainDataModule(
+        dataset_config={
+            "_target_": "uwudiff_tpu.data.AspectBucketDataset",
+            "image_paths": list(image_paths),
+            "buckets": [[64, 64], [96, 64], [64, 96]],
+        },
+        dataloader_config={"batch_size": 2, "seed": 0},
+    )
+    dm.set_tokenizers([])
+    loader = dm.train_dataloader()
+    assert isinstance(loader, BucketBatchLoader)
+    batch = next(iter(loader))
+    assert batch["sample"].ndim == 4

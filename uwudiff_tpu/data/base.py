@@ -236,6 +236,19 @@ class TrainDataModule:
         self.setup()
         cfg = dict(self.dataloader_config)
         cfg.pop("num_workers", None)  # accepted for config parity; unused
+        from uwudiff_tpu.data.aspect_buckets import (
+            AspectBucketDataset,
+            BucketBatchLoader,
+        )
+
+        if isinstance(self.dataset, AspectBucketDataset):
+            # bucketed datasets get the single-bucket-batch loader
+            cfg.pop("shard_per_process", None)
+            cfg.pop("shard_id", None)
+            cfg.pop("num_shards", None)
+            return BucketBatchLoader(
+                self.dataset, collate_fn=self.dataset.collate, **cfg
+            )
         if cfg.pop("shard_per_process", False):
             # per-host disjoint shard (multi-host training); explicit
             # shard_id/num_shards in the config win over auto-detection
