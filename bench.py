@@ -36,8 +36,9 @@ A100_ANCHOR_IMGS_PER_SEC = {
 MODEL = os.environ.get("BENCH_MODEL", "sdxl")
 _MODEL_DEFAULTS = {
     # model: (batch, remat, optimizer, param_dtype)
-    # sdxl measured on v5e-16GB: bs=4 -> 11.6, bs=6 -> 12.8 im/s (bs=8
-    # OOMs by 106MB); fused-GN A/B at bs=4: 348.2 vs 345.6 ms (XLA wins)
+    # sdxl measured on v5e-16GB: bs=4 -> 11.6, bs=6 -> 12.8 im/s with
+    # the fused-GN kernel (default; its chunked stats save the ~320MB
+    # that makes bs=6 fit — the XLA-GN path OOMs at bs=6)
     "sdxl": (6, "1", "adamw_factored", "bfloat16"),
     "sd15": (16, "0", "adamw_fp16", None),
 }

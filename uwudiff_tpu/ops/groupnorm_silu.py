@@ -214,18 +214,20 @@ def group_norm_silu(
 ) -> jnp.ndarray:
     """Fused GroupNorm+SiLU with XLA fallback (see module docstring).
 
-    Default: XLA path. Measured on a v5e (SDXL bs=4 full fine-tune,
-    64x64 latents): fused 348.2 ms/step vs XLA 345.6 ms/step — XLA's own
-    GN+SiLU fusion is already bandwidth-optimal inside the large fused
-    train step, so the kernel buys nothing there. ``UWU_FUSED_GN=1``
-    enables it (useful standalone or for future shapes XLA fuses worse).
+    Default: the Pallas kernel (on TPU, supported shapes). Measured on a
+    v5e (SDXL full fine-tune, 64x64 latents): step TIME is a wash at
+    bs=4 (fused 348.2 ms vs XLA 345.6 ms — XLA fuses the arithmetic
+    fine) but the kernel's chunked in-VMEM stats cut ~320MB of XLA GN
+    HLO temps, which is exactly the margin that lets bs=6 fit 16GB HBM
+    (12.8 imgs/sec/chip) while the XLA path OOMs there by 316MB.
+    ``UWU_FUSED_GN=0`` forces the XLA path.
     """
     import os
 
     from uwudiff_tpu.ops import attention as _attn
     from uwudiff_tpu.ops.attention import _on_tpu
 
-    if os.environ.get("UWU_FUSED_GN", "0") == "0":
+    if os.environ.get("UWU_FUSED_GN", "1") == "0":
         return group_norm_silu_reference(x, gamma, beta, groups, eps)
     if _attn._flash_override is False:
         # host-CPU tracing/init window (``flash_disabled``): no Pallas
