@@ -26,8 +26,13 @@ __all__ = ["gaussian_stats", "frechet_distance", "compute_fid", "batched_feature
 
 def gaussian_stats(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     feats = np.asarray(features, np.float64)
+    if feats.shape[0] < 2:
+        raise ValueError(
+            f"FID needs >= 2 samples per set to estimate a covariance, "
+            f"got {feats.shape[0]}"
+        )
     mu = feats.mean(axis=0)
-    sigma = np.cov(feats, rowvar=False)
+    sigma = np.atleast_2d(np.cov(feats, rowvar=False))
     return mu, sigma
 
 
