@@ -101,6 +101,25 @@ def bench_sampler():
     sched = NoiseSchedule.sd15()
     hw, ctx_dim = LATENT, unet.cross_attention_dim
     rng = jax.random.PRNGKey(0)
+
+    def added_cond_for(n):
+        # SDXL micro-conditioning for text_time models; None otherwise
+        if getattr(unet, "addition_embed_type", None) != "text_time":
+            return None
+        pooled_dim = (
+            unet.projection_class_embeddings_input_dim
+            - 6 * unet.addition_time_embed_dim
+        )
+        return {
+            "time_ids": jnp.tile(
+                jnp.asarray(
+                    [[1024.0, 1024, 0, 0, 1024, 1024]], jnp.float32
+                ),
+                (n, 1),
+            ),
+            "text_embeds": jnp.zeros((n, pooled_dim), jnp.float32),
+        }
+
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
@@ -113,6 +132,8 @@ def bench_sampler():
             jnp.zeros((1, hw, hw, 4)),
             jnp.zeros((1,)),
             jnp.zeros((1, 77, ctx_dim)),
+            None,
+            added_cond_for(1),
         )["params"]
     # commit params to the accelerator ONCE (host-committed args would
     # re-upload 3.4GB per call)
@@ -136,7 +157,8 @@ def bench_sampler():
                 def cfg_model(xx, sigma, sigma_cond=None):
                     den = KDiffusionDenoiser(
                         model_fn=lambda z, t, **kw: unet.apply(
-                            {"params": params}, z, t, ctx, None, None
+                            {"params": params}, z, t, ctx, None,
+                            added_cond_for(z.shape[0]),
                         ),
                         schedule=sched,
                     )

@@ -106,3 +106,57 @@ def test_batching_server_nearest_bucket():
     srv = BatchingServer(pipeline=None, buckets=[(1024, 1024), (1280, 768)])
     assert srv.nearest_bucket(1000, 1000) == (1024, 1024)
     assert srv.nearest_bucket(1344, 700) == (1280, 768)
+
+
+def test_batching_server_seed_isolation_and_stop_drains():
+    """Different seeds never share a batch (seed is in the group key);
+    stop() fails leftover futures instead of hanging their waiters;
+    partial groups are padded to the single warmed batch size."""
+    import time
+
+    from uwudiff_tpu.serving import BatchingServer, Request
+
+    calls = []
+
+    class FakePipeline:
+        def __call__(self, prompt, neg_prompt, num_steps, num_samples,
+                     cfg_scale, width, height, seed, return_latents):
+            calls.append({"n": num_samples, "seed": seed,
+                          "prompts": list(prompt)})
+            time.sleep(0.05)
+            return [np.full((2, 2, 4), seed, np.float32)
+                    for _ in range(num_samples)]
+
+    server = BatchingServer(
+        FakePipeline(), buckets=[(64, 64)], max_batch=4, max_wait_s=0.2
+    ).start()
+    try:
+        f1 = server.submit(Request(prompt="a", seed=1, return_latents=True))
+        f2 = server.submit(Request(prompt="b", seed=2, return_latents=True))
+        r1 = f1.result(timeout=30)
+        r2 = f2.result(timeout=30)
+    finally:
+        server.stop()
+    # two groups ran (seeds differ), both padded to max_batch
+    assert len(calls) == 2
+    assert all(c["n"] == 4 for c in calls)
+    assert {c["seed"] for c in calls} == {1, 2}
+    assert float(r1[0, 0, 0]) == 1.0 and float(r2[0, 0, 0]) == 2.0
+
+    # stop() with work still queued: futures must resolve (not hang)
+    server2 = BatchingServer(
+        FakePipeline(), buckets=[(64, 64)], max_batch=2, max_wait_s=0.01
+    ).start()
+    futs = [
+        server2.submit(Request(prompt=str(i), seed=9, return_latents=True))
+        for i in range(10)
+    ]
+    server2.stop()
+    done = 0
+    for f in futs:
+        try:
+            f.result(timeout=10)
+            done += 1
+        except Exception:
+            done += 1  # failed-fast is acceptable; hanging is not
+    assert done == 10

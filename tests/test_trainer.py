@@ -328,3 +328,34 @@ def test_ema_weights(tmp_path):
     t2 = _tiny_trainer()
     t2.train_step(batch)
     assert t2.state.ema_params is None
+
+
+def test_ema_weights_track_under_bf16_sr_params():
+    """bf16 EMA storage must use stochastic rounding or sub-ulp
+    increments freeze it (code-review r2 finding)."""
+    trainer = _tiny_trainer(
+        optimizer="adamw_factored",
+        opt_config={"weight_decay": 0.0},
+        param_dtype="bfloat16",
+        ema_weights_decay=0.999,  # tiny per-step increments
+        lr=1e-2,
+    )
+    batch = _latent_batch(bs=4)
+    initial = None
+    for i in range(15):
+        trainer.train_step(batch, rng=jax.random.PRNGKey(i))
+        if initial is None:
+            initial = jax.tree_util.tree_map(
+                np.asarray, trainer.state.ema_params
+            )
+    moved = 0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(initial),
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, trainer.state.ema_params)
+        ),
+    ):
+        moved += int((np.asarray(a) != np.asarray(b)).sum())
+    assert moved > 0, "bf16 EMA froze (no element ever moved)"
+    for p in jax.tree_util.tree_leaves(trainer.state.ema_params):
+        assert p.dtype == jnp.bfloat16

@@ -102,15 +102,18 @@ class AspectBucketDataset(UwUBaseDataset):
 
     @staticmethod
     def _probe(path: str) -> tuple[int, int]:
+        # PIL reads only the header for .size — O(KB) per file; the
+        # native probe fully decodes and is NOT suitable for scanning a
+        # large corpus at init
         try:
-            from uwudiff_tpu.data.native_image import probe_image
-
-            return probe_image(path)
-        except Exception:
             from PIL import Image
 
             with Image.open(path) as im:
                 return im.size
+        except Exception:
+            from uwudiff_tpu.data.native_image import probe_image
+
+            return probe_image(path)
 
     def set_tokenizers(self, tokenizers):
         super().set_tokenizers(tokenizers)

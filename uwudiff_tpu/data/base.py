@@ -145,13 +145,14 @@ class DataLoader:
         self.batch_idx = 0  # next batch to yield within the epoch
 
     def _shard_len(self) -> int:
+        """Per-host shard length, truncated to the MINIMUM across hosts
+        so every host sees identical epoch/batch counts — unequal
+        lengths would desynchronize host epochs and break shard
+        disjointness (each host would shuffle a different epoch)."""
         n = len(self.dataset)
         if self.num_shards is None:
             return n
-        from uwudiff_tpu.utils import balance_sharding_index
-
-        bounds = list(balance_sharding_index(n, self.num_shards))
-        return bounds[self.shard_id][1]
+        return n // self.num_shards
 
     def __len__(self):
         n = self._shard_len() // self.batch_size
@@ -167,6 +168,7 @@ class DataLoader:
             from uwudiff_tpu.utils import balance_sharding
 
             idx = list(balance_sharding(idx, self.num_shards))[self.shard_id]
+            idx = idx[: self._shard_len()]  # equal length on every host
         return idx
 
     def __iter__(self):
@@ -243,9 +245,17 @@ class TrainDataModule:
 
         if isinstance(self.dataset, AspectBucketDataset):
             # bucketed datasets get the single-bucket-batch loader
-            cfg.pop("shard_per_process", None)
-            cfg.pop("shard_id", None)
-            cfg.pop("num_shards", None)
+            if (
+                cfg.pop("shard_per_process", False)
+                or cfg.pop("num_shards", None)
+                or cfg.pop("shard_id", None) is not None
+            ):
+                # silently ignoring the shard request would feed every
+                # host the identical batch stream (duplicated data)
+                raise NotImplementedError(
+                    "per-host sharding is not implemented for "
+                    "aspect-bucketed datasets yet"
+                )
             return BucketBatchLoader(
                 self.dataset, collate_fn=self.dataset.collate, **cfg
             )

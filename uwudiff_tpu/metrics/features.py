@@ -94,10 +94,14 @@ def inception_features(
                 (1, FID_INPUT_SIZE, FID_INPUT_SIZE, 3)
             )
         n = images.shape[0]
+        # antialias=False: torch-fidelity / torchmetrics resize with
+        # plain (non-antialiased) bilinear F.interpolate — the default
+        # AA prefilter would shift pool3 features off the protocol
         images = jax.image.resize(
             images.astype(jnp.float32),
             (n, FID_INPUT_SIZE, FID_INPUT_SIZE, images.shape[-1]),
             method="bilinear",
+            antialias=False,
         )
         return model.apply({"params": state["params"]}, images)
 

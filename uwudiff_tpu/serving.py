@@ -241,7 +241,9 @@ class BatchingServer:
 
     def _group_key(self, r: Request):
         w, h = self.nearest_bucket(r.width, r.height)
-        return (w, h, r.num_steps, r.cfg_scale, r.return_latents)
+        # seed is part of the key: one batch shares one rng stream, so
+        # grouping different seeds would silently ignore them
+        return (w, h, r.num_steps, r.cfg_scale, r.return_latents, r.seed)
 
     def _loop(self):
         import time as _time
@@ -276,20 +278,41 @@ class BatchingServer:
             pending = [p for p in pending if p not in group]
             self._run_group(key0, group)
 
+        # drained by shutdown: fail any leftovers instead of hanging
+        # their waiters forever
+        leftovers = pending
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                leftovers.append(item)
+        for _, fut in leftovers:
+            if not fut.done():
+                fut.set_exception(RuntimeError("BatchingServer stopped"))
+
     def _run_group(self, key, group):
-        (w, h, steps, cfg, return_latents) = key
+        (w, h, steps, cfg, return_latents, seed) = key
         reqs = [r for r, _ in group]
         futs = [f for _, f in group]
+        # pad to the warmed batch size so partial groups reuse the
+        # precompiled (w, h, max_batch) signature instead of cold-
+        # compiling one program per group size
+        n_real = len(reqs)
+        pad = self.max_batch - n_real
+        prompts = [r.prompt for r in reqs] + [reqs[-1].prompt] * pad
+        negs = [r.neg_prompt for r in reqs] + [reqs[-1].neg_prompt] * pad
         try:
             out = self.pipeline(
-                prompt=[r.prompt for r in reqs],
-                neg_prompt=[r.neg_prompt for r in reqs],
+                prompt=prompts,
+                neg_prompt=negs,
                 num_steps=steps,
-                num_samples=len(reqs),
+                num_samples=self.max_batch,
                 cfg_scale=cfg,
                 width=w,
                 height=h,
-                seed=reqs[0].seed,  # batch shares one rng stream
+                seed=seed,
                 return_latents=return_latents,
             )
             for i, fut in enumerate(futs):

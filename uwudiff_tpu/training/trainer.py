@@ -430,14 +430,39 @@ class DMTrainer:
             d_w = jnp.minimum(
                 (1.0 + step_f) / (10.0 + step_f), self.ema_weights_decay
             )
-            ema_params = jax.tree_util.tree_map(
-                lambda e, p: (
-                    d_w * e.astype(jnp.float32)
-                    + (1.0 - d_w) * p.astype(jnp.float32)
-                ).astype(e.dtype),
-                ema_params,
-                new_params,
-            )
+
+            if self.param_dtype == "bfloat16":
+                # bf16 EMA storage: the per-step increment is sub-ulp
+                # once ema~params, so round stochastically (same reason
+                # params do) or the EMA silently freezes
+                from uwudiff_tpu.training.optimizers import (
+                    stochastic_round_add,
+                )
+
+                rng_ema = jax.random.fold_in(rng, 0x5858)
+                leaves, treedef = jax.tree_util.tree_flatten(ema_params)
+                p_leaves = treedef.flatten_up_to(new_params)
+                keys = jax.random.split(rng_ema, max(len(leaves), 1))
+                ema_params = treedef.unflatten(
+                    [
+                        stochastic_round_add(
+                            e,
+                            (1.0 - d_w)
+                            * (p.astype(jnp.float32) - e.astype(jnp.float32)),
+                            k,
+                        )
+                        for e, p, k in zip(leaves, p_leaves, keys)
+                    ]
+                )
+            else:
+                ema_params = jax.tree_util.tree_map(
+                    lambda e, p: (
+                        d_w * e.astype(jnp.float32)
+                        + (1.0 - d_w) * p.astype(jnp.float32)
+                    ).astype(e.dtype),
+                    ema_params,
+                    new_params,
+                )
 
         new_state = state.replace(
             step=state.step + 1,
