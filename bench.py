@@ -35,16 +35,19 @@ A100_ANCHOR_IMGS_PER_SEC = {
 # params + stochastic rounding + factored-second-moment AdamW.
 MODEL = os.environ.get("BENCH_MODEL", "sdxl")
 _MODEL_DEFAULTS = {
-    # model: (batch, remat, optimizer, param_dtype)
-    # sdxl measured on v5e-16GB: bs=4 -> 11.6, bs=6 -> 12.8 im/s with
-    # the fused-GN kernel (default; its chunked stats save the ~320MB
-    # that makes bs=6 fit — the XLA-GN path OOMs at bs=6)
-    "sdxl": (6, "1", "adamw_factored", "bfloat16"),
-    "sd15": (16, "0", "adamw_fp16", None),
+    # model: (batch, remat, optimizer, param_dtype, fused_gn)
+    # sdxl on v5e-16GB: bs=6 -> 13.3 im/s with the fused-GN kernel
+    # (under remat its chunked stats cut the temps that let bs=6 fit;
+    # the XLA-GN path OOMs there by 316MB).
+    # sd15 runs WITHOUT remat, where the GN custom_vjp pins extra
+    # activations instead (bs=16 OOMs by 2.5GB fused) -> XLA GN.
+    "sdxl": (6, "1", "adamw_factored", "bfloat16", "1"),
+    "sd15": (16, "0", "adamw_fp16", None, "0"),
 }
-_DEF_BATCH, _DEF_REMAT, _DEF_OPT, _DEF_PDTYPE = _MODEL_DEFAULTS.get(
-    MODEL, (8, "0", "adamw_fp16", None)
+_DEF_BATCH, _DEF_REMAT, _DEF_OPT, _DEF_PDTYPE, _DEF_GN = _MODEL_DEFAULTS.get(
+    MODEL, (8, "0", "adamw_fp16", None, "1")
 )
+os.environ.setdefault("UWU_FUSED_GN", _DEF_GN)
 BATCH = int(os.environ.get("BENCH_BATCH", str(_DEF_BATCH)))
 LATENT = int(os.environ.get("BENCH_LATENT", "64"))  # 64 -> 512px images
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))

@@ -219,8 +219,14 @@ def group_norm_silu(
     bs=4 (fused 348.2 ms vs XLA 345.6 ms — XLA fuses the arithmetic
     fine) but the kernel's chunked in-VMEM stats cut ~320MB of XLA GN
     HLO temps, which is exactly the margin that lets bs=6 fit 16GB HBM
-    (12.8 imgs/sec/chip) while the XLA path OOMs there by 316MB.
-    ``UWU_FUSED_GN=0`` forces the XLA path.
+    (13.3 imgs/sec/chip) while the XLA path OOMs there by 316MB.
+
+    CAVEAT (measured): the win holds UNDER REMAT. In no-remat training
+    the custom_vjp pins its (x, gamma, beta) residuals where XLA's own
+    autodiff would have rematerialized/fused them — SD1.5 bs=16
+    no-remat OOMs by 2.5GB fused vs 34 imgs/sec XLA. Set
+    ``UWU_FUSED_GN=0`` for no-remat runs (bench.py does this per
+    model).
     """
     import os
 
