@@ -60,6 +60,9 @@ PARAM_DTYPE = os.environ.get("BENCH_PARAM_DTYPE", _DEF_PDTYPE or "") or None
 _REMAT_ENV = os.environ.get("BENCH_REMAT", _DEF_REMAT)
 REMAT = _REMAT_ENV != "0"
 REMAT_POLICY = None if _REMAT_ENV in ("0", "1") else _REMAT_ENV
+# global-norm clipping keeps the whole bf16 grad tree live at once
+# (~5.1GB for SDXL); "0" disables it so XLA frees grads per-leaf
+GRAD_CLIP = float(os.environ.get("BENCH_GRAD_CLIP", "1.0")) or None
 
 
 def _enable_compile_cache():
@@ -234,7 +237,7 @@ def main():
         opt_config={"weight_decay": 0.01, "betas": (0.9, 0.999)},
         use_warm_up=False,
         loss_config=DiffusionLoss(schedule=NoiseSchedule.sd15()),
-        grad_clip=1.0,
+        grad_clip=GRAD_CLIP,
         param_dtype=PARAM_DTYPE,
         seed=0,
     )
