@@ -287,7 +287,8 @@ def main():
             f"{MODEL}-class full-finetune latent train imgs/sec/chip "
             f"(bs={BATCH}, {LATENT}x{LATENT} latents, bf16 compute, "
             f"{'remat, ' if REMAT else ''}"
-            f"{OPTIMIZER}{', bf16+SR params' if PARAM_DTYPE else ''} step)"
+            f"{OPTIMIZER}{', bf16+SR params' if PARAM_DTYPE else ''}"
+            f"{', no grad clip' if GRAD_CLIP is None else ''} step)"
         ),
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec/chip",
