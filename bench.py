@@ -35,17 +35,21 @@ A100_ANCHOR_IMGS_PER_SEC = {
 # params + stochastic rounding + factored-second-moment AdamW.
 MODEL = os.environ.get("BENCH_MODEL", "sdxl")
 _MODEL_DEFAULTS = {
-    # model: (batch, remat, optimizer, param_dtype, fused_gn)
-    # sdxl on v5e-16GB: bs=6 -> 13.3 im/s with the fused-GN kernel
-    # (under remat its chunked stats cut the temps that let bs=6 fit;
-    # the XLA-GN path OOMs there by 316MB).
+    # model: (batch, remat, optimizer, param_dtype, fused_gn, grad_clip)
+    # sdxl on v5e-16GB: bs=6+clip -> 13.3, bs=8 WITHOUT global-norm
+    # clipping -> 15.9 im/s (the global norm pins the whole 5.1GB grad
+    # tree; without it XLA frees grads per-leaf; per-leaf update-RMS
+    # clipping via adamw_factored(clipping_threshold=...) is the
+    # memory-free stability substitute). Fused-GN kernel on: under
+    # remat its chunked stats cut the temps (XLA-GN OOMs at bs>=6).
     # sd15 runs WITHOUT remat, where the GN custom_vjp pins extra
     # activations instead (bs=16 OOMs by 2.5GB fused) -> XLA GN.
-    "sdxl": (6, "1", "adamw_factored", "bfloat16", "1"),
-    "sd15": (16, "0", "adamw_fp16", None, "0"),
+    "sdxl": (8, "1", "adamw_factored", "bfloat16", "1", "0"),
+    "sd15": (16, "0", "adamw_fp16", None, "0", "1.0"),
 }
-_DEF_BATCH, _DEF_REMAT, _DEF_OPT, _DEF_PDTYPE, _DEF_GN = _MODEL_DEFAULTS.get(
-    MODEL, (8, "0", "adamw_fp16", None, "1")
+(_DEF_BATCH, _DEF_REMAT, _DEF_OPT, _DEF_PDTYPE, _DEF_GN,
+ _DEF_CLIP) = _MODEL_DEFAULTS.get(
+    MODEL, (8, "0", "adamw_fp16", None, "1", "1.0")
 )
 os.environ.setdefault("UWU_FUSED_GN", _DEF_GN)
 BATCH = int(os.environ.get("BENCH_BATCH", str(_DEF_BATCH)))
@@ -62,7 +66,7 @@ REMAT = _REMAT_ENV != "0"
 REMAT_POLICY = None if _REMAT_ENV in ("0", "1") else _REMAT_ENV
 # global-norm clipping keeps the whole bf16 grad tree live at once
 # (~5.1GB for SDXL); "0" disables it so XLA frees grads per-leaf
-GRAD_CLIP = float(os.environ.get("BENCH_GRAD_CLIP", "1.0")) or None
+GRAD_CLIP = float(os.environ.get("BENCH_GRAD_CLIP", _DEF_CLIP)) or None
 
 
 def _enable_compile_cache():

@@ -54,6 +54,7 @@ def adamw_factored(
     min_dim_size_to_factor: int = 128,
     moment_dtype=jnp.bfloat16,
     decay_rate: float = 0.8,
+    clipping_threshold: float | None = None,
 ) -> optax.GradientTransformation:
     """Memory-lean AdamW-style optimizer: bf16 first moment + factored
     second moment.
@@ -65,10 +66,16 @@ def adamw_factored(
     updates (``DMTrainer(param_dtype="bfloat16")``).
 
     Built from optax.adafactor configured AdamW-like: momentum=b1, no
-    per-parameter scale multiplication, no update clipping, decoupled
-    weight decay.  NOTE: the second moment uses Adafactor's
-    time-dependent decay beta2_t = 1 - t**(-decay_rate) — ``b2`` is
-    accepted for config compatibility but intentionally unused.
+    per-parameter scale multiplication, decoupled weight decay.  NOTE:
+    the second moment uses Adafactor's time-dependent decay
+    beta2_t = 1 - t**(-decay_rate) — ``b2`` is accepted for config
+    compatibility but intentionally unused.
+
+    ``clipping_threshold`` enables Adafactor's PER-LEAF update-RMS
+    clipping — the memory-free substitute for global-norm gradient
+    clipping, which forces the entire gradient tree live at once
+    (~5.1GB for SDXL; measured as the difference between bs=6 and bs=8
+    fitting a 16GB chip).
     """
     del b2
     return optax.adafactor(
@@ -76,7 +83,7 @@ def adamw_factored(
         min_dim_size_to_factor=min_dim_size_to_factor,
         decay_rate=decay_rate,
         multiply_by_parameter_scale=False,
-        clipping_threshold=None,
+        clipping_threshold=clipping_threshold,
         momentum=b1,
         dtype_momentum=moment_dtype,
         weight_decay_rate=weight_decay,
