@@ -64,6 +64,13 @@ class TorchOracle:
             (1 - self.alphas_cumprod) / self.alphas_cumprod
         )
         self.all_snr = self.alphas_cumprod / (1 - self.alphas_cumprod)
+        # Anchor the oracle to published diffusers SDXL EulerDiscreteScheduler
+        # constants (neither side's author wrote these): sigma_max ~ 14.6146,
+        # sigma_min ~ 0.029168, alphas_cumprod endpoints.
+        assert abs(float(self.sigmas[-1]) - 14.6146) < 5e-4, float(self.sigmas[-1])
+        assert abs(float(self.sigmas[0]) - 0.0291675) < 1e-6, float(self.sigmas[0])
+        assert abs(float(self.alphas_cumprod[0]) - 0.99915) < 1e-6
+        assert abs(float(self.alphas_cumprod[-1]) - 0.0046601) < 1e-6
         self.prediction_type = prediction_type
         self.target_type = target_type or prediction_type
 

@@ -148,6 +148,47 @@ def test_rf_sigma_schedule():
     np.testing.assert_allclose(sig[0], 100.0, rtol=1e-5)
 
 
+def test_rf_sigma_schedule_golden_values():
+    """Pin the RF schedule arithmetic to golden values so the logit-space
+    reformulation stays value-equal to the reference's time-space math."""
+    from uwudiff_tpu.sampling.get_sigmas import sigmoid_time, sigmoid_time_scale
+
+    np.testing.assert_allclose(
+        get_sigmas_for_rf(8, 14.6, 0.02),
+        [14.600000000000001, 4.597889182058046, 2.4109324758842448,
+         1.4527167630057805, 0.9148014440433212, 0.5703923019985196,
+         0.33099121706399, 0.15492651061513335, 0.02],
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        get_sigmas_for_rf(6, 10.0, 0.0, time_disc_func=sigmoid_time),
+        [9.9999999999999964e+00, 1.0000016666763891e+00,
+         1.0000033333555559e-01, 1.0000050000375002e-02,
+         1.0000066667222236e-03, 1.0000083334097235e-04,
+         1.0000100001000010e-05],
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        get_sigmas_for_rf(6, 10.0, 0.05, time_disc_func=sigmoid_time_scale),
+        [10.00000000000001, 7.6849794373184475, 3.4686093778365272,
+         0.9170124481327799, 0.2202461619902123, 0.0774135387255854, 0.05],
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        sigmoid_time(0.0, 0.9, 5),
+        [1.0000000000000001e-05, 1.5516171998369727e-04,
+         2.4024534523211195e-03, 3.6025721610807589e-02,
+         3.6707089094604695e-01, 9.0000000000000013e-01],
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        sigmoid_time_scale(0.1, 0.9, 5, rho=4),
+        [0.1, 0.21793398738777706, 0.3963356960231885,
+         0.6036643039768117, 0.7820660126122233, 0.9],
+        rtol=1e-12,
+    )
+
+
 def _tiny_pipeline():
     from uwudiff_tpu.models.text_encoders import (
         ConcatTextEncoders,
