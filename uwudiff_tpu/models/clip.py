@@ -33,6 +33,11 @@ def quick_gelu(x):
 
 _ACTS = {"quick_gelu": quick_gelu, "gelu": nn.gelu}
 
+# HF CLIP's layer_norm_eps (flax's default is 1e-6 — a measurable
+# divergence vs transformers at small hidden sizes; caught by
+# tests/test_text_tower_import.py).
+_LN_EPS = 1e-5
+
 
 class _CLIPLayer(nn.Module):
     hidden_size: int
@@ -43,7 +48,7 @@ class _CLIPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias):
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm1")(x)
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="layer_norm1")(x)
         head_dim = self.hidden_size // self.num_heads
         b, s, _ = h.shape
         q = nn.Dense(self.hidden_size, dtype=self.dtype, name="q_proj")(h)
@@ -57,7 +62,7 @@ class _CLIPLayer(nn.Module):
         attn = nn.Dense(self.hidden_size, dtype=self.dtype, name="out_proj")(attn)
         x = x + attn
 
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="layer_norm2")(x)
         h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(h)
         h = _ACTS[self.hidden_act](h)
         h = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(h)
@@ -126,23 +131,23 @@ class CLIPTextModel(nn.Module):
             )(x, bias)
             hidden_states.append(x)
 
-        final_ln = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")
+        final_ln = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="final_layer_norm")
         last_hidden = final_ln(x)
         embedding = hidden_states[layer_idx]
         # SD1/2 `normed_embedding` (``text_encoders.py:185-186``): the
         # final LN re-applied to the selected hidden state.
         normed_embedding = final_ln(embedding)
 
-        # pooled: hidden at the EOS position
+        # pooled: hidden at the EOS position. HF convention
+        # (transformers CLIPTextModel.forward): with no explicit eos id the
+        # EOS is the highest token id, located by argmax(input_ids); with an
+        # explicit id it is the FIRST occurrence (pad tokens may repeat the
+        # eos id after it). jnp.argmax returns the first max index in both.
         if self.eos_token_id is None:
             eos_pos = jnp.argmax(input_ids, axis=-1)
         else:
             is_eos = input_ids == self.eos_token_id
-            eos_pos = jnp.argmax(
-                is_eos.astype(jnp.int32)
-                * jnp.arange(1, s + 1, dtype=jnp.int32)[None, :],
-                axis=-1,
-            )
+            eos_pos = jnp.argmax(is_eos.astype(jnp.int32), axis=-1)
         pooled = last_hidden[jnp.arange(b), eos_pos]
         text_embeds = None
         if self.projection_dim is not None:
@@ -213,7 +218,7 @@ class CLIPVisionModel(nn.Module):
             (n_pos, self.hidden_size),
         )
         x = x + pos[None].astype(self.dtype)
-        x = nn.LayerNorm(dtype=self.dtype, name="pre_layernorm")(x)
+        x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="pre_layernorm")(x)
         for i in range(self.num_layers):
             x = _CLIPLayer(
                 hidden_size=self.hidden_size,
@@ -223,7 +228,7 @@ class CLIPVisionModel(nn.Module):
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, None)
-        pooled = nn.LayerNorm(dtype=self.dtype, name="post_layernorm")(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="post_layernorm")(x[:, 0])
         return nn.Dense(
             self.projection_dim,
             use_bias=False,

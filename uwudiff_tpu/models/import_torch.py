@@ -28,7 +28,10 @@ __all__ = [
     "vae_key_map",
     "clip_text_key_map",
     "clip_vision_key_map",
+    "t5_key_map",
     "inception_key_map",
+    "stack_block_params",
+    "unstack_block_params",
 ]
 
 
@@ -108,6 +111,23 @@ _UNET_RULES: list[tuple[str, str, Callable]] = [
     (r"^up_(\d+)_upsample/", r"up_blocks.\1.upsamplers.0.", None),
 ]
 
+def _t_concat_linear(ws):  # N x [out, in] -> [in, N*out]
+    return np.concatenate([_t_linear(w) for w in ws], axis=-1)
+
+
+# fused-projection leaves (models/transformer.py fused_qkv=True): one
+# flax kernel gathers several separate diffusers tensors
+_FUSED_LEAF_RULES: list[tuple[str, list[str], Callable]] = [
+    (r"(.*\.)blocks_(\d+)/attn(\d)/to_qkv/kernel$",
+     [r"\1transformer_blocks.\2.attn\3.to_q.weight",
+      r"\1transformer_blocks.\2.attn\3.to_k.weight",
+      r"\1transformer_blocks.\2.attn\3.to_v.weight"], _t_concat_linear),
+    (r"(.*\.)blocks_(\d+)/attn(\d)/to_kv/kernel$",
+     [r"\1transformer_blocks.\2.attn\3.to_k.weight",
+      r"\1transformer_blocks.\2.attn\3.to_v.weight"], _t_concat_linear),
+]
+
+
 # within-module leaf rules (applied after the block-prefix rewrite)
 _LEAF_RULES: list[tuple[str, str, Callable]] = [
     # resnet leaves
@@ -158,6 +178,9 @@ def unet_key_map(our_path: str, use_linear_projection: bool = True):
                 path = re.sub(pat, repl, path)
                 break
             return re.sub(pat, repl, path), tr
+    for pat, repls, tr in _FUSED_LEAF_RULES:
+        if re.match(pat, path):
+            return [re.sub(pat, r, path) for r in repls], tr
     for pat, repl, tr in _LEAF_RULES:
         m = re.match(pat, path)
         if m:
@@ -199,6 +222,32 @@ def clip_text_key_map(our_path: str):
         if re.match(pat, our_path):
             return re.sub(pat, repl, our_path), tr
     raise KeyError(f"no torch mapping for CLIP param {our_path!r}")
+
+
+_T5_RULES = [
+    (r"^token_embedding/embedding$", "shared.weight", _identity),
+    (r"^relative_attention_bias/embedding$",
+     "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight",
+     _identity),
+    (r"^final_norm/scale$", "encoder.final_layer_norm.weight", _identity),
+    (r"^layers_(\d+)/attn_norm/scale$",
+     r"encoder.block.\1.layer.0.layer_norm.weight", _identity),
+    (r"^layers_(\d+)/(q|k|v|o)/kernel$",
+     r"encoder.block.\1.layer.0.SelfAttention.\2.weight", _t_linear),
+    (r"^layers_(\d+)/ff_norm/scale$",
+     r"encoder.block.\1.layer.1.layer_norm.weight", _identity),
+    (r"^layers_(\d+)/(wi_0|wi_1|wo)/kernel$",
+     r"encoder.block.\1.layer.1.DenseReluDense.\2.weight", _t_linear),
+]
+
+
+def t5_key_map(our_path: str):
+    """T5EncoderModel paths -> HF ``transformers.T5EncoderModel`` keys
+    (the SD3-style third TE, ``duwu/modules/text_encoders.py:290-297``)."""
+    for pat, repl, tr in _T5_RULES:
+        if re.match(pat, our_path):
+            return re.sub(pat, repl, our_path), tr
+    raise KeyError(f"no torch mapping for T5 param {our_path!r}")
 
 
 _CLIP_VISION_RULES = [
@@ -327,6 +376,57 @@ def vae_key_map(our_path: str):
     raise KeyError(f"no torch mapping for VAE param {our_path!r}")
 
 
+def stack_block_params(params: Any) -> Any:
+    """Convert unrolled transformer-block params (``blocks_0..blocks_N``)
+    to the ``nn.scan`` layout (one ``blocks`` subtree with a leading
+    layer axis). Lets checkpoints/imports produced in the unscanned
+    layout load into a ``scan_transformer_blocks=True`` model."""
+
+    def convert(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: convert(v) for k, v in node.items()}
+        idx = sorted(
+            (int(k.split("_")[-1]), k)
+            for k in node
+            if re.fullmatch(r"blocks_\d+", k)
+        )
+        if idx and [i for i, _ in idx] == list(range(len(idx))):
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *[node[k] for _, k in idx],
+            )
+            for _, k in idx:
+                del node[k]
+            node["blocks"] = stacked
+        return node
+
+    return convert(params)
+
+
+def unstack_block_params(params: Any, to_numpy: bool = True) -> Any:
+    """Inverse of :func:`stack_block_params` (for exporting scanned
+    checkpoints back to the diffusers-compatible unrolled layout)."""
+
+    def convert(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: convert(v) for k, v in node.items()}
+        if "blocks" in node and isinstance(node["blocks"], dict):
+            stacked = node.pop("blocks")
+            leaves = jax.tree_util.tree_leaves(stacked)
+            if leaves:
+                n = int(leaves[0].shape[0])
+                for i in range(n):
+                    node[f"blocks_{i}"] = jax.tree_util.tree_map(
+                        lambda x: np.asarray(x)[i] if to_numpy else x[i],
+                        stacked,
+                    )
+        return node
+
+    return convert(params)
+
+
 def import_params(
     target_params: Any,
     state_dict: dict[str, np.ndarray],
@@ -337,10 +437,54 @@ def import_params(
     flat, treedef = jax.tree_util.tree_flatten_with_path(target_params)
     leaves = []
     missing = []
+
+    def fetch(torch_key, tr):
+        """Resolve one key_map result to an array, or None if absent.
+        ``torch_key`` may be a list (fused projections: several torch
+        tensors gathered into one flax kernel)."""
+        if isinstance(torch_key, (list, tuple)):
+            ws = []
+            for tk in torch_key:
+                if tk not in state_dict:
+                    return None
+                ws.append(np.asarray(state_dict[tk]))
+            return tr(ws)
+        if torch_key not in state_dict:
+            return None
+        w = np.asarray(state_dict[torch_key])
+        if tr == "proj":  # conv1x1 [O,I,1,1] or linear [O,I]
+            tr = _t_conv if w.ndim == 4 else _t_linear
+        return tr(w)
+
     for path, leaf in flat:
         our = "/".join(
             str(getattr(p, "key", p)) for p in path
         )
+        if "/blocks/" in our:
+            # nn.scan layout (scan_transformer_blocks=True): the leaf
+            # carries a leading layer axis; import each layer through the
+            # per-index key and stack
+            n_layers = int(leaf.shape[0])
+            per_layer = []
+            for i in range(n_layers):
+                torch_key, tr = key_map(
+                    our.replace("/blocks/", f"/blocks_{i}/", 1)
+                )
+                w = fetch(torch_key, tr)
+                if w is None:
+                    break
+                per_layer.append(w)
+            if len(per_layer) == n_layers:
+                w = np.stack(per_layer)
+                if tuple(w.shape) != tuple(leaf.shape):
+                    raise ValueError(
+                        f"shape mismatch for {our}: {w.shape} vs {leaf.shape}"
+                    )
+                leaves.append(w.astype(np.asarray(leaf).dtype))
+            else:
+                missing.append(our)
+                leaves.append(leaf)
+            continue
         try:
             torch_key, tr = key_map(our)
         except KeyError:
@@ -348,14 +492,11 @@ def import_params(
                 raise
             leaves.append(leaf)
             continue
-        if torch_key not in state_dict:
+        w = fetch(torch_key, tr)
+        if w is None:
             missing.append(torch_key)
             leaves.append(leaf)
             continue
-        w = np.asarray(state_dict[torch_key])
-        if tr == "proj":  # conv1x1 [O,I,1,1] or linear [O,I]
-            tr = _t_conv if w.ndim == 4 else _t_linear
-        w = tr(w)
         if tuple(w.shape) != tuple(leaf.shape):
             raise ValueError(
                 f"shape mismatch for {our} <- {torch_key}: "

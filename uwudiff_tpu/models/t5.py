@@ -75,8 +75,10 @@ class _T5Layer(nn.Module):
         q = q.reshape(b, s, self.num_heads, self.d_kv)
         k = k.reshape(b, s, self.num_heads, self.d_kv)
         v = v.reshape(b, s, self.num_heads, self.d_kv)
-        # T5 does not scale by 1/sqrt(d)
-        attn = dot_product_attention(q, k, v, bias=bias, scale=1.0)
+        # T5 does not scale by 1/sqrt(d); the relative-position bias is a
+        # LEARNED parameter, so the flash path must propagate its gradient
+        attn = dot_product_attention(q, k, v, bias=bias, scale=1.0,
+                                     bias_grad=True)
         attn = attn.reshape(b, s, inner)
         x = x + nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="o")(
             attn
