@@ -22,6 +22,10 @@ from uwudiff_tpu.ops.attention import attention_bias_from_mask
 
 __all__ = ["Attention", "FeedForward", "BasicTransformerBlock", "Transformer2DModel"]
 
+# diffusers BasicTransformerBlock norm_eps (torch nn.LayerNorm default);
+# flax's default is 1e-6 — caught by tests/test_block_oracles.py.
+_LN_EPS = 1e-5
+
 
 def _out_init(stddev: float):
     if stddev == 0.0:
@@ -44,6 +48,11 @@ class Attention(nn.Module):
     out_dim: int | None = None
     use_rope: bool = False
     out_init_stddev: float = -1.0  # -1 -> default init; >=0 -> (near-)zero
+    # one [C, 3*inner] matmul for self-attention q/k/v (and [Ck, 2*inner]
+    # for cross k/v) instead of separate projections: better MXU tiling,
+    # one HBM read of the activations. Param names become to_qkv / to_kv;
+    # the torch importer concatenates the separate diffusers tensors.
+    fused_qkv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -60,15 +69,29 @@ class Attention(nn.Module):
         is_self = encoder_hidden_states is None
         kv_source = hidden_states if is_self else encoder_hidden_states
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
-            hidden_states
-        )
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(
-            kv_source
-        )
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(
-            kv_source
-        )
+        if self.fused_qkv and is_self:
+            qkv = nn.Dense(
+                3 * inner, use_bias=False, dtype=self.dtype, name="to_qkv"
+            )(hidden_states)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif self.fused_qkv:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
+                hidden_states
+            )
+            kv = nn.Dense(
+                2 * inner, use_bias=False, dtype=self.dtype, name="to_kv"
+            )(kv_source)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
+                hidden_states
+            )
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(
+                kv_source
+            )
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(
+                kv_source
+            )
 
         b, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]
@@ -114,7 +137,8 @@ class FeedForward(nn.Module):
         # GEGLU: one projection to 2*inner, gate with gelu
         proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         x_part, gate = jnp.split(proj, 2, axis=-1)
-        x = x_part * nn.gelu(gate)
+        # diffusers GEGLU uses exact (erf) gelu, not the tanh approximation
+        x = x_part * nn.gelu(gate, approximate=False)
         x = nn.Dense(
             self.dim,
             dtype=self.dtype,
@@ -136,6 +160,7 @@ class BasicTransformerBlock(nn.Module):
     use_rope: bool = False
     only_cross_attention: bool = False
     out_init_stddev: float = -1.0
+    fused_qkv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -147,7 +172,7 @@ class BasicTransformerBlock(nn.Module):
         position_map: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         # 1. self-attention
-        norm_hidden = nn.LayerNorm(dtype=self.dtype, name="norm1")(hidden_states)
+        norm_hidden = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(hidden_states)
         attn1_ctx = (
             encoder_hidden_states if self.only_cross_attention else None
         )
@@ -156,6 +181,7 @@ class BasicTransformerBlock(nn.Module):
             head_dim=self.head_dim,
             use_rope=self.use_rope,
             out_init_stddev=self.out_init_stddev,
+            fused_qkv=self.fused_qkv,
             dtype=self.dtype,
             name="attn1",
         )(norm_hidden, attn1_ctx, position_map=position_map)
@@ -163,7 +189,7 @@ class BasicTransformerBlock(nn.Module):
 
         # 2. cross-attention
         if self.cross_attention_dim is not None:
-            norm_hidden = nn.LayerNorm(dtype=self.dtype, name="norm2")(
+            norm_hidden = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(
                 hidden_states
             )
             attn_out = Attention(
@@ -171,6 +197,7 @@ class BasicTransformerBlock(nn.Module):
                 head_dim=self.head_dim,
                 use_rope=self.use_rope,
                 out_init_stddev=self.out_init_stddev,
+                fused_qkv=self.fused_qkv,
                 dtype=self.dtype,
                 name="attn2",
             )(
@@ -182,7 +209,7 @@ class BasicTransformerBlock(nn.Module):
             hidden_states = hidden_states + attn_out
 
         # 3. feed-forward
-        norm_hidden = nn.LayerNorm(dtype=self.dtype, name="norm3")(hidden_states)
+        norm_hidden = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm3")(hidden_states)
         ff_out = FeedForward(
             dim=self.dim,
             out_init_stddev=self.out_init_stddev,
@@ -192,10 +219,25 @@ class BasicTransformerBlock(nn.Module):
         return hidden_states + ff_out
 
 
+class _ScanCell(BasicTransformerBlock):
+    """BasicTransformerBlock adapted to the (carry, out) calling
+    convention ``nn.scan`` expects."""
+
+    def __call__(self, hidden_states, *args):
+        return super().__call__(hidden_states, *args), None
+
+
 class Transformer2DModel(nn.Module):
     """Spatial transformer: GN -> proj_in -> blocks over [B, HW, C] ->
     proj_out -> residual (diffusers semantics; RoPE position map built
-    from the latent grid as ``rope_unet.py:474-480``)."""
+    from the latent grid as ``rope_unet.py:474-480``).
+
+    ``scan_blocks=True`` folds the ``num_layers`` identical blocks into
+    ONE ``nn.scan`` — the HLO contains a single block body instead of
+    ``num_layers`` unrolled copies, cutting trace/compile time for deep
+    stacks (SDXL's 10-layer level). Params then live under ``blocks``
+    with a leading layer axis; ``models.import_torch.stack_block_params``
+    converts between the layouts."""
 
     num_heads: int
     head_dim: int
@@ -206,6 +248,8 @@ class Transformer2DModel(nn.Module):
     out_init_stddev: float = -1.0
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
+    scan_blocks: bool = False
+    fused_qkv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -238,22 +282,41 @@ class Transformer2DModel(nn.Module):
 
             position_map = make_axial_pos(h, w)
 
-        for i in range(self.num_layers):
-            x = BasicTransformerBlock(
-                dim=inner,
-                num_heads=self.num_heads,
-                head_dim=self.head_dim,
-                cross_attention_dim=self.cross_attention_dim,
-                use_rope=self.use_rope,
-                out_init_stddev=self.out_init_stddev,
-                dtype=self.dtype,
-                name=f"blocks_{i}",
-            )(
+        block_kwargs = dict(
+            dim=inner,
+            num_heads=self.num_heads,
+            head_dim=self.head_dim,
+            cross_attention_dim=self.cross_attention_dim,
+            use_rope=self.use_rope,
+            out_init_stddev=self.out_init_stddev,
+            fused_qkv=self.fused_qkv,
+            dtype=self.dtype,
+        )
+        if self.scan_blocks and self.num_layers > 1:
+            scanned = nn.scan(
+                _ScanCell,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )(**block_kwargs, name="blocks")
+            x, _ = scanned(
                 x,
                 encoder_hidden_states,
                 encoder_attention_mask,
-                position_map=position_map,
+                position_map,
             )
+        else:
+            for i in range(self.num_layers):
+                x = BasicTransformerBlock(
+                    **block_kwargs,
+                    name=f"blocks_{i}",
+                )(
+                    x,
+                    encoder_hidden_states,
+                    encoder_attention_mask,
+                    position_map=position_map,
+                )
 
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
