@@ -144,8 +144,8 @@ def test_full_bias_broadcast_heads_and_ragged():
 
 
 def test_full_bias_qkv_gradients_match_xla():
-    """q/k/v grads with a constant full bias (bias itself has no grad by
-    design - documented kernel limitation)."""
+    """q/k/v grads with a constant full bias (bias itself has no grad on
+    the default path - pass bias_grad=True for learned biases)."""
     q, k, v = _rand_qkv(sq=128, sk=128)
     bias = jax.random.normal(jax.random.PRNGKey(9), (2, 2, 128, 128))
 
@@ -161,3 +161,84 @@ def test_full_bias_qkv_gradients_match_xla():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_bias_gradient_default_is_zero():
+    """Document the default: without bias_grad=True the flash path treats
+    the bias as a constant (masks)."""
+    q, k, v = _rand_qkv(sq=128, sk=128)
+    bias = jax.random.normal(jax.random.PRNGKey(10), (2, 2, 128, 128))
+    g = jax.grad(
+        lambda b_: flash_attention(
+            q, k, v, bias=b_, interpret=True, block_q=128, block_k=128
+        ).sum()
+    )(bias)
+    assert float(jnp.abs(g).max()) == 0.0
+
+
+@pytest.mark.parametrize(
+    "bias_shape", [(2, 2, 128, 128), (1, 1, 128, 128), (2, 1, 1, 128)]
+)
+def test_bias_gradients_match_xla(bias_shape):
+    """bias_grad=True: true dBias from the dQ kernel, on full biases,
+    broadcast biases, and key biases (VERDICT r2 item 4)."""
+    q, k, v = _rand_qkv(sq=128, sk=128)
+    bias = jax.random.normal(jax.random.PRNGKey(11), bias_shape)
+
+    def loss_flash(q, k, v, b_):
+        return (
+            flash_attention(q, k, v, bias=b_, bias_grad=True, interpret=True,
+                            block_q=128, block_k=128) ** 2
+        ).sum()
+
+    def loss_ref(q, k, v, b_):
+        return (_xla_attention(q, k, v, bias=b_) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gr):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_bias_gradients_ragged_lengths():
+    """Learned-bias grads must stay exact under sequence padding: padded
+    key columns get -inf bias, whose grad contribution must not leak
+    into the real bias entries."""
+    q, k, v = _rand_qkv(sq=200, sk=200)
+    bias = jax.random.normal(jax.random.PRNGKey(12), (2, 2, 200, 200))
+
+    gf = jax.grad(
+        lambda b_: (
+            flash_attention(q, k, v, bias=b_, bias_grad=True, interpret=True,
+                            block_q=128, block_k=128) ** 2
+        ).sum()
+    )(bias)
+    gr = jax.grad(
+        lambda b_: (_xla_attention(q, k, v, bias=b_) ** 2).sum()
+    )(bias)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-4)
+
+
+def test_t5_rel_pos_bias_trains_through_dispatch():
+    """The T5 relative-position bias must receive nonzero, XLA-matching
+    gradients through dot_product_attention on the flash path."""
+    from uwudiff_tpu.ops.attention import dot_product_attention
+
+    q, k, v = _rand_qkv(sq=128, sk=128)
+    bias = jax.random.normal(jax.random.PRNGKey(13), (1, 2, 128, 128))
+
+    g_flash = jax.grad(
+        lambda b_: dot_product_attention(
+            q, k, v, bias=b_, scale=1.0, use_flash=True, bias_grad=True
+        ).sum()
+    )(bias)
+    g_xla = jax.grad(
+        lambda b_: dot_product_attention(
+            q, k, v, bias=b_, scale=1.0, use_flash=False
+        ).sum()
+    )(bias)
+    assert float(jnp.abs(g_flash).max()) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(g_flash), np.asarray(g_xla), atol=5e-4
+    )

@@ -18,7 +18,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dot_product_attention", "attention_bias_from_mask"]
+__all__ = [
+    "dot_product_attention",
+    "attention_bias_from_mask",
+    "sequence_parallel",
+]
 
 
 _flash_override: bool | None = None
@@ -39,6 +43,88 @@ class flash_disabled:
         global _flash_override
         _flash_override = self._prev
         return False
+
+
+_seq_ctx: "sequence_parallel | None" = None
+
+
+class sequence_parallel:
+    """Context manager routing *self*-attention calls through ring
+    attention over a ``seq`` mesh axis (SURVEY.md §5.7).
+
+    Activate around model tracing (DMTrainer does this when its mesh has
+    a ``seq`` axis): every ``dot_product_attention`` call with Sq == Sk,
+    no bias, and a token count divisible by the axis size runs as a
+    ``shard_map`` over the token dimension — each device holds S/n
+    tokens, K/V blocks rotate over ICI (``ppermute``), and no device
+    materializes full-sequence attention. Calls that don't qualify
+    (cross-attention, masked attention, short levels below
+    ``min_tokens``) take the normal path, where GSPMD reshards as
+    needed.
+    """
+
+    def __init__(self, mesh, axis: str = "seq", min_tokens: int = 0):
+        self.mesh = mesh
+        self.axis = axis
+        self.min_tokens = min_tokens
+
+    def __enter__(self):
+        global _seq_ctx
+        self._prev = _seq_ctx
+        _seq_ctx = self
+        return self
+
+    def __exit__(self, *exc):
+        global _seq_ctx
+        _seq_ctx = self._prev
+        return False
+
+
+def _maybe_ring(q, k, v, bias, scale):
+    """Ring-attention dispatch under an active ``sequence_parallel``
+    context; returns None when the call doesn't qualify."""
+    ctx = _seq_ctx
+    if ctx is None:
+        return None
+    mesh, axis = ctx.mesh, ctx.axis
+    if axis not in mesh.axis_names or mesh.shape[axis] <= 1:
+        return None
+    n = mesh.shape[axis]
+    sq, sk = q.shape[1], k.shape[1]
+    if sq != sk or bias is not None:  # self-attention only, unmasked
+        return None
+    if sq % n != 0 or sq < max(ctx.min_tokens, n):
+        return None
+    batch_axes = tuple(
+        a for a in ("data", "fsdp")
+        if a in mesh.axis_names and mesh.shape[a] > 1
+    )
+    if batch_axes:
+        import numpy as np
+
+        if q.shape[0] % int(np.prod([mesh.shape[a] for a in batch_axes])):
+            return None
+    head_axis = None
+    if (
+        "tensor" in mesh.axis_names
+        and mesh.shape["tensor"] > 1
+        and q.shape[2] % mesh.shape["tensor"] == 0
+    ):
+        head_axis = "tensor"
+
+    from jax.sharding import PartitionSpec as P
+
+    from uwudiff_tpu.parallel.ring_attention import ring_attention
+
+    spec = P(batch_axes if batch_axes else None, axis, head_axis, None)
+    fn = jax.shard_map(
+        functools.partial(ring_attention, axis_name=axis, scale=scale),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
 
 
 def _on_tpu() -> bool:
@@ -82,6 +168,7 @@ def dot_product_attention(
     bias: jnp.ndarray | None = None,
     scale: float | None = None,
     use_flash: bool | None = None,
+    bias_grad: bool = False,
 ) -> jnp.ndarray:
     """Fused scaled-dot-product attention.
 
@@ -92,7 +179,13 @@ def dot_product_attention(
         scale: overrides the default 1/sqrt(D)
         use_flash: force (True) or forbid (False) the Pallas kernel;
             None = auto (TPU backend + shape constraints).
+        bias_grad: set True when ``bias`` is LEARNED (needs gradients).
+            The default treats the bias as a constant on the flash path
+            — correct for masks, silently wrong for trained biases.
     """
+    ring_out = _maybe_ring(q, k, v, bias, scale)
+    if ring_out is not None:
+        return ring_out
     if use_flash is None:
         use_flash = _flash_override if _flash_override is not None else _on_tpu()
     if use_flash:
@@ -102,5 +195,7 @@ def dot_product_attention(
         )
 
         if flash_shape_supported(q, k, v):
-            return flash_attention(q, k, v, bias=bias, scale=scale)
+            return flash_attention(
+                q, k, v, bias=bias, scale=scale, bias_grad=bias_grad
+            )
     return _xla_attention(q, k, v, bias=bias, scale=scale)

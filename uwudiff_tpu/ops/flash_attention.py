@@ -24,8 +24,10 @@ Design (canonical TPU tiling):
     * full bias, anything broadcastable to ``[B, H, Sq, Sk]`` (e.g.
       relative-position biases) — streamed as [BQ, BK] blocks; costs
       O(B*H*Sq*Sk) HBM for the materialized bias but never materializes
-      logits. NOTE: the bias is treated as a constant (zero gradient) —
-      fine for masks; a *learned* bias must use the XLA path.
+      logits. By default the bias is treated as a constant (zero
+      gradient, the right trade for masks); pass ``bias_grad=True`` for
+      a *learned* bias — the dQ backward kernel then also emits the true
+      dBias blocks (dL/dbias = p*(dp-delta)).
   Sequence padding uses -inf key bias so arbitrary lengths are exact.
 """
 
@@ -237,6 +239,53 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         dq_ref[0] = (dq_scr[:] * scale).astype(dq_ref.dtype)
 
 
+def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, dbias_ref, dq_scr, *,
+                         scale: float):
+    """dQ kernel variant that also emits dBias = dL/ds per [BQ, BK] block
+    (s = qk*scale + bias, so dL/dbias = dL/ds = p*(dp-delta) exactly).
+    Used when a *learned* full bias needs gradients (e.g. T5 relative
+    position bias trained through the kernel)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0].astype(jnp.float32)[:, None]
+    delta = delta_ref[0, 0].astype(jnp.float32)[:, None]
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    b_blk = bias_ref[0].astype(jnp.float32)
+
+    s = (
+        jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+        + b_blk
+    )
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dbias_ref[0] = ds.astype(dbias_ref.dtype)
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds, k_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0] = (dq_scr[:] * scale).astype(dq_ref.dtype)
+
+
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                     delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
                     scale: float):
@@ -286,47 +335,78 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
 
 def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
-                    interpret):
+                    interpret, with_dbias=False, g_lse=None):
     bh, sq, d = q3.shape
     sk = k3.shape[1]
     delta = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     )[:, None, :]  # [BH, 1, Sq]
+    if g_lse is not None:
+        # lse cotangent: d lse/d s = softmax rows = p, so the lse term adds
+        # p * g_lse to ds = p * (dp - delta) — i.e. delta' = delta - g_lse.
+        # No kernel change needed; the row constant folds into delta.
+        delta = delta - g_lse.astype(jnp.float32)
     kwargs = {}
     cp = _compiler_params(2)
     if cp is not None and not interpret:
         kwargs["compiler_params"] = cp
 
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale),
-        grid=(bh, sq // block_q, sk // block_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            _bias_spec(bias2, block_q, block_k, k_axis_first=False),
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=5 * bh * sq * sk * d,
-            bytes_accessed=(q3.size * 3) * q3.dtype.itemsize,
-            transcendentals=bh * sq * sk,
-        ),
-        **kwargs,
-    )(q3, k3, v3, bias2, g, lse, delta)
+    dq_in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        _bias_spec(bias2, block_q, block_k, k_axis_first=False),
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq_cost = pl.CostEstimate(
+        flops=5 * bh * sq * sk * d,
+        bytes_accessed=(q3.size * 3) * q3.dtype.itemsize,
+        transcendentals=bh * sq * sk,
+    )
+    dbias = None
+    if with_dbias:
+        # each (i, j) grid cell is visited exactly once per b: the dQ pass
+        # can emit the dBias block for free alongside the dq accumulation
+        dq, dbias = pl.pallas_call(
+            functools.partial(_bwd_dq_dbias_kernel, scale=scale),
+            grid=(bh, sq // block_q, sk // block_k),
+            in_specs=dq_in_specs,
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, block_k), lambda b, i, j: (b, i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
+                jax.ShapeDtypeStruct((bh, sq, sk), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=dq_cost,
+            **kwargs,
+        )(q3, k3, v3, bias2, g, lse, delta)
+    else:
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel, scale=scale),
+            grid=(bh, sq // block_q, sk // block_k),
+            in_specs=dq_in_specs,
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=dq_cost,
+            **kwargs,
+        )(q3, k3, v3, bias2, g, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale),
@@ -368,7 +448,7 @@ def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
         ),
         **kwargs,
     )(q3, k3, v3, bias2, g, lse, delta)
-    return dq, dk, dv
+    return dq, dk, dv, dbias
 
 
 # ---------------------------------------------------------------------
@@ -376,28 +456,63 @@ def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
 # ---------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_core(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_core(q3, k3, v3, bias2, scale, block_q, block_k, interpret,
+                with_dbias=False):
     out, _ = _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k,
                             interpret)
     return out
 
 
-def _flash_core_fwd(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
+def _flash_core_fwd(q3, k3, v3, bias2, scale, block_q, block_k, interpret,
+                    with_dbias):
     out, lse = _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k,
                               interpret)
     return out, (q3, k3, v3, bias2, out, lse)
 
 
-def _flash_core_bwd(scale, block_q, block_k, interpret, res, g):
+def _flash_core_bwd(scale, block_q, block_k, interpret, with_dbias, res, g):
     q3, k3, v3, bias2, out, lse = res
-    dq, dk, dv = _flash_backward(
-        q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k, interpret
+    dq, dk, dv, dbias = _flash_backward(
+        q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k, interpret,
+        with_dbias=with_dbias,
+    )
+    if dbias is None:
+        # masks/constant biases: zero gradient by construction (fast path)
+        dbias = jnp.zeros_like(bias2)
+    return dq, dk, dv, dbias
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_core_lse(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
+    """Flash core returning (out, lse) — the ring-attention inner step.
+    lse is [BH, 1, Sq] fp32; its cotangent is handled exactly (folded
+    into delta in the backward)."""
+    return _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k,
+                          interpret)
+
+
+def _flash_core_lse_fwd(q3, k3, v3, bias2, scale, block_q, block_k,
+                        interpret):
+    out, lse = _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k,
+                              interpret)
+    return (out, lse), (q3, k3, v3, bias2, out, lse)
+
+
+def _flash_core_lse_bwd(scale, block_q, block_k, interpret, res, g):
+    q3, k3, v3, bias2, out, lse = res
+    g_out, g_lse = g
+    dq, dk, dv, _ = _flash_backward(
+        q3, k3, v3, bias2, out, lse, g_out, scale, block_q, block_k,
+        interpret, g_lse=g_lse,
     )
     return dq, dk, dv, jnp.zeros_like(bias2)
 
 
-_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+_flash_core_lse.defvjp(_flash_core_lse_fwd, _flash_core_lse_bwd)
 
 
 def flash_attention(
@@ -409,7 +524,22 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
+    bias_grad: bool = False,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
+    """``bias_grad=False`` (default): the bias is treated as a constant —
+    zero gradient, the cheap path for masks. ``bias_grad=True``: real
+    dBias is computed in the dQ backward kernel (required for *learned*
+    biases, e.g. relative-position biases); the bias is broadcast to the
+    full [B, H, Sq, Sk] layout so gradients reduce back to the caller's
+    shape through the broadcast's own VJP.
+
+    ``return_lse=True`` additionally returns the row log-sum-exp
+    ``[B, H, Sq]`` (fp32) — what ring attention needs to merge partial
+    attentions; fully differentiable (the lse cotangent folds into the
+    backward's delta term)."""
+    if bias_grad and return_lse:
+        raise NotImplementedError("bias_grad with return_lse is unsupported")
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = scale if scale is not None else d**-0.5
@@ -420,13 +550,14 @@ def flash_attention(
 
     # bias: None | key bias broadcastable to [B, 1, 1, Sk] (fast path,
     # streamed as [1, BK] blocks) | full bias broadcastable to
-    # [B, H, Sq, Sk] (streamed as [BQ, BK] blocks; constant, no grad)
+    # [B, H, Sq, Sk] (streamed as [BQ, BK] blocks)
     if bias is not None:
-        bias = jnp.asarray(bias, jnp.float32)
+        bias = bias.astype(jnp.float32)
         while bias.ndim < 4:
             bias = bias[None]
+    with_dbias = bias_grad and bias is not None
     key_bias_only = bias is None or (
-        bias.shape[1] == 1 and bias.shape[2] == 1
+        not with_dbias and bias.shape[1] == 1 and bias.shape[2] == 1
     )
 
     block_q = min(block_q, _round_up(sq, 128))
@@ -466,6 +597,15 @@ def flash_attention(
 
     q3, k3, v3 = fold(qp), fold(kp), fold(vp)
 
-    out3 = _flash_core(q3, k3, v3, bias_bh, scale, block_q, block_k, interpret)
+    if return_lse:
+        out3, lse3 = _flash_core_lse(
+            q3, k3, v3, bias_bh, scale, block_q, block_k, interpret
+        )
+        out = out3.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
+        lse = lse3.reshape(b, h, sq_p)[:, :, :sq]
+        return out[:, :sq], lse
+    out3 = _flash_core(
+        q3, k3, v3, bias_bh, scale, block_q, block_k, interpret, with_dbias
+    )
     out = out3.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
     return out[:, :sq]
