@@ -30,15 +30,35 @@ import jax.numpy as jnp
 __all__ = ["ring_attention", "attention_with_lse"]
 
 
-def attention_with_lse(q, k, v, bias=None, scale=None):
+def attention_with_lse(q, k, v, bias=None, scale=None, use_flash=None):
     """Attention returning (out, lse): out [B, Sq, H, D], row
     log-sum-exp lse [B, H, Sq] — the quantities needed to merge
     partial attentions over K/V blocks.
 
-    XLA formulation (the flash kernel computes the same pair on TPU;
-    kept in plain jnp here so ring steps trace/compile everywhere —
-    inside shard_map the per-block sizes are small).
+    Dispatches like ``dot_product_attention``: the Pallas flash kernel
+    (``flash_attention(..., return_lse=True)``) on TPU for supported
+    block shapes — so each ring step stays O(block) memory — and the
+    jnp einsum formulation elsewhere (small per-device blocks trace
+    fine through XLA).
     """
+    from uwudiff_tpu.ops import attention as _dispatch
+
+    if use_flash is None:
+        use_flash = (
+            _dispatch._flash_override
+            if _dispatch._flash_override is not None
+            else _dispatch._on_tpu()
+        )
+    if use_flash:
+        from uwudiff_tpu.ops.flash_attention import (
+            flash_attention,
+            flash_shape_supported,
+        )
+
+        if flash_shape_supported(q, k, v):
+            return flash_attention(
+                q, k, v, bias=bias, scale=scale, return_lse=True
+            )
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale

@@ -390,11 +390,26 @@ class DMTrainer:
 
         return self.loss(rng_loss, x, model_fn)
 
+    def _seq_parallel_ctx(self):
+        """Ring-attention context: active when the mesh has a ``seq``
+        axis (config: ``mesh_axes={"data": 2, "seq": 4}``) — UNet/DiT
+        self-attention then runs sequence-parallel (SURVEY.md §5.7)."""
+        import contextlib
+
+        if self.mesh is not None and "seq" in self.mesh.axis_names and (
+            self.mesh.shape["seq"] > 1
+        ):
+            from uwudiff_tpu.ops.attention import sequence_parallel
+
+            return sequence_parallel(self.mesh, axis="seq")
+        return contextlib.nullcontext()
+
     def _train_step_impl(self, state, frozen, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            return self._loss_for_batch(params, frozen, batch, rng)
+            with self._seq_parallel_ctx():
+                return self._loss_for_batch(params, frozen, batch, rng)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -480,7 +495,8 @@ class DMTrainer:
         return new_state, metrics, aux
 
     def _val_step_impl(self, state, frozen, batch, rng):
-        loss, aux = self._loss_for_batch(state.params, frozen, batch, rng)
+        with self._seq_parallel_ctx():
+            loss, aux = self._loss_for_batch(state.params, frozen, batch, rng)
         return loss, aux
 
     # ------------------------------------------------------------------
