@@ -1,0 +1,152 @@
+"""nn.scan over repeated transformer blocks (`scan_transformer_blocks`):
+numerics identical to the unrolled layout, import/convert round-trips.
+
+The compile-time lever for SDXL's (1, 2, 10) stacks (VERDICT r2 item 5):
+one traced block body instead of 10 unrolled copies.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uwudiff_tpu.models.import_torch import (
+    stack_block_params,
+    unstack_block_params,
+)
+from uwudiff_tpu.models.transformer import Transformer2DModel
+from uwudiff_tpu.models.unet import UNet2DConditionModel
+
+
+def _models(n_layers=3):
+    kwargs = dict(
+        num_heads=2,
+        head_dim=16,
+        num_layers=n_layers,
+        cross_attention_dim=24,
+        use_linear_projection=True,
+    )
+    return (
+        Transformer2DModel(**kwargs, scan_blocks=False),
+        Transformer2DModel(**kwargs, scan_blocks=True),
+    )
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((2, 4, 4, 32)).astype(np.float32)
+    ctx = rng.standard_normal((2, 7, 24)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(ctx)
+
+
+def test_scan_blocks_matches_unrolled():
+    unrolled, scanned = _models()
+    x, ctx = _inputs()
+    params = unrolled.init(jax.random.PRNGKey(0), x, ctx)["params"]
+    sparams = stack_block_params(params)
+
+    # converted params must match the scanned model's own init structure
+    ref_struct = jax.tree_util.tree_structure(
+        scanned.init(jax.random.PRNGKey(1), x, ctx)["params"]
+    )
+    assert jax.tree_util.tree_structure(sparams) == ref_struct
+
+    out_u = unrolled.apply({"params": params}, x, ctx)
+    out_s = scanned.apply({"params": sparams}, x, ctx)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_u), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_stack_unstack_roundtrip():
+    unrolled, _ = _models()
+    x, ctx = _inputs(1)
+    params = unrolled.init(jax.random.PRNGKey(2), x, ctx)["params"]
+    back = unstack_block_params(stack_block_params(params))
+    assert jax.tree_util.tree_structure(back) == jax.tree_util.tree_structure(
+        params
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scanned_import_matches_unrolled_import():
+    """import_params fills a scanned target by stacking the per-index
+    torch keys — same weights as importing the unrolled layout."""
+    import torch
+
+    from tests.test_block_oracles import TorchTransformer2D, _import_under
+
+    torch.manual_seed(3)
+    oracle = TorchTransformer2D(
+        channels=32, heads=2, head_dim=16, cross_dim=24, linear_proj=True
+    ).eval()
+    # give the oracle a second block so the layer axis is exercised
+    import copy
+
+    oracle.transformer_blocks.append(
+        copy.deepcopy(oracle.transformer_blocks[0])
+    )
+    for p in oracle.transformer_blocks[1].parameters():
+        with torch.no_grad():
+            p.add_(0.01)
+
+    kwargs = dict(
+        num_heads=2, head_dim=16, num_layers=2, cross_attention_dim=24,
+        use_linear_projection=True,
+    )
+    unrolled = Transformer2DModel(**kwargs, scan_blocks=False)
+    scanned = Transformer2DModel(**kwargs, scan_blocks=True)
+    x, ctx = _inputs(2)
+
+    pu = unrolled.init(jax.random.PRNGKey(3), x, ctx)["params"]
+    pu = _import_under(pu, "down_0_attn_0", oracle, "down_blocks.0.attentions.0.")
+    ps = scanned.init(jax.random.PRNGKey(4), x, ctx)["params"]
+    ps = _import_under(ps, "down_0_attn_0", oracle, "down_blocks.0.attentions.0.")
+
+    out_u = unrolled.apply({"params": pu}, x, ctx)
+    out_s = scanned.apply({"params": ps}, x, ctx)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_u), atol=1e-5, rtol=1e-5
+    )
+    with torch.no_grad():
+        ref = oracle(
+            torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2)),
+            torch.from_numpy(np.asarray(ctx)),
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out_s), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_unet_scan_transformer_blocks_trains():
+    """Tiny UNet with scanned deep stacks: forward + grads finite and
+    equal to the unrolled model given converted params."""
+    kwargs = dict(
+        in_channels=4, out_channels=4, block_out_channels=(32, 64),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        layers_per_block=1, transformer_layers_per_block=3,
+        num_attention_heads=2, cross_attention_dim=32,
+        use_linear_projection=True, norm_num_groups=8,
+    )
+    unrolled = UNet2DConditionModel(**kwargs)
+    scanned = UNet2DConditionModel(**kwargs, scan_transformer_blocks=True)
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4)).astype(np.float32))
+    t = jnp.asarray([10.0, 500.0])
+    ctx = jnp.asarray(rng.standard_normal((2, 7, 32)).astype(np.float32))
+
+    params = unrolled.init(jax.random.PRNGKey(5), x, t, ctx)["params"]
+    sparams = stack_block_params(params)
+
+    out_u = unrolled.apply({"params": params}, x, t, ctx)
+    out_s = scanned.apply({"params": sparams}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u), atol=1e-5)
+
+    g = jax.grad(
+        lambda p: (scanned.apply({"params": p}, x, t, ctx) ** 2).sum()
+    )(sparams)
+    gn = float(
+        sum(jnp.sum(l**2) for l in jax.tree_util.tree_leaves(g)) ** 0.5
+    )
+    assert np.isfinite(gn) and gn > 0

@@ -75,6 +75,14 @@ class UNet2DConditionModel(nn.Module):
     # jax.checkpoint_policies (e.g. "dots_with_no_batch_dims_saveable")
     # keeps matmul outputs and only recomputes the cheap elementwise work
     remat_policy: str | None = None
+    # fused q/k/v (and cross k/v) projections in every attention — the
+    # MFU lever; importer concatenates separate diffusers tensors
+    fused_qkv: bool = False
+    # nn.scan over repeated transformer layers inside each
+    # Transformer2DModel: one traced block body instead of N unrolled
+    # copies (cuts SDXL cold-compile; params gain a leading layer axis,
+    # see models.import_torch.stack_block_params)
+    scan_transformer_blocks: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
@@ -194,6 +202,8 @@ class UNet2DConditionModel(nn.Module):
                         norm_num_groups=self.norm_num_groups,
                         use_rope=self.use_rope,
                         out_init_stddev=self.zero_init_stddev,
+                        scan_blocks=self.scan_transformer_blocks,
+                        fused_qkv=self.fused_qkv,
                         dtype=self.dtype,
                         name=f"down_{i}_attn_{j}",
                     )(
@@ -228,6 +238,8 @@ class UNet2DConditionModel(nn.Module):
                         norm_num_groups=self.norm_num_groups,
                 use_rope=self.use_rope,
                 out_init_stddev=self.zero_init_stddev,
+                scan_blocks=self.scan_transformer_blocks,
+                fused_qkv=self.fused_qkv,
                 dtype=self.dtype,
                 name="mid_attn",
             )(h, encoder_hidden_states, encoder_attention_mask, position_map)
@@ -266,6 +278,8 @@ class UNet2DConditionModel(nn.Module):
                         norm_num_groups=self.norm_num_groups,
                         use_rope=self.use_rope,
                         out_init_stddev=self.zero_init_stddev,
+                        scan_blocks=self.scan_transformer_blocks,
+                        fused_qkv=self.fused_qkv,
                         dtype=self.dtype,
                         name=f"up_{i}_attn_{j}",
                     )(

@@ -102,7 +102,7 @@ def _fsdp_spec_for_leaf(
 # linear kernels [in, out]). Biases of column-parallel layers shard too.
 _TP_RULES: list[tuple[str, str]] = [
     # UNet/DiT transformer blocks (models/transformer.py naming)
-    (r"attn\d/to_(q|k|v)/kernel$", "col"),
+    (r"attn\d/to_(q|k|v|qkv|kv)/kernel$", "col"),
     (r"attn\d/to_out/kernel$", "row"),
     (r"ff/proj_in/kernel$", "col"),   # GEGLU up-projection
     (r"ff/proj_out/kernel$", "row"),
@@ -127,7 +127,9 @@ def _tp_spec_for_path(
             if kind == "col" and len(shape) >= 2:
                 dim = len(shape) - 1
             elif kind == "row" and len(shape) >= 2:
-                dim = 0
+                # input-features dim: 0 for [in, out] kernels, -2 for
+                # nn.scan-stacked [layers, in, out] kernels
+                dim = len(shape) - 2
             elif kind == "col1d" and len(shape) == 1:
                 dim = 0
             else:
