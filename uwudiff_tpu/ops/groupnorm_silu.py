@@ -66,6 +66,14 @@ def _chunk_for(hw: int) -> int | None:
     return None
 
 
+def _tile_fits_vmem(x) -> bool:
+    c = x.shape[-1]
+    hw = 1
+    for d in x.shape[1:-1]:
+        hw *= d
+    return hw * c * x.dtype.itemsize * 2 <= _VMEM_TILE_BYTES
+
+
 def fused_supported(x, groups: int) -> bool:
     c = x.shape[-1]
     if c % groups or c % 8:  # keep channel lanes tileable
@@ -75,9 +83,10 @@ def fused_supported(x, groups: int) -> bool:
         hw *= d
     if _chunk_for(hw) is None:
         return False
-    # in/out tiles must fit VMEM (stats are accumulated in row chunks,
-    # so no full-size fp32 temp exists)
-    return hw * c * x.dtype.itemsize * 2 <= _VMEM_TILE_BYTES and hw >= 8
+    # tiles that fit VMEM take the single-pass kernel; larger tiles
+    # (128x128-latent level-0 is ~21MB) take the chunked stats kernel +
+    # fused XLA apply — both avoid XLA GN's full-size fp32 temps
+    return hw >= 8
 
 
 def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, onehot_ref, out_ref, *,
@@ -133,11 +142,88 @@ def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, onehot_ref, out_ref, *,
     jax.lax.fori_loop(0, n_chunks, apply_step, 0)
 
 
+def _gn_stats_kernel(x_ref, out_ref, s1_scr, s2_scr):
+    """Per-channel sum / sum-of-squares accumulated across row chunks
+    (grid = (batch, chunks), chunk axis sequential). Emits [1, 2, C]."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        s1_scr[:] = jnp.zeros_like(s1_scr)
+        s2_scr[:] = jnp.zeros_like(s2_scr)
+
+    rows = x_ref[0].astype(jnp.float32)  # [chunk, C]
+    s1_scr[:] = s1_scr[:] + jnp.sum(rows, axis=0, keepdims=True)
+    s2_scr[:] = s2_scr[:] + jnp.sum(rows * rows, axis=0, keepdims=True)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[0, 0] = s1_scr[0]
+        out_ref[0, 1] = s2_scr[0]
+
+
+def _gn_silu_fwd_chunked(x3, gamma, beta, groups: int, eps: float,
+                         interpret: bool):
+    """Big-tile path (tile > VMEM): Pallas chunked stats + fused XLA
+    apply. Two HBM reads of x (same as XLA GN) but no full-size fp32
+    temps — the memory property that matters under remat at 1024px."""
+    n, hw, c = x3.shape
+    chunk = _chunk_for(hw)
+    kwargs = {}
+    try:
+        cp = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        )
+        if not interpret:
+            kwargs["compiler_params"] = cp
+    except TypeError:
+        pass
+    sums = pl.pallas_call(
+        _gn_stats_kernel,
+        grid=(n, hw // chunk),
+        in_specs=[
+            pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n * hw * c,
+            bytes_accessed=n * hw * c * x3.dtype.itemsize,
+            transcendentals=0,
+        ),
+        **kwargs,
+    )(x3)
+    denom = hw * (c // groups)
+    g1 = sums[:, 0].reshape(n, groups, -1).sum(-1)  # [N, G]
+    g2 = sums[:, 1].reshape(n, groups, -1).sum(-1)
+    mean_g = g1 / denom
+    inv_g = jax.lax.rsqrt(g2 / denom - mean_g * mean_g + eps)
+    mean_c = jnp.repeat(mean_g, c // groups, axis=-1)  # [N, C]
+    inv_c = jnp.repeat(inv_g, c // groups, axis=-1)
+    gamma32 = gamma.astype(jnp.float32)
+    scale = inv_c * gamma32[None, :]
+    shift = beta.astype(jnp.float32)[None, :] - mean_c * scale
+    y = x3.astype(jnp.float32) * scale[:, None, :] + shift[:, None, :]
+    return (y * jax.nn.sigmoid(y)).astype(x3.dtype)
+
+
 def _gn_silu_fwd_pallas(x, gamma, beta, groups: int, eps: float,
                         interpret: bool):
     orig_shape = x.shape
     n, c = x.shape[0], x.shape[-1]
     x3 = x.reshape(n, -1, c)
+    if not _tile_fits_vmem(x):
+        return _gn_silu_fwd_chunked(
+            x3, gamma, beta, groups, eps, interpret
+        ).reshape(orig_shape)
     hw = x3.shape[1]
     group_size = c // groups
     onehot = (
