@@ -101,6 +101,49 @@ def main():
     for name, a, b_ in zip(("dq", "dk", "dv"), gf, gr):
         check(f"grad {name} 1024 f32", a, b_, 5e-3)
 
+    # learned-bias gradients (bias_grad=True: dBias from the dQ kernel)
+    lb = rand((2, 4, 512, 512), 13, jnp.float32)
+    q3, k3, v3 = qf[:, :512], kf[:, :512], vf[:, :512]
+    gb_f = jax.jit(
+        jax.grad(
+            lambda b_: (
+                flash_attention(
+                    q3, k3, v3, bias=b_, bias_grad=True, interpret=False
+                )
+                ** 2
+            ).sum()
+        )
+    )(lb)
+    gb_r = jax.jit(
+        jax.grad(lambda b_: (_xla_attention(q3, k3, v3, bias=b_) ** 2).sum())
+    )(lb)
+    check("grad dbias 512 f32", gb_f, gb_r, 5e-3)
+
+    # return_lse (the ring-attention inner step) + its cotangent path
+    out_l, lse_l = jax.jit(
+        lambda q, k, v: flash_attention(
+            q, k, v, interpret=False, return_lse=True
+        )
+    )(qf, kf, vf)
+    from uwudiff_tpu.parallel.ring_attention import attention_with_lse
+
+    ref_o, ref_l = jax.jit(
+        lambda q, k, v: attention_with_lse(q, k, v, use_flash=False)
+    )(qf, kf, vf)
+    check("lse fwd out 1024 f32", out_l, ref_o, 5e-3)
+    check("lse fwd lse 1024 f32", lse_l, ref_l, 5e-3)
+
+    def loss_lse(uf):
+        def f(q):
+            o, l = attention_with_lse(q, kf, vf, use_flash=uf)
+            return (o**2).sum() + 0.1 * l.sum()
+
+        return f
+
+    g_lse_f = jax.jit(jax.grad(loss_lse(True)))(qf)
+    g_lse_r = jax.jit(jax.grad(loss_lse(False)))(qf)
+    check("lse-cotangent dq 1024 f32", g_lse_f, g_lse_r, 5e-3)
+
     # fused GroupNorm+SiLU on the compiled path
     from uwudiff_tpu.ops.groupnorm_silu import (
         _gn_silu,
@@ -115,6 +158,14 @@ def main():
         lambda x: group_norm_silu_reference(x, gamma, beta, 32, 1e-5)
     )(x)
     check("fused GN+SiLU 64x64x320 bf16", got, ref, 3e-2)
+
+    # big-tile chunked GN path (1024px level-0: 16384 rows x 320 ch)
+    xb = rand((1, 128, 128, 320), 14, jnp.bfloat16)
+    got = jax.jit(lambda x: _gn_silu(x, gamma, beta, 32, 1e-5, False))(xb)
+    ref = jax.jit(
+        lambda x: group_norm_silu_reference(x, gamma, beta, 32, 1e-5)
+    )(xb)
+    check("chunked GN+SiLU 128x128x320 bf16", got, ref, 3e-2)
 
     print(f"{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
