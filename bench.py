@@ -271,6 +271,9 @@ def main():
         dtype=jnp.bfloat16,
         gradient_checkpointing=REMAT,
         remat_policy=REMAT_POLICY,
+        # perf/compile levers (measured individually; see README perf log)
+        fused_qkv=os.environ.get("BENCH_FUSED_QKV", "0") == "1",
+        scan_transformer_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
     )
     ctx_dim = unet.cross_attention_dim
     trainer = DMTrainer(

@@ -245,7 +245,12 @@ def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     """dQ kernel variant that also emits dBias = dL/ds per [BQ, BK] block
     (s = qk*scale + bias, so dL/dbias = dL/ds = p*(dp-delta) exactly).
     Used when a *learned* full bias needs gradients (e.g. T5 relative
-    position bias trained through the kernel)."""
+    position bias trained through the kernel).
+
+    The s and dp dots run at Precision.HIGHEST: dq/dk/dv contract ds
+    against K/Q (hundreds of terms average out MXU bf16-pass noise) but
+    dBias IS ds pointwise — single-pass products leave ~3% elementwise
+    error on the real chip (measured, flash_check r3)."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -265,6 +270,7 @@ def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         jax.lax.dot_general(
             q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         * scale
         + b_blk
@@ -273,6 +279,7 @@ def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     dp = jax.lax.dot_general(
         do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     ds = p * (dp - delta)
     dbias_ref[0] = ds.astype(dbias_ref.dtype)
