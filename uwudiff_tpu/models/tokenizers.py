@@ -1,8 +1,13 @@
 """Host-side tokenizers.
 
 Tokenization stays on host (SURVEY.md §7.3); models only see fixed-shape
-int arrays. Two providers:
+int arrays. Providers:
 
+- ``CLIPBPETokenizer``: self-contained CLIP byte-level BPE
+  (vocab.json + merges.txt), id-equal to ``transformers.CLIPTokenizer``
+- ``T5SPTokenizer`` (``spiece.py``): self-contained SentencePiece
+  unigram for T5 checkpoints (spiece.model or tokenizer.json),
+  id-equal to ``transformers.T5TokenizerFast``
 - ``load_hf_tokenizer``: a locally-available HuggingFace tokenizer
   (the reference uses ``AutoTokenizer.from_pretrained``,
   ``duwu/modules/text_encoders.py:68-75``)
@@ -18,9 +23,12 @@ from functools import lru_cache
 
 import numpy as np
 
+from uwudiff_tpu.models.spiece import T5SPTokenizer  # noqa: F401 (re-export)
+
 __all__ = [
     "SimpleTokenizer",
     "CLIPBPETokenizer",
+    "T5SPTokenizer",
     "load_hf_tokenizer",
     "clamp_tokenizer_length",
 ]
