@@ -46,6 +46,22 @@ DEFAULT_BLOCK_Q = 512  # larger Q tiles halve K/V re-reads across the grid
 DEFAULT_BLOCK_K = 2048
 NEG_INF = -1e30
 
+# measured winners from scripts/flash_tune.py (v5e, bf16, fwd+bwd):
+# (sq_bucket, sk_bucket) -> (block_q, block_k) where buckets are
+# "rounded up to the nearest entry" — head_dim proved not to move the
+# optimum in the sweep, so the key is sequence-only. Empty entries fall
+# through to the defaults above.
+BLOCK_TABLE: dict[tuple[int, int], tuple[int, int]] = {}
+
+
+def _pick_blocks(sq: int, sk: int) -> tuple[int, int]:
+    """Best measured (block_q, block_k) for this shape; defaults when
+    the sweep has no data point."""
+    for (tsq, tsk), blocks in sorted(BLOCK_TABLE.items()):
+        if sq <= tsq and sk <= tsk:
+            return blocks
+    return DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K
+
 
 def flash_shape_supported(q, k, v) -> bool:
     """Gate for the dispatch layer: last dim must be MXU-friendly and
@@ -528,8 +544,8 @@ def flash_attention(
     v: jnp.ndarray,
     bias: jnp.ndarray | None = None,  # broadcastable to [B, H, Sq, Sk]
     scale: float | None = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int | None = None,  # None -> tuned BLOCK_TABLE / defaults
+    block_k: int | None = None,
     interpret: bool | None = None,
     bias_grad: bool = False,
     return_lse: bool = False,
@@ -567,8 +583,9 @@ def flash_attention(
         not with_dbias and bias.shape[1] == 1 and bias.shape[2] == 1
     )
 
-    block_q = min(block_q, _round_up(sq, 128))
-    block_k = min(block_k, _round_up(sk, 128))
+    auto_q, auto_k = _pick_blocks(sq, sk)
+    block_q = min(block_q or auto_q, _round_up(sq, 128))
+    block_k = min(block_k or auto_k, _round_up(sk, 128))
 
     # pad sequences to block multiples (-inf bias on padded keys is exact;
     # padded query rows are sliced off)
