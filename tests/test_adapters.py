@@ -179,3 +179,75 @@ def test_nn_weighted_trainer():
     assert np.isfinite(m1["train/loss"])
     assert hasattr(aux, "loss_pred_losses")
     assert "loss_pred" in trainer.state.params
+
+
+def test_adapter_on_scanned_and_fused_model():
+    """scan_transformer_blocks stacks kernels [L, in, out]; fused_qkv
+    renames to to_qkv/to_kv. Adapters must cover both layouts (round-3:
+    they previously skipped ndim-3 leaves silently)."""
+    from uwudiff_tpu.models.transformer import Transformer2DModel
+
+    unet = Transformer2DModel(
+        num_heads=2,
+        head_dim=8,
+        num_layers=3,
+        cross_attention_dim=32,
+        use_linear_projection=True,
+        norm_num_groups=4,
+        scan_blocks=True,
+        fused_qkv=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    kx, kc, ki = jax.random.split(rng, 3)
+    x = jax.random.normal(kx, (1, 8, 8, 16))
+    ctx = jax.random.normal(kc, (1, 8, 32))
+    params = unet.init(ki, x, ctx)["params"]
+    cfg = build_adapter_config(
+        {
+            "config": {"linear_dim": 4, "linear_alpha": 1, "algo": "lora"},
+            "preset": {
+                "enable_conv": False,
+                "target_module": ["Attention", "FeedForward"],
+                "module_algo_map": {
+                    "FeedForward": {"algo": "lokr", "factor": 4}
+                },
+            },
+        }
+    )
+    adapter = LycorisAdapter.create(unet, params, cfg, jax.random.PRNGKey(1))
+    names = list(adapter.specs)
+    assert any("to_qkv" in n for n in names), names
+    stacked = [n for n in names if adapter.specs[n]["stack"]]
+    assert stacked, "no stacked kernels adapted"
+    assert any(adapter.specs[n]["algo"] == "lokr" for n in stacked)
+
+    # zero at init
+    merged = adapter.merge(params)
+    out_base = unet.apply({"params": params}, x, ctx)
+    out_merged = unet.apply({"params": merged}, x, ctx)
+    np.testing.assert_allclose(
+        np.asarray(out_base), np.asarray(out_merged), atol=1e-6
+    )
+
+    # non-zero after an update, and every layer of a stacked kernel
+    # receives its own delta
+    new_ap = jax.tree_util.tree_map(lambda v: v + 0.1, adapter.params)
+    merged2 = adapter.merge(params, new_ap)
+    out2 = unet.apply({"params": merged2}, x, ctx)
+    assert float(jnp.abs(out_base - out2).max()) > 1e-6
+
+
+def test_batched_lokr_matches_per_layer_kron():
+    """The einsum-batched Kronecker for stacked kernels must equal
+    jnp.kron applied per layer."""
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    w1 = jax.random.normal(k1, (3, 4, 2))
+    w2 = jax.random.normal(k2, (3, 5, 6))
+    batched = jnp.einsum("lio,lpq->lipoq", w1, w2).reshape(3, 4 * 5, 2 * 6)
+    for layer in range(3):
+        np.testing.assert_allclose(
+            np.asarray(batched[layer]),
+            np.asarray(jnp.kron(w1[layer], w2[layer])),
+            rtol=1e-6,
+        )

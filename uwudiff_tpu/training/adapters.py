@@ -34,7 +34,7 @@ __all__ = ["AdapterConfig", "LycorisAdapter", "build_adapter_config"]
 
 # reference module-class names -> param-path regexes in our models
 _MODULE_NAME_PATTERNS = {
-    "Attention": r".*attn\d/(to_q|to_k|to_v|to_out)/kernel$",
+    "Attention": r".*attn\d/(to_q|to_k|to_v|to_qkv|to_kv|to_out)/kernel$",
     "FeedForward": r".*/ff/(proj_in|proj_out)/kernel$",
     "Transformer2DModel": r".*(attn|blocks_|proj_in|proj_out).*kernel$",
 }
@@ -142,7 +142,9 @@ class LycorisAdapter:
     @classmethod
     def create(cls, module, base_params, config: AdapterConfig, rng):
         """Scan the base param tree; attach adapters to matching 2D
-        kernels (and conv kernels if enable_conv)."""
+        kernels (conv kernels if enable_conv, and the ndim-3 stacked
+        kernels of ``scan_transformer_blocks=True`` models — those get
+        per-layer adapters batched over the leading layer axis)."""
         flat = jax.tree_util.tree_flatten_with_path(base_params)[0]
         specs: dict[str, dict] = {}
         params: dict[str, Any] = {}
@@ -151,8 +153,12 @@ class LycorisAdapter:
             name = _path_str(path)
             if not name.endswith("kernel"):
                 continue
+            stack = ()  # leading layer axis of nn.scan-stacked kernels
             if leaf.ndim == 2:
                 in_dim, out_dim = leaf.shape
+            elif leaf.ndim == 3:
+                stack = (leaf.shape[0],)
+                in_dim, out_dim = leaf.shape[1:]
             elif leaf.ndim == 4 and config.enable_conv:
                 kh, kw, cin, out_dim = leaf.shape
                 in_dim = kh * kw * cin
@@ -169,13 +175,16 @@ class LycorisAdapter:
                 "dim": target.dim,
                 "factor": target.factor,
                 "shape": tuple(leaf.shape),
+                "stack": stack,
             }
             if target.algo == "lora":
                 k1, _ = jax.random.split(key)
                 params[name] = {
-                    "lora_down": jax.random.normal(k1, (in_dim, target.dim))
+                    "lora_down": jax.random.normal(
+                        k1, (*stack, in_dim, target.dim)
+                    )
                     * (1.0 / max(in_dim, 1)) ** 0.5,
-                    "lora_up": jnp.zeros((target.dim, out_dim)),
+                    "lora_up": jnp.zeros((*stack, target.dim, out_dim)),
                 }
             elif target.algo == "lokr":
                 i1, i2 = _factorization(in_dim, target.factor)
@@ -183,9 +192,9 @@ class LycorisAdapter:
                 k1, _ = jax.random.split(key)
                 params[name] = {
                     # kron(w1, w2): w2 zero-init keeps the delta at 0
-                    "lokr_w1": jax.random.normal(k1, (i1, o1))
+                    "lokr_w1": jax.random.normal(k1, (*stack, i1, o1))
                     * (1.0 / max(i1, 1)) ** 0.5,
-                    "lokr_w2": jnp.zeros((i2, o2)),
+                    "lokr_w2": jnp.zeros((*stack, i2, o2)),
                 }
             else:
                 raise ValueError(f"Unknown adapter algo {target.algo!r}")
@@ -198,7 +207,19 @@ class LycorisAdapter:
         p = self.params[name]
         if spec["algo"] == "lora":
             scale = spec["alpha"] / spec["dim"]
+            # @ batches over any leading stack axis
             delta = (p["lora_down"] @ p["lora_up"]) * scale
+        elif spec.get("stack"):
+            # batched Kronecker over the layer axis:
+            # kron(a, b)[i*P+p, j*Q+q] = a[i,j] * b[p,q]
+            w1, w2 = p["lokr_w1"], p["lokr_w2"]
+            (i1, o1), (i2, o2) = w1.shape[1:], w2.shape[1:]
+            delta = (
+                jnp.einsum("lio,lpq->lipoq", w1, w2).reshape(
+                    w1.shape[0], i1 * i2, o1 * o2
+                )
+                * spec["alpha"]
+            )
         else:  # lokr
             delta = jnp.kron(p["lokr_w1"], p["lokr_w2"]) * spec["alpha"]
         return (delta * self.multiplier).reshape(spec["shape"])
