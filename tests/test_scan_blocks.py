@@ -150,3 +150,68 @@ def test_unet_scan_transformer_blocks_trains():
         sum(jnp.sum(l**2) for l in jax.tree_util.tree_leaves(g)) ** 0.5
     )
     assert np.isfinite(gn) and gn > 0
+
+
+def test_remat_cell_grad_parity():
+    """scan-of-remat (remat_cell=True) must not change loss or grads
+    vs the plain scanned stack; params/structure are identical."""
+    kwargs = dict(
+        num_heads=2,
+        head_dim=16,
+        num_layers=3,
+        cross_attention_dim=24,
+        use_linear_projection=True,
+        scan_blocks=True,
+    )
+    plain = Transformer2DModel(**kwargs)
+    rematted = Transformer2DModel(**kwargs, remat_cell=True)
+    x, ctx = _inputs(3)
+    params = plain.init(jax.random.PRNGKey(4), x, ctx)["params"]
+
+    def loss(p, model):
+        return jnp.mean(model.apply({"params": p}, x, ctx) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, plain)
+    l1, g1 = jax.value_and_grad(loss)(params, rematted)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_unet_remat_cell_trains():
+    """gradient_checkpointing + scan_transformer_blocks routes the stack
+    through cell remat (no outer transformer remat); grads finite and
+    matching the unrematted model."""
+    kw = dict(
+        block_out_channels=(32, 64),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        layers_per_block=1,
+        transformer_layers_per_block=2,
+        num_attention_heads=2,
+        cross_attention_dim=24,
+        norm_num_groups=8,
+        zero_init_stddev=0.1,  # non-degenerate output path
+        scan_transformer_blocks=True,
+    )
+    remat = UNet2DConditionModel(**kw, gradient_checkpointing=True)
+    plain = UNet2DConditionModel(**kw)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 16, 4))
+    t = jnp.array([10.0, 500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 24))
+    params = plain.init(jax.random.PRNGKey(2), x, t, ctx)["params"]
+
+    def loss(p, model):
+        return jnp.mean(model.apply({"params": p}, x, t, ctx) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, plain)
+    l1, g1 = jax.value_and_grad(loss)(params, remat)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    leaves0 = jax.tree_util.tree_leaves(g0)
+    leaves1 = jax.tree_util.tree_leaves(g1)
+    assert max(float(jnp.abs(b - a).max()) for a, b in zip(leaves0, leaves1)) < 1e-4
+    assert all(bool(jnp.isfinite(a).all()) for a in leaves1)

@@ -116,6 +116,7 @@ class UNet2DConditionModel(nn.Module):
             "resnet": ResnetBlock2D,
             "transformer": Transformer2DModel,
         }
+        remat_cell = self.gradient_checkpointing and self.scan_transformer_blocks
         if self.gradient_checkpointing:
             import jax
 
@@ -126,7 +127,13 @@ class UNet2DConditionModel(nn.Module):
             )
             block_cls = {
                 "resnet": nn.remat(ResnetBlock2D, policy=policy),
-                "transformer": nn.remat(
+                # scanned stacks checkpoint per scan iteration instead
+                # (scan-of-remat): an outer remat around an nn.scan still
+                # materializes per-iteration residuals for the whole
+                # stack during its backward recompute
+                "transformer": Transformer2DModel
+                if remat_cell
+                else nn.remat(
                     Transformer2DModel, policy=policy, static_argnums=()
                 ),
             }
@@ -203,6 +210,8 @@ class UNet2DConditionModel(nn.Module):
                         use_rope=self.use_rope,
                         out_init_stddev=self.zero_init_stddev,
                         scan_blocks=self.scan_transformer_blocks,
+                        remat_cell=remat_cell,
+                        remat_policy=self.remat_policy,
                         fused_qkv=self.fused_qkv,
                         dtype=self.dtype,
                         name=f"down_{i}_attn_{j}",
@@ -239,6 +248,8 @@ class UNet2DConditionModel(nn.Module):
                 use_rope=self.use_rope,
                 out_init_stddev=self.zero_init_stddev,
                 scan_blocks=self.scan_transformer_blocks,
+                remat_cell=remat_cell,
+                remat_policy=self.remat_policy,
                 fused_qkv=self.fused_qkv,
                 dtype=self.dtype,
                 name="mid_attn",
@@ -279,6 +290,8 @@ class UNet2DConditionModel(nn.Module):
                         use_rope=self.use_rope,
                         out_init_stddev=self.zero_init_stddev,
                         scan_blocks=self.scan_transformer_blocks,
+                        remat_cell=remat_cell,
+                        remat_policy=self.remat_policy,
                         fused_qkv=self.fused_qkv,
                         dtype=self.dtype,
                         name=f"up_{i}_attn_{j}",
