@@ -22,6 +22,7 @@ __all__ = [
     "dot_product_attention",
     "attention_bias_from_mask",
     "sequence_parallel",
+    "head_parallel",
 ]
 
 
@@ -127,6 +128,97 @@ def _maybe_ring(q, k, v, bias, scale):
     return fn(q, k, v)
 
 
+_tp_ctx: "head_parallel | None" = None
+
+
+class head_parallel:
+    """Context manager routing attention through a ``shard_map`` over the
+    head axis under tensor parallelism.
+
+    GSPMD cannot partition a custom call: a Pallas flash kernel applied
+    to head-sharded activations (the natural layout after Megatron
+    column-split QKV projections, ``parallel/mesh.py`` TP rules) would
+    force an all-gather back to full H on every attention. Attention is
+    embarrassingly parallel over heads, so a shard_map island with
+    ``P(batch, None, tensor, None)`` specs runs the kernel per-shard
+    with ZERO added communication — the specs coincide with the
+    sharding GSPMD already picked for the surrounding projections.
+
+    DMTrainer activates this whenever its mesh has a ``tensor`` axis of
+    size > 1. Calls whose head count or batch doesn't divide the mesh
+    fall through to the normal (GSPMD-partitioned XLA) path.
+    """
+
+    def __init__(self, mesh, axis: str = "tensor"):
+        self.mesh = mesh
+        self.axis = axis
+
+    def __enter__(self):
+        global _tp_ctx
+        self._prev = _tp_ctx
+        _tp_ctx = self
+        return self
+
+    def __exit__(self, *exc):
+        global _tp_ctx
+        _tp_ctx = self._prev
+        return False
+
+
+def _maybe_head_parallel(q, k, v, bias, scale, use_flash, bias_grad):
+    """Head-sharded shard_map dispatch under an active ``head_parallel``
+    context; returns None when the call doesn't qualify."""
+    ctx = _tp_ctx
+    if ctx is None:
+        return None
+    mesh, axis = ctx.mesh, ctx.axis
+    if axis not in mesh.axis_names or mesh.shape[axis] <= 1:
+        return None
+    n = mesh.shape[axis]
+    if q.shape[2] % n:
+        return None
+    batch_axes = tuple(
+        a for a in ("data", "fsdp")
+        if a in mesh.axis_names and mesh.shape[a] > 1
+    )
+    if batch_axes:
+        import numpy as np
+
+        if q.shape[0] % int(np.prod([mesh.shape[a] for a in batch_axes])):
+            return None
+
+    from jax.sharding import PartitionSpec as P
+
+    bspec = ()
+    bargs = ()
+    if bias is not None:
+        if bias.ndim != 4 or bias.shape[1] not in (1, q.shape[2]):
+            return None
+        bspec = (
+            P(
+                batch_axes if (batch_axes and bias.shape[0] > 1) else None,
+                axis if bias.shape[1] > 1 else None,
+                None,
+                None,
+            ),
+        )
+        bargs = (bias,)
+    spec = P(batch_axes if batch_axes else None, None, axis, None)
+    fn = jax.shard_map(
+        functools.partial(
+            _local_attention,
+            scale=scale,
+            use_flash=use_flash,
+            bias_grad=bias_grad,
+        ),
+        mesh=mesh,
+        in_specs=(spec, spec, spec) + bspec,
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v, *bargs)
+
+
 def _on_tpu() -> bool:
     """TPU detection that also covers proxy platforms (e.g. 'axon')
     whose platform name is not 'tpu' but whose devices are TPU chips."""
@@ -186,6 +278,17 @@ def dot_product_attention(
     ring_out = _maybe_ring(q, k, v, bias, scale)
     if ring_out is not None:
         return ring_out
+    hp_out = _maybe_head_parallel(q, k, v, bias, scale, use_flash, bias_grad)
+    if hp_out is not None:
+        return hp_out
+    return _local_attention(
+        q, k, v, bias, scale=scale, use_flash=use_flash, bias_grad=bias_grad
+    )
+
+
+def _local_attention(q, k, v, bias=None, scale=None, use_flash=None,
+                     bias_grad=False):
+    """Single-shard backend selection (flash kernel when available)."""
     if use_flash is None:
         use_flash = _flash_override if _flash_override is not None else _on_tpu()
     if use_flash:

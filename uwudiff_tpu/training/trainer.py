@@ -391,18 +391,31 @@ class DMTrainer:
         return self.loss(rng_loss, x, model_fn)
 
     def _seq_parallel_ctx(self):
-        """Ring-attention context: active when the mesh has a ``seq``
-        axis (config: ``mesh_axes={"data": 2, "seq": 4}``) — UNet/DiT
-        self-attention then runs sequence-parallel (SURVEY.md §5.7)."""
+        """Mesh-aware attention contexts:
+
+        - ``seq`` axis > 1: ring attention — self-attention runs
+          sequence-parallel (SURVEY.md §5.7);
+        - ``tensor`` axis > 1: head-parallel shard_map — the Pallas
+          flash kernel runs per head-shard instead of forcing GSPMD to
+          all-gather activations around an unpartitionable custom call.
+        """
         import contextlib
 
-        if self.mesh is not None and "seq" in self.mesh.axis_names and (
-            self.mesh.shape["seq"] > 1
-        ):
+        stack = contextlib.ExitStack()
+        if self.mesh is None:
+            return stack
+        if "seq" in self.mesh.axis_names and self.mesh.shape["seq"] > 1:
             from uwudiff_tpu.ops.attention import sequence_parallel
 
-            return sequence_parallel(self.mesh, axis="seq")
-        return contextlib.nullcontext()
+            stack.enter_context(sequence_parallel(self.mesh, axis="seq"))
+        if (
+            "tensor" in self.mesh.axis_names
+            and self.mesh.shape["tensor"] > 1
+        ):
+            from uwudiff_tpu.ops.attention import head_parallel
+
+            stack.enter_context(head_parallel(self.mesh, axis="tensor"))
+        return stack
 
     def _train_step_impl(self, state, frozen, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
