@@ -253,12 +253,10 @@ def bench_sampler():
     print(json.dumps(first))
 
 
-def main():
-    _enable_compile_cache()
-    if MODE == "sample":
-        bench_sampler()
-        return
-    import jax
+def build_trainer_and_batch():
+    """The benchmark's trainer + synthetic batch, honoring the BENCH_*
+    env knobs — shared with ``scripts/step_profile.py`` so the profiled
+    program is EXACTLY the benchmarked one."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -311,6 +309,18 @@ def main():
         batch["pooled"] = rng.standard_normal(
             (BATCH, pooled_dim), dtype=np.float32
         )
+    return trainer, batch
+
+
+def main():
+    _enable_compile_cache()
+    if MODE == "sample":
+        bench_sampler()
+        return
+    import jax
+    import numpy as np
+
+    trainer, batch = build_trainer_and_batch()
 
     # compile + warmup
     t0 = time.perf_counter()

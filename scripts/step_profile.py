@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Static roofline profile of the benchmark train step from its
+compiled HLO.
+
+``jax.profiler`` traces are impractical over the tunneled single-chip
+link (ROADMAP), but the optimized HLO of the compiled step carries
+everything a first-order perf analysis needs: every ``convolution`` /
+``dot`` instruction with shapes, plus JAX-level ``op_name`` metadata for
+attribution. This tool compiles the EXACT benchmark program (reusing
+``bench.build_trainer_and_batch``, warm via the persistent compile
+cache), walks the HLO text, computes per-instruction FLOPs analytically,
+and prints:
+
+- FLOPs by module group (attn1 / attn2 / ff / resnet convs / proj / vae
+  / optimizer...), with % of total and speed-of-light ms at peak bf16;
+- the top-K single instructions by FLOPs;
+- Pallas custom calls (flash attention) with analytic FLOP estimates
+  (XLA's cost model can't see inside them);
+- totals cross-checked against ``compiled.cost_analysis()``, plus
+  ``memory_analysis`` (argument/output/temp bytes).
+
+Usage (same env knobs as bench.py):
+    python scripts/step_profile.py                  # SDXL bs=8 default
+    BENCH_MODEL=sd15 python scripts/step_profile.py
+    TOPK=30 python scripts/step_profile.py
+"""
+
+import os
+import re
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_SHAPE_RE = re.compile(r"(?:bf16|f16|f32|f64|s32|u32|s8|u8|pred)\[([\d,]*)\]")
+
+
+def _shape_elems(shape_str: str) -> int:
+    if not shape_str:
+        return 1
+    n = 1
+    for d in shape_str.split(","):
+        n *= int(d)
+    return n
+
+
+_DEF_RE = re.compile(
+    r"(?:ROOT )?%([\w.\-]+) = \(?((?:bf16|f16|f32|f64|s32|u32|s8|u8|pred)"
+    r"\[[\d,]*\])"
+)
+
+
+def _build_shape_table(txt: str) -> dict[str, list[int]]:
+    """%instruction-name -> shape, from every definition line (operand
+    references in optimized HLO are bare %names without shapes)."""
+    table: dict[str, list[int]] = {}
+    for line in txt.splitlines():
+        m = _DEF_RE.match(line.strip())
+        if m:
+            dims = _SHAPE_RE.match(m.group(2)).group(1)
+            table[m.group(1)] = (
+                [int(d) for d in dims.split(",")] if dims else []
+            )
+    return table
+
+
+def _operand_shapes(line: str, op: str, table: dict) -> list[list[int]]:
+    """Shapes of the operands inside ``op(...)`` on an HLO line, resolved
+    through the definition table."""
+    m = re.search(re.escape(op) + r"\((.*?)\)", line)
+    if not m:
+        return []
+    names = re.findall(r"%([\w.\-]+)", m.group(1))
+    return [table.get(n, []) for n in names]
+
+
+def _conv_flops(line: str, out_elems: int, table: dict) -> int | None:
+    """2 * out_elems * kh * kw * cin / feature_groups."""
+    win = re.search(r"window=\{size=(\d+)x(\d+)", line)
+    if win is None:  # 1x1 convs may omit the window clause
+        kh = kw = 1
+    else:
+        kh, kw = int(win.group(1)), int(win.group(2))
+    ops = _operand_shapes(line, "convolution", table)
+    labels = re.search(r"dim_labels=(\w+)_(\w+)->", line)
+    if len(ops) < 2 or not ops[1] or labels is None:
+        return None
+    rhs_labels = labels.group(2)  # e.g. 01io
+    if "i" not in rhs_labels:
+        return None
+    cin = ops[1][rhs_labels.index("i")]
+    # rhs 'i' dim is already per-group for grouped convs
+    return 2 * out_elems * kh * kw * cin
+
+
+def _dot_flops(line: str, out_elems: int, table: dict) -> int | None:
+    """2 * out_elems * (product of lhs contracting dims)."""
+    ops = _operand_shapes(line, "dot", table)
+    m = re.search(r"lhs_contracting_dims=\{([\d,]*)\}", line)
+    if len(ops) < 1 or not ops[0] or m is None:
+        return None
+    contract = 1
+    for d in m.group(1).split(","):
+        if d:
+            contract *= ops[0][int(d)]
+    return 2 * out_elems * contract
+
+
+_GROUPS = [
+    ("flash-attention (pallas)", r"flash|custom-call"),
+    ("attention QK/PV (xla einsum)", r"dot_product_attention"),
+    ("self-attn qkv/out proj", r"attn1/"),
+    ("cross-attn proj", r"attn2/"),
+    ("transformer ff", r"/ff/"),
+    ("transformer proj_in/out", r"proj_in|proj_out"),
+    ("resnet convs", r"_res_|mid_res|conv_shortcut"),
+    ("up/downsample convs", r"upsample|downsample"),
+    ("conv_in/out", r"conv_in|conv_out"),
+    ("time/cond embeddings", r"time_embedding|add_embedding"),
+    ("optimizer/update", r"adamw|adafactor|stochastic|update|opt_state"),
+    ("loss/schedule", r"loss|sigma|noise"),
+]
+
+
+def _group_for(op_name: str) -> str:
+    for label, pat in _GROUPS:
+        if re.search(pat, op_name):
+            return label
+    return "other"
+
+
+def main():
+    topk = int(os.environ.get("TOPK", "15"))
+    import bench
+
+    bench._enable_compile_cache()
+    import jax
+
+    trainer, batch = bench.build_trainer_and_batch()
+    trainer.setup(batch)  # params on host, jitted step, batch sharding
+    dev_batch = trainer._put_batch(batch)
+    print("# lowering + compiling (warm if bench ran this config)...",
+          file=sys.stderr)
+    compiled = trainer._train_step.lower(
+        trainer.state, trainer.frozen, dev_batch, jax.random.PRNGKey(0)
+    ).compile()
+
+    txt = compiled.as_text()
+    table = _build_shape_table(txt)
+    per_instr = []  # (flops, kind, out_bytes, op_name, line_head)
+    custom_calls = defaultdict(int)
+    for raw in txt.splitlines():
+        line = raw.strip()
+        m = re.match(r"(?:ROOT )?%[\w.\-]+ = (\S+)\s+(convolution|dot|custom-call)\(", line)
+        if not m:
+            continue
+        out_shape = _SHAPE_RE.match(m.group(1))
+        out_elems = _shape_elems(out_shape.group(1)) if out_shape else 1
+        kind = m.group(2)
+        name = re.search(r'op_name="([^"]*)"', line)
+        op_name = name.group(1) if name else "?"
+        if kind == "custom-call":
+            tgt = re.search(r'custom_call_target="([^"]*)"', line)
+            custom_calls[(tgt.group(1) if tgt else "?", op_name)] += 1
+            continue
+        flops = (
+            _conv_flops(line, out_elems, table)
+            if kind == "convolution"
+            else _dot_flops(line, out_elems, table)
+        )
+        if flops is None:
+            continue
+        per_instr.append((flops, kind, op_name, line[:120]))
+
+    total = sum(f for f, *_ in per_instr)
+    peak = bench._device_peak_flops_bf16() or 197e12
+    groups = defaultdict(lambda: [0, 0])
+    for f, kind, op_name, _ in per_instr:
+        g = _group_for(op_name)
+        groups[g][0] += f
+        groups[g][1] += 1
+
+    print(f"\n== FLOPs by module group (analytic, from optimized HLO) ==")
+    print(f"{'group':36s} {'TFLOPs':>9s} {'%':>6s} {'#instr':>7s} {'SoL ms':>8s}")
+    for g, (f, n) in sorted(groups.items(), key=lambda kv: -kv[1][0]):
+        print(
+            f"{g:36s} {f/1e12:9.3f} {100*f/max(total,1):6.1f} {n:7d} "
+            f"{f/peak*1000:8.2f}"
+        )
+    print(f"{'TOTAL (conv+dot)':36s} {total/1e12:9.3f} {'100.0':>6s} "
+          f"{len(per_instr):7d} {total/peak*1000:8.2f}")
+
+    print(f"\n== top {topk} instructions by FLOPs ==")
+    for f, kind, op_name, head in sorted(per_instr, key=lambda t: -t[0])[:topk]:
+        print(f"{f/1e12:8.3f} TF  {kind:12s} {op_name[-90:]}")
+
+    if custom_calls:
+        print("\n== custom calls (Pallas kernels; FLOPs not in XLA's model) ==")
+        for (tgt, op_name), n in sorted(custom_calls.items()):
+            print(f"{n:4d}x  {tgt:24s} {op_name[-80:]}")
+
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    print("\n== XLA cost_analysis cross-check ==")
+    xf = float(ca.get("flops", float("nan")))
+    print(f"xla flops:      {xf/1e12:9.3f} TF  (analytic conv+dot: "
+          f"{total/1e12:.3f} TF; gap = elementwise + pallas + fusions)")
+    for key in ("bytes accessed", "transcendentals"):
+        if key in ca:
+            print(f"{key:15s} {float(ca[key])/1e9:9.3f} G")
+    try:
+        mem = compiled.memory_analysis()
+        print(f"\n== memory_analysis ==\n{mem}")
+    except Exception as e:
+        print(f"memory_analysis unavailable: {e}")
+
+
+if __name__ == "__main__":
+    main()
