@@ -33,6 +33,17 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _SHAPE_RE = re.compile(r"(?:bf16|f16|f32|f64|s32|u32|s8|u8|pred)\[([\d,]*)\]")
+_DTYPE_BYTES = {"bf16": 2, "f16": 2, "f32": 4, "f64": 8, "s32": 4,
+                "u32": 4, "s8": 1, "u8": 1, "pred": 1}
+_TYPED_SHAPE_RE = re.compile(r"(bf16|f16|f32|f64|s32|u32|s8|u8|pred)\[([\d,]*)\]")
+
+
+def _shape_bytes(typed: str) -> int:
+    """Total bytes of every typed shape in a string (tuples sum)."""
+    total = 0
+    for dt, dims in _TYPED_SHAPE_RE.findall(typed):
+        total += _DTYPE_BYTES[dt] * _shape_elems(dims)
+    return total
 
 
 def _shape_elems(shape_str: str) -> int:
@@ -81,6 +92,15 @@ def _conv_flops(line: str, out_elems: int, table: dict) -> int | None:
         kh = kw = 1
     else:
         kh, kw = int(win.group(1)), int(win.group(2))
+    # base dilation inserts zeros between lhs elements: only
+    # ceil(k/d) taps hit data. XLA encodes batched dot_generals (e.g.
+    # attention einsums) as base-dilated convs with size==lhs_dilate —
+    # without this correction their FLOPs overcount by that factor.
+    dil = re.search(r"lhs_dilate=(\d+)x(\d+)", line)
+    if dil:
+        dh, dw = int(dil.group(1)), int(dil.group(2))
+        kh = -(-kh // dh)
+        kw = -(-kw // dw)
     ops = _operand_shapes(line, "convolution", table)
     labels = re.search(r"dim_labels=(\w+)_(\w+)->", line)
     if len(ops) < 2 or not ops[1] or labels is None:
@@ -133,20 +153,75 @@ def main():
     topk = int(os.environ.get("TOPK", "15"))
     import bench
 
-    bench._enable_compile_cache()
-    import jax
+    compiled = None
+    hlo_file = os.environ.get("HLO_FILE")
+    if hlo_file:  # offline re-analysis of a DUMP_HLO file
+        txt = open(hlo_file).read()
+    else:
+        bench._enable_compile_cache()
+        import jax
 
-    trainer, batch = bench.build_trainer_and_batch()
-    trainer.setup(batch)  # params on host, jitted step, batch sharding
-    dev_batch = trainer._put_batch(batch)
-    print("# lowering + compiling (warm if bench ran this config)...",
-          file=sys.stderr)
-    compiled = trainer._train_step.lower(
-        trainer.state, trainer.frozen, dev_batch, jax.random.PRNGKey(0)
-    ).compile()
-
-    txt = compiled.as_text()
+        trainer, batch = bench.build_trainer_and_batch()
+        trainer.setup(batch)  # params on host, jitted step, sharding
+        dev_batch = trainer._put_batch(batch)
+        print("# lowering + compiling (warm if bench ran this config)...",
+              file=sys.stderr)
+        compiled = trainer._train_step.lower(
+            trainer.state, trainer.frozen, dev_batch, jax.random.PRNGKey(0)
+        ).compile()
+        txt = compiled.as_text()
+    dump = os.environ.get("DUMP_HLO")
+    if dump:
+        with open(dump, "w") as f:
+            f.write(txt)
+        print(f"# HLO text -> {dump}", file=sys.stderr)
     table = _build_shape_table(txt)
+
+    # bytes accounting: HBM traffic estimate per ENTRY-computation
+    # instruction (operand + output bytes; fusion bodies are internal
+    # VMEM traffic and excluded by only walking ENTRY). bitcast/
+    # parameter/tuple plumbing is free.
+    bytes_table: dict[str, int] = {}
+    for line in txt.splitlines():
+        m = _DEF_RE.match(line.strip())
+        if m:
+            bytes_table[m.group(1)] = _shape_bytes(
+                line.split(" = ", 1)[1].split("(", 1)[0]
+            )
+    _FREE_OPS = {
+        "parameter", "constant", "tuple", "get-tuple-element", "bitcast",
+        "after-all", "partition-id", "replica-id", "iota",
+    }
+    bytes_groups = defaultdict(int)
+    kind_bytes = defaultdict(int)
+    top_bytes = []
+    in_entry = False
+    entry_bytes = 0
+    for raw in txt.splitlines():
+        line = raw.strip()
+        if line.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry and line == "}":
+            in_entry = False
+        if not in_entry:
+            continue
+        m = re.match(
+            r"(?:ROOT )?%([\w.\-]+) = \S+ ([\w\-]+)\((.*?)\)", line
+        )
+        if not m or m.group(2) in _FREE_OPS:
+            continue
+        name, kind_op, operands = m.groups()
+        b = bytes_table.get(name, 0)
+        for opn in re.findall(r"%([\w.\-]+)", operands):
+            b += bytes_table.get(opn, 0)
+        nm = re.search(r'op_name="([^"]*)"', line)
+        op_name = nm.group(1) if nm else "?"
+        bytes_groups[_group_for(op_name)] += b
+        kind_bytes[kind_op] += b
+        entry_bytes += b
+        top_bytes.append((b, kind_op, op_name))
+
     per_instr = []  # (flops, kind, out_bytes, op_name, line_head)
     custom_calls = defaultdict(int)
     for raw in txt.splitlines():
@@ -190,6 +265,23 @@ def main():
     print(f"{'TOTAL (conv+dot)':36s} {total/1e12:9.3f} {'100.0':>6s} "
           f"{len(per_instr):7d} {total/peak*1000:8.2f}")
 
+    bw_peak = 819e9  # v5e HBM GB/s (spec sheet); denominator only
+    print(f"\n== HBM bytes by module group (operand+output, ENTRY ops) ==")
+    print(f"{'group':36s} {'GB':>9s} {'%':>6s} {'SoL ms @819GB/s':>16s}")
+    for g, b in sorted(bytes_groups.items(), key=lambda kv: -kv[1]):
+        print(f"{g:36s} {b/1e9:9.2f} {100*b/max(entry_bytes,1):6.1f} "
+              f"{b/bw_peak*1000:16.2f}")
+    print(f"{'TOTAL':36s} {entry_bytes/1e9:9.2f} {'100.0':>6s} "
+          f"{entry_bytes/bw_peak*1000:16.2f}")
+
+    print(f"\n== HBM bytes by op kind ==")
+    for k, b in sorted(kind_bytes.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"{k:24s} {b/1e9:9.2f} GB {100*b/max(entry_bytes,1):5.1f}%")
+
+    print(f"\n== top {topk} instructions by bytes ==")
+    for b, kind_op, op_name in sorted(top_bytes, key=lambda t: -t[0])[:topk]:
+        print(f"{b/1e9:8.3f} GB  {kind_op:14s} {op_name[-85:]}")
+
     print(f"\n== top {topk} instructions by FLOPs ==")
     for f, kind, op_name, head in sorted(per_instr, key=lambda t: -t[0])[:topk]:
         print(f"{f/1e12:8.3f} TF  {kind:12s} {op_name[-90:]}")
@@ -199,6 +291,8 @@ def main():
         for (tgt, op_name), n in sorted(custom_calls.items()):
             print(f"{n:4d}x  {tgt:24s} {op_name[-80:]}")
 
+    if compiled is None:
+        return
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
