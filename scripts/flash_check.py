@@ -51,6 +51,9 @@ def main():
         ("self-attn 4096 bf16", 2, 4096, 4096, 8, 64, jnp.bfloat16, 3e-2),
         ("self-attn 1024 f32", 2, 1024, 1024, 8, 64, jnp.float32, 2e-3),
         ("cross-attn 4096x128 bf16 d40", 2, 4096, 128, 8, 40, jnp.bfloat16, 3e-2),
+        # SDXL text cross-attention (Sk=77 padded to one K block)
+        ("cross-attn 1024x77 bf16", 8, 1024, 77, 10, 64, jnp.bfloat16, 3e-2),
+        ("cross-attn 256x77 bf16", 8, 256, 77, 20, 64, jnp.bfloat16, 3e-2),
     ]
     for name, b, sq, sk, h, d, dtype, atol in cases:
         q = rand((b, sq, h, d), 0, dtype)

@@ -197,6 +197,8 @@ def main():
     top_bytes = []
     in_entry = False
     entry_bytes = 0
+    prefetch_bytes = 0
+    prefetch_n = 0
     for raw in txt.splitlines():
         line = raw.strip()
         if line.startswith("ENTRY "):
@@ -212,6 +214,16 @@ def main():
         if not m or m.group(2) in _FREE_OPS:
             continue
         name, kind_op, operands = m.groups()
+        # Instructions whose OUTPUT lives in memory space 1 (VMEM) are
+        # XLA's async weight-prefetch pipeline (copy/slice-start/done +
+        # ConcatBitcast reassembly): the HBM read they perform replaces
+        # the consuming op's operand read, which the group table already
+        # counts — adding them would double-count ~60% of traffic
+        # (measured on the SDXL step: 108 of 186 GB). Tracked separately.
+        if "S(1)" in line.split(" = ", 1)[1].split("%", 1)[0]:
+            prefetch_bytes += bytes_table.get(name, 0)
+            prefetch_n += 1
+            continue
         b = bytes_table.get(name, 0)
         for opn in re.findall(r"%([\w.\-]+)", operands):
             b += bytes_table.get(opn, 0)
@@ -273,6 +285,12 @@ def main():
               f"{b/bw_peak*1000:16.2f}")
     print(f"{'TOTAL':36s} {entry_bytes/1e9:9.2f} {'100.0':>6s} "
           f"{entry_bytes/bw_peak*1000:16.2f}")
+    if prefetch_n:
+        print(
+            f"(excluded: {prefetch_bytes/1e9:.2f} GB across {prefetch_n} "
+            "async HBM->VMEM weight-prefetch ops (output space S(1)) — "
+            "their reads are the operand bytes already counted above)"
+        )
 
     print(f"\n== HBM bytes by op kind ==")
     for k, b in sorted(kind_bytes.items(), key=lambda kv: -kv[1])[:12]:

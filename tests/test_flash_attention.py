@@ -27,6 +27,13 @@ def test_shape_gate():
     # tiny sequences fall back to XLA
     q, k, v = _rand_qkv(sq=64, sk=64)
     assert not flash_shape_supported(q, k, v)
+    # short KV with long queries (UNet cross-attention) takes the kernel
+    q, _, _ = _rand_qkv(sq=1024)
+    _, k, v = _rand_qkv(sk=77)
+    assert flash_shape_supported(q, k, v)
+    # but a short query (text-encoder self-attn) still falls back
+    q, k, v = _rand_qkv(sq=77, sk=77)
+    assert not flash_shape_supported(q, k, v)
     # unaligned head dim falls back
     q, k, v = _rand_qkv(d=36)
     assert not flash_shape_supported(q, k, v)
@@ -81,6 +88,32 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+def test_short_kv_cross_attention():
+    """UNet cross-attention shape: Sk=77 text tokens, long image query.
+    Padding K/V to one block with -inf bias must be exact in both
+    directions (this is the shape the relaxed dispatch gate admits)."""
+    q, _, _ = _rand_qkv(sq=256)
+    _, k, v = _rand_qkv(sk=77)
+    out = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    ref = _xla_attention(q, k, v)
+    assert out.shape == (2, 256, 2, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def loss_flash(q, k, v):
+        return (
+            flash_attention(q, k, v, interpret=True,
+                            block_q=128, block_k=128) ** 2
+        ).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention(q, k, v) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
 def test_gradients_match_xla():
