@@ -90,10 +90,17 @@ def _device_peak_flops_bf16():
 
 
 def _compiled_step_flops(trainer, batch):
-    """FLOPs of the one compiled train step, from XLA's own cost model
-    (``compiled.cost_analysis()['flops']``) — no analytic estimate."""
+    """(cost_model_flops, matmul_flops) of the one compiled train step.
+
+    cost_model_flops is XLA's own ``cost_analysis()['flops']`` — it
+    includes elementwise work (measured 49.0 TF vs 39.2 TF conv+dot on
+    the SDXL bs=8 step), so the MFU it yields is ~25% generous.
+    matmul_flops walks the optimized HLO's convolution/dot instructions
+    analytically (scripts/step_profile.py helpers) — the conventional
+    MFU numerator."""
     import jax
 
+    cost_flops = matmul_flops = None
     try:
         dev_batch = trainer._put_batch(batch)
         compiled = trainer._train_step.lower(
@@ -102,10 +109,47 @@ def _compiled_step_flops(trainer, batch):
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca["flops"])
+        cost_flops = float(ca["flops"])
     except Exception as e:  # older jax / backend without cost model
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
-        return None
+        return None, None
+    try:
+        import importlib.util
+        import re as _re
+
+        sp_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts", "step_profile.py",
+        )
+        spec = importlib.util.spec_from_file_location("_step_profile", sp_path)
+        sp = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(sp)
+        txt = compiled.as_text()
+        table = sp._build_shape_table(txt)
+        total = 0
+        instr_re = _re.compile(
+            r"(?:ROOT )?%[\w.\-]+ = (\S+)\s+(convolution|dot)\("
+        )
+        for raw in txt.splitlines():
+            line = raw.strip()
+            m = instr_re.match(line)
+            if not m:
+                continue
+            out_shape = sp._SHAPE_RE.match(m.group(1))
+            out_elems = (
+                sp._shape_elems(out_shape.group(1)) if out_shape else 1
+            )
+            f = (
+                sp._conv_flops(line, out_elems, table)
+                if m.group(2) == "convolution"
+                else sp._dot_flops(line, out_elems, table)
+            )
+            if f:
+                total += f
+        matmul_flops = float(total)
+    except Exception as e:
+        print(f"# analytic matmul flops unavailable: {e}", file=sys.stderr)
+    return cost_flops, matmul_flops
 
 
 def _enable_compile_cache():
@@ -345,9 +389,12 @@ def main():
 
     imgs_per_sec = BATCH / dt
     anchor = A100_ANCHOR_IMGS_PER_SEC.get(MODEL, A100_ANCHOR_IMGS_PER_SEC["sd15"])
-    flops = _compiled_step_flops(trainer, batch)
+    flops, matmul_flops = _compiled_step_flops(trainer, batch)
     peak = _device_peak_flops_bf16()
     mfu = (flops / dt / peak) if (flops and peak) else None
+    mfu_matmul = (
+        (matmul_flops / dt / peak) if (matmul_flops and peak) else None
+    )
     result = {
         "metric": (
             f"{MODEL}-class full-finetune latent train imgs/sec/chip "
@@ -363,6 +410,12 @@ def main():
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
         result["flops_per_step"] = flops
+    if mfu_matmul is not None:
+        # conv+dot-only numerator (the conventional MFU): XLA's cost
+        # model above also counts elementwise flops, ~25% generous on
+        # the SDXL step
+        result["mfu_matmul"] = round(mfu_matmul, 4)
+        result["matmul_flops_per_step"] = matmul_flops
         if os.environ.get("BENCH_SCAN", "0") == "1":
             # XLA's cost model counts a lax.scan body ONCE, not
             # x trip-count (measured: 17.5TF scanned vs 49.0TF unrolled
@@ -377,6 +430,7 @@ def main():
         f"# step={dt*1000:.1f}ms compile={compile_s:.1f}s "
         f"windows={[round(BATCH/w, 2) for w in window_dts]} imgs/s "
         f"mfu={mfu if mfu is None else round(mfu, 4)} "
+        f"mfu_matmul={mfu_matmul if mfu_matmul is None else round(mfu_matmul, 4)} "
         f"loss={float(metrics['train/loss']):.4f} device={jax.devices()[0]}",
         file=sys.stderr,
     )
