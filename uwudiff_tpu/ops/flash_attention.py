@@ -72,14 +72,20 @@ def flash_shape_supported(q, k, v) -> bool:
     # head dims (SD1.5's 40/80/160) work, just at lower MXU utilization
     if d % 8 != 0 or d > 256:
         return False
-    if q.shape[1] < 128 or k.shape[1] < 32:
-        # Short QUERIES (text-encoder self-attn at 77 tokens) aren't worth
-        # a kernel launch. Short KEYS with a long query — UNet
-        # cross-attention, Sk=77 text vs Sq up to 4096 image tokens — ARE:
-        # the XLA path materializes [B, H, Sq, Sk] fp32 logits in HBM
-        # (measured 20.4 GB/step on the SDXL bench, scripts/step_profile.py)
-        # while the kernel pads K/V to one block and never writes logits.
+    if q.shape[1] < 128:
+        # short queries (text-encoder self-attn at 77 tokens) aren't
+        # worth a kernel launch
         return False
+    if k.shape[1] < 128:
+        # Short KEYS with a long query — UNet cross-attention, Sk=77
+        # text vs up to 16384 image tokens — run the kernel (pads K/V to
+        # one block, never materializes the [B, H, Sq, Sk] logits the
+        # XLA path writes). UWU_FLASH_XATTN=0 restores the XLA einsum
+        # for A/B measurement (scripts/xattn_bench.py).
+        import os
+
+        if k.shape[1] < 32 or os.environ.get("UWU_FLASH_XATTN", "1") == "0":
+            return False
     if q.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     return True
