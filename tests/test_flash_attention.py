@@ -27,11 +27,24 @@ def test_shape_gate():
     # tiny sequences fall back to XLA
     q, k, v = _rand_qkv(sq=64, sk=64)
     assert not flash_shape_supported(q, k, v)
-    # short KV with long queries (UNet cross-attention) takes the kernel
-    q, _, _ = _rand_qkv(sq=1024)
+    # short KV with a LONG query (1024px-class cross-attention, where
+    # the XLA einsum is truly HBM-bound) takes the kernel
+    q, _, _ = _rand_qkv(sq=4096)
     _, k, v = _rand_qkv(sk=77)
     assert flash_shape_supported(q, k, v)
-    # but a short query (text-encoder self-attn) still falls back
+    # ...but at 512px-class query lengths XLA (whose memory-space
+    # assignment keeps those logits in VMEM) stays the default,
+    # overridable both ways via UWU_FLASH_XATTN
+    import os
+
+    q, _, _ = _rand_qkv(sq=1024)
+    assert not flash_shape_supported(q, k, v)
+    os.environ["UWU_FLASH_XATTN"] = "1"
+    try:
+        assert flash_shape_supported(q, k, v)
+    finally:
+        os.environ.pop("UWU_FLASH_XATTN")
+    # a short query (text-encoder self-attn) always falls back
     q, k, v = _rand_qkv(sq=77, sk=77)
     assert not flash_shape_supported(q, k, v)
     # unaligned head dim falls back

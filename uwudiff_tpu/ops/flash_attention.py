@@ -77,14 +77,23 @@ def flash_shape_supported(q, k, v) -> bool:
         # worth a kernel launch
         return False
     if k.shape[1] < 128:
-        # Short KEYS with a long query — UNet cross-attention, Sk=77
-        # text vs up to 16384 image tokens — run the kernel (pads K/V to
-        # one block, never materializes the [B, H, Sq, Sk] logits the
-        # XLA path writes). UWU_FLASH_XATTN=0 restores the XLA einsum
-        # for A/B measurement (scripts/xattn_bench.py).
+        # Short keys with a long query: UNet cross-attention, Sk=77 text
+        # tokens vs image tokens. The kernel pads K/V to one block and
+        # never materializes the [B, H, Sq, Sk] logits. Where that
+        # matters is long queries — at 1024px (Sq 4096/16384) the fp32
+        # logits are 100-400MB/layer, far beyond what XLA's memory-space
+        # assignment can keep in VMEM, so the einsum path is truly
+        # HBM-bound. At the 512px bench shapes (Sq 1024/256) the
+        # space-aware profile shows MSA already keeps those logits in
+        # VMEM (0.13GB true HBM), so XLA stays the default there.
+        # UWU_FLASH_XATTN=1 forces the kernel for any Sq>=128, =0
+        # disables it entirely (A/B via scripts/xattn_bench.py).
         import os
 
-        if k.shape[1] < 32 or os.environ.get("UWU_FLASH_XATTN", "1") == "0":
+        mode = os.environ.get("UWU_FLASH_XATTN", "")
+        if k.shape[1] < 32 or mode == "0":
+            return False
+        if mode != "1" and q.shape[1] < 2048:
             return False
     if q.dtype not in (jnp.float32, jnp.bfloat16):
         return False
