@@ -51,9 +51,11 @@ def main():
     cases = [
         ("sdxl_lvl1 bs8 512px", 8, 1024, 77, 10, 64),
         ("sdxl_lvl2 bs8 512px", 8, 256, 77, 20, 64),
+        ("boundary sq2048", 8, 2048, 77, 10, 64),
         ("sdxl_lvl1 bs4 1024px", 4, 4096, 77, 10, 64),
         ("sd15_lvl0 bs16 512px", 16, 4096, 77, 8, 40),
         ("sd15_lvl1 bs16 512px", 16, 1024, 77, 8, 80),
+        ("sd15_lvl0 bs4 1024px", 4, 16384, 77, 8, 40),
     ]
     key = jax.random.PRNGKey(0)
     print(f"{'case':24s} {'dir':7s} {'xla ms':>8s} {'flash ms':>9s} "
