@@ -50,8 +50,12 @@ _seq_ctx: "sequence_parallel | None" = None
 
 
 class sequence_parallel:
-    """Context manager routing *self*-attention calls through ring
-    attention over a ``seq`` mesh axis (SURVEY.md §5.7).
+    """Context manager routing *self*-attention calls through
+    sequence-parallel attention over a ``seq`` mesh axis (SURVEY.md
+    §5.7): ``method="ring"`` (K/V rotation, ``parallel/ring_attention``)
+    or ``method="ulysses"`` (head all-to-all, ``parallel/ulysses``;
+    requires heads divisible by the axis and no tensor axis — falls
+    back to ring otherwise).
 
     Activate around model tracing (DMTrainer does this when its mesh has
     a ``seq`` axis): every ``dot_product_attention`` call with Sq == Sk,
@@ -64,10 +68,14 @@ class sequence_parallel:
     needed.
     """
 
-    def __init__(self, mesh, axis: str = "seq", min_tokens: int = 0):
+    def __init__(self, mesh, axis: str = "seq", min_tokens: int = 0,
+                 method: str = "ring"):
+        if method not in ("ring", "ulysses"):
+            raise ValueError(f"unknown sequence-parallel method {method!r}")
         self.mesh = mesh
         self.axis = axis
         self.min_tokens = min_tokens
+        self.method = method
 
     def __enter__(self):
         global _seq_ctx
@@ -115,11 +123,21 @@ def _maybe_ring(q, k, v, bias, scale):
 
     from jax.sharding import PartitionSpec as P
 
-    from uwudiff_tpu.parallel.ring_attention import ring_attention
+    method = getattr(ctx, "method", "ring")
+    if method == "ulysses" and head_axis is None and q.shape[2] % n == 0:
+        from uwudiff_tpu.parallel.ulysses import ulysses_attention
+
+        inner = functools.partial(
+            ulysses_attention, axis_name=axis, scale=scale
+        )
+    else:  # ring: no head-divisibility constraint, composes with TP
+        from uwudiff_tpu.parallel.ring_attention import ring_attention
+
+        inner = functools.partial(ring_attention, axis_name=axis, scale=scale)
 
     spec = P(batch_axes if batch_axes else None, axis, head_axis, None)
     fn = jax.shard_map(
-        functools.partial(ring_attention, axis_name=axis, scale=scale),
+        inner,
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

@@ -102,6 +102,10 @@ class DMTrainer:
     grad_clip: float | None = 1.0
     grad_accum: int = 1
     mesh_axes: dict | None = None  # e.g. {"data": 2, "fsdp": 4}
+    # `seq`-axis strategy: "ring" (K/V rotate over ICI; no head
+    # constraint, composes with TP) or "ulysses" (head all-to-all;
+    # needs heads % seq == 0, fewer/larger transfers)
+    sequence_parallel_method: str = "ring"
     ema_decay: float = 0.99
     seed: int = 42
     # "bfloat16" stores trainable params in bf16 and applies optimizer
@@ -407,7 +411,12 @@ class DMTrainer:
         if "seq" in self.mesh.axis_names and self.mesh.shape["seq"] > 1:
             from uwudiff_tpu.ops.attention import sequence_parallel
 
-            stack.enter_context(sequence_parallel(self.mesh, axis="seq"))
+            stack.enter_context(
+                sequence_parallel(
+                    self.mesh, axis="seq",
+                    method=self.sequence_parallel_method,
+                )
+            )
         if (
             "tensor" in self.mesh.axis_names
             and self.mesh.shape["tensor"] > 1
