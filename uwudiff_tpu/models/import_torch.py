@@ -24,6 +24,7 @@ __all__ = [
     "load_torch_state_dict",
     "extract_state_dict",
     "import_params",
+    "export_params",
     "unet_key_map",
     "vae_key_map",
     "clip_text_key_map",
@@ -425,6 +426,64 @@ def unstack_block_params(params: Any, to_numpy: bool = True) -> Any:
         return node
 
     return convert(params)
+
+
+def _inv_linear(w):  # [in, out] -> [out, in]
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def _inv_conv(w):  # HWIO -> OIHW
+    return np.transpose(np.asarray(w), (3, 2, 0, 1))
+
+
+def export_params(
+    params: Any,
+    key_map: Callable[[str], tuple[str, Callable]],
+    dtype=np.float32,
+) -> dict[str, np.ndarray]:
+    """Inverse of :func:`import_params`: a flax param tree -> a
+    torch/diffusers-layout state dict (numpy arrays), so checkpoints
+    trained here round-trip back into the reference's ecosystem
+    (diffusers ``save_pretrained`` layouts, ComfyUI, etc.). Every
+    transform in the key maps is a bijection: linear transpose, conv
+    HWIO<->OIHW, identity, and the fused-projection concat (split back
+    into its per-tensor torch keys). Scanned ``/blocks/`` stacks export
+    per layer index."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out: dict[str, np.ndarray] = {}
+
+    def emit(our, torch_key, tr, w):
+        w = np.asarray(w)
+        if isinstance(torch_key, (list, tuple)):  # fused concat -> split
+            parts = np.split(w, len(torch_key), axis=-1)
+            for tk, part in zip(torch_key, parts):
+                out[tk] = _inv_linear(part).astype(dtype)
+            return
+        if tr == "proj":
+            tr = _t_conv if w.ndim == 4 else _t_linear
+        if tr is _t_linear:
+            out[torch_key] = _inv_linear(w).astype(dtype)
+        elif tr is _t_conv:
+            out[torch_key] = _inv_conv(w).astype(dtype)
+        elif tr is _identity:
+            out[torch_key] = w.astype(dtype)
+        else:
+            raise ValueError(
+                f"no inverse for transform {tr!r} of {our} -> {torch_key}"
+            )
+
+    for path, leaf in flat:
+        our = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "/blocks/" in our:  # nn.scan stack: one torch entry per layer
+            for i in range(int(np.asarray(leaf).shape[0])):
+                torch_key, tr = key_map(
+                    our.replace("/blocks/", f"/blocks_{i}/", 1)
+                )
+                emit(our, torch_key, tr, np.asarray(leaf)[i])
+            continue
+        torch_key, tr = key_map(our)
+        emit(our, torch_key, tr, leaf)
+    return out
 
 
 def import_params(
