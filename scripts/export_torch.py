@@ -8,7 +8,8 @@ checkpoints trained here load back into the reference's ecosystem
 (diffusers ``UNet2DConditionModel.load_state_dict``, ComfyUI, ...).
 
     python scripts/export_torch.py --params unet.npz --model unet \
-        --out unet_diffusers.pt            # torch.save format
+        --out unet_diffusers.pt              # torch.save format
+    python scripts/export_torch.py ... --out sd.safetensors
     python scripts/export_torch.py ... --out sd.npz  # numpy format
 """
 
@@ -66,6 +67,19 @@ def main():
         if args.dtype != "float32":
             sd = {k: v.astype(args.dtype) for k, v in sd.items()}
         np.savez(args.out, **sd)
+    elif args.out.endswith(".safetensors"):
+        import torch
+        from safetensors.torch import save_file
+
+        save_file(
+            {
+                k: torch.from_numpy(np.ascontiguousarray(v)).to(
+                    getattr(torch, args.dtype)
+                )
+                for k, v in sd.items()
+            },
+            args.out,
+        )
     else:
         import torch
 
