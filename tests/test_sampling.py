@@ -261,3 +261,47 @@ def test_euler_latent_inversion_api(sched):
         cfg_scale=2.0, use_cfgpp=True, num_steps=4,
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dpmpp_2m_converges(sched):
+    from uwudiff_tpu.sampling import sample_dpmpp_2m
+
+    sigmas = sched.sample_sigmas_descending(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 1)) * sigmas[0]
+    out = sample_dpmpp_2m(_perfect_model, x, sigmas)
+    np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+def test_dpmpp_2m_matches_kdiffusion_recurrence(sched):
+    """Step-for-step against a plain-python transcription of the
+    k-diffusion DPM++(2M) update, with a model whose output depends on
+    x so every multistep term matters."""
+    from uwudiff_tpu.sampling import sample_dpmpp_2m
+
+    def model(x, sigma, sigma_cond=None):
+        d = 0.9 * x - 0.1
+        return d, d
+
+    sigmas = np.asarray(sched.sample_sigmas_descending(7), np.float64)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 4, 4, 1)).astype(np.float32) * sigmas[0]
+
+    # reference recurrence (k-diffusion sample_dpmpp_2m)
+    xr = np.asarray(x, np.float64)
+    old = None
+    t_of = lambda s: -np.log(max(s, 1e-20))
+    for i in range(len(sigmas) - 1):
+        den = 0.9 * xr - 0.1
+        t, t_next = t_of(sigmas[i]), t_of(sigmas[i + 1])
+        h = t_next - t
+        if old is None or sigmas[i + 1] == 0:
+            d = den
+        else:
+            h_last = t - t_of(sigmas[i - 1])
+            r = h_last / h
+            d = (1 + 1 / (2 * r)) * den - (1 / (2 * r)) * old
+        xr = (sigmas[i + 1] / sigmas[i]) * xr - np.expm1(-h) * d
+        old = den
+
+    out = sample_dpmpp_2m(model, jnp.asarray(x), jnp.asarray(sigmas, jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), xr, rtol=2e-4, atol=2e-5)

@@ -10,6 +10,7 @@ from uwudiff_tpu.sampling.euler import (
     sample_euler_ancestral_cfgpp,
 )
 from uwudiff_tpu.sampling.dpm2 import sample_dpm2, sample_dpm2_cfgpp
+from uwudiff_tpu.sampling.dpmpp import sample_dpmpp_2m
 from uwudiff_tpu.sampling.cfg import cfg_wrapper, cond_text_wrapper
 from uwudiff_tpu.sampling.sampling import diffusion_sampling
 from uwudiff_tpu.sampling.euler_latent import euler_latent_sampling
@@ -25,6 +26,7 @@ __all__ = [
     "sample_euler_ancestral_cfgpp",
     "sample_dpm2",
     "sample_dpm2_cfgpp",
+    "sample_dpmpp_2m",
     "cfg_wrapper",
     "cond_text_wrapper",
     "diffusion_sampling",
