@@ -106,16 +106,18 @@ def _compiled_step_flops(trainer, batch):
         compiled = trainer._train_step.lower(
             trainer.state, trainer.frozen, dev_batch, jax.random.PRNGKey(0)
         ).compile()
+    except Exception as e:
+        print(f"# step compile for flops unavailable: {e}", file=sys.stderr)
+        return None, None
+    try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         cost_flops = float(ca["flops"])
     except Exception as e:  # older jax / backend without cost model
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
-        return None, None
     try:
         import importlib.util
-        import re as _re
 
         sp_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
@@ -124,29 +126,9 @@ def _compiled_step_flops(trainer, batch):
         spec = importlib.util.spec_from_file_location("_step_profile", sp_path)
         sp = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(sp)
-        txt = compiled.as_text()
-        table = sp._build_shape_table(txt)
-        total = 0
-        instr_re = _re.compile(
-            r"(?:ROOT )?%[\w.\-]+ = (\S+)\s+(convolution|dot)\("
-        )
-        for raw in txt.splitlines():
-            line = raw.strip()
-            m = instr_re.match(line)
-            if not m:
-                continue
-            out_shape = sp._SHAPE_RE.match(m.group(1))
-            out_elems = (
-                sp._shape_elems(out_shape.group(1)) if out_shape else 1
-            )
-            f = (
-                sp._conv_flops(line, out_elems, table)
-                if m.group(2) == "convolution"
-                else sp._dot_flops(line, out_elems, table)
-            )
-            if f:
-                total += f
-        matmul_flops = float(total)
+        per_instr, _ = sp.matmul_flops_from_hlo(compiled.as_text())
+        total = float(sum(f for f, *_ in per_instr))
+        matmul_flops = total or None
     except Exception as e:
         print(f"# analytic matmul flops unavailable: {e}", file=sys.stderr)
     return cost_flops, matmul_flops
@@ -418,12 +400,14 @@ def main():
         # the SDXL step
         result["mfu_matmul"] = round(mfu_matmul, 4)
         result["matmul_flops_per_step"] = matmul_flops
-        if os.environ.get("BENCH_SCAN", "0") == "1":
-            # XLA's cost model counts a lax.scan body ONCE, not
-            # x trip-count (measured: 17.5TF scanned vs 49.0TF unrolled
-            # for the identical SDXL step), so scanned-program MFU is a
-            # large underestimate; step time is the comparable number
-            result["mfu_is_underestimate"] = True
+    if (mfu is not None or mfu_matmul is not None) and (
+        os.environ.get("BENCH_SCAN", "0") == "1"
+    ):
+        # BOTH numerators count a lax.scan body ONCE, not x trip-count
+        # (measured: 17.5TF scanned vs 49.0TF unrolled for the identical
+        # SDXL step), so scanned-program MFU is a large underestimate;
+        # step time is the comparable number
+        result["mfu_is_underestimate"] = True
     result["trials"] = trials
     result["imgs_per_sec_min"] = round(BATCH / max(window_dts), 3)
     result["imgs_per_sec_max"] = round(BATCH / min(window_dts), 3)

@@ -44,7 +44,12 @@ def _tree_from_npz(data) -> dict:
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = data[key]
+        arr = data[key]
+        if arr.dtype.kind == "V":  # legacy file with raw bf16 records
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16).astype(np.float32)
+        node[parts[-1]] = arr
     return tree
 
 
@@ -64,6 +69,10 @@ def main():
     sd = it.export_params(tree, key_map, dtype=np.float32)
 
     if args.out.endswith(".npz"):
+        if args.dtype == "bfloat16":
+            # np.savez writes ml_dtypes bfloat16 as unreadable raw void
+            # records — refuse rather than produce a corrupt file
+            ap.error("--dtype bfloat16 requires .pt or .safetensors output")
         if args.dtype != "float32":
             sd = {k: v.astype(args.dtype) for k, v in sd.items()}
         np.savez(args.out, **sd)

@@ -60,12 +60,11 @@ def main():
 
     sampling_kwargs = dict(config.get("sampling_func", {}))
     sampling_kwargs.pop("_target_", None)
-    # instantiate nested _target_ nodes (e.g. internal_sampling_func:
-    # a sampler callable via _partial_: true)
-    from uwudiff_tpu.config import instantiate_any
-
+    # instantiate nested config nodes in either supported format (e.g.
+    # internal_sampling_func: a sampler callable via _partial_: true, or
+    # the {class:, factory:} layout)
     for key, val in list(sampling_kwargs.items()):
-        if isinstance(val, dict) and "_target_" in val:
+        if isinstance(val, dict) and ("_target_" in val or "class" in val):
             sampling_kwargs[key] = instantiate_any(val)
     from uwudiff_tpu.sampling import diffusion_sampling
 

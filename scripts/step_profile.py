@@ -149,6 +149,45 @@ def _group_for(op_name: str) -> str:
     return "other"
 
 
+_INSTR_RE = re.compile(
+    r"(?:ROOT )?%[\w.\-]+ = (\S+)\s+(convolution|dot|custom-call)\("
+)
+
+
+def matmul_flops_from_hlo(txt: str) -> tuple[list, dict]:
+    """Walk an optimized-HLO text's convolution/dot instructions and
+    return ``(per_instr, custom_calls)`` where ``per_instr`` is
+    ``[(flops, kind, op_name, line_head), ...]`` and ``custom_calls``
+    maps ``(target, op_name) -> count``. Shared by this profile and
+    bench.py's ``mfu_matmul`` so the two never diverge."""
+    table = _build_shape_table(txt)
+    per_instr = []
+    custom_calls = defaultdict(int)
+    for raw in txt.splitlines():
+        line = raw.strip()
+        m = _INSTR_RE.match(line)
+        if not m:
+            continue
+        out_shape = _SHAPE_RE.match(m.group(1))
+        out_elems = _shape_elems(out_shape.group(1)) if out_shape else 1
+        kind = m.group(2)
+        name = re.search(r'op_name="([^"]*)"', line)
+        op_name = name.group(1) if name else "?"
+        if kind == "custom-call":
+            tgt = re.search(r'custom_call_target="([^"]*)"', line)
+            custom_calls[(tgt.group(1) if tgt else "?", op_name)] += 1
+            continue
+        flops = (
+            _conv_flops(line, out_elems, table)
+            if kind == "convolution"
+            else _dot_flops(line, out_elems, table)
+        )
+        if flops is None:
+            continue
+        per_instr.append((flops, kind, op_name, line[:120]))
+    return per_instr, custom_calls
+
+
 def main():
     topk = int(os.environ.get("TOPK", "15"))
     import bench
@@ -180,7 +219,6 @@ def main():
         with open(dump, "w") as f:
             f.write(txt)
         print(f"# HLO text -> {dump}", file=sys.stderr)
-    table = _build_shape_table(txt)
 
     # bytes accounting: HBM traffic estimate per ENTRY-computation
     # instruction (operand + output bytes; fusion bodies are internal
@@ -249,30 +287,7 @@ def main():
         entry_bytes += b
         top_bytes.append((b, kind_op, op_name))
 
-    per_instr = []  # (flops, kind, out_bytes, op_name, line_head)
-    custom_calls = defaultdict(int)
-    for raw in txt.splitlines():
-        line = raw.strip()
-        m = re.match(r"(?:ROOT )?%[\w.\-]+ = (\S+)\s+(convolution|dot|custom-call)\(", line)
-        if not m:
-            continue
-        out_shape = _SHAPE_RE.match(m.group(1))
-        out_elems = _shape_elems(out_shape.group(1)) if out_shape else 1
-        kind = m.group(2)
-        name = re.search(r'op_name="([^"]*)"', line)
-        op_name = name.group(1) if name else "?"
-        if kind == "custom-call":
-            tgt = re.search(r'custom_call_target="([^"]*)"', line)
-            custom_calls[(tgt.group(1) if tgt else "?", op_name)] += 1
-            continue
-        flops = (
-            _conv_flops(line, out_elems, table)
-            if kind == "convolution"
-            else _dot_flops(line, out_elems, table)
-        )
-        if flops is None:
-            continue
-        per_instr.append((flops, kind, op_name, line[:120]))
+    per_instr, custom_calls = matmul_flops_from_hlo(txt)
 
     total = sum(f for f, *_ in per_instr)
     peak = bench._device_peak_flops_bf16() or 197e12

@@ -475,11 +475,12 @@ def export_params(
     for path, leaf in flat:
         our = "/".join(str(getattr(p, "key", p)) for p in path)
         if "/blocks/" in our:  # nn.scan stack: one torch entry per layer
-            for i in range(int(np.asarray(leaf).shape[0])):
+            arr = np.asarray(leaf)
+            for i in range(int(arr.shape[0])):
                 torch_key, tr = key_map(
                     our.replace("/blocks/", f"/blocks_{i}/", 1)
                 )
-                emit(our, torch_key, tr, np.asarray(leaf)[i])
+                emit(our, torch_key, tr, arr[i])
             continue
         torch_key, tr = key_map(our)
         emit(our, torch_key, tr, leaf)

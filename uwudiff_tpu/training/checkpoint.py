@@ -79,12 +79,20 @@ class CheckpointManager:
 
 def save_params_npz(path: str, params: Any):
     """Flat .npz export of a param pytree (adapter-only export parity,
-    ``duwu/trainer/trainer.py:189-215``)."""
+    ``duwu/trainer/trainer.py:189-215``).
+
+    npz cannot represent ml_dtypes (bfloat16 round-trips as raw ``|V2``
+    void records), so non-native dtypes are stored as float32 — the
+    bf16+stochastic-rounding recipe's checkpoints stay loadable."""
     import numpy as np
+
+    def to_npz(v):
+        a = np.asarray(v)
+        return a.astype(np.float32) if a.dtype.kind not in "fiub" else a
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays = {
-        jax.tree_util.keystr(p): np.asarray(v) for p, v in flat
+        jax.tree_util.keystr(p): to_npz(v) for p, v in flat
     }
     np.savez(path, **arrays)
 
@@ -100,5 +108,9 @@ def load_params_npz(path: str, target: Any) -> Any:
         key = jax.tree_util.keystr(p)
         if key not in data:
             raise KeyError(f"missing param {key} in {path}")
-        leaves.append(data[key].reshape(v.shape))
+        arr = data[key]
+        tgt_dtype = np.asarray(v).dtype
+        if arr.dtype.kind == "V":  # legacy pre-fix file: raw bf16 bytes
+            arr = arr.view(tgt_dtype)
+        leaves.append(arr.reshape(v.shape).astype(tgt_dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
