@@ -305,3 +305,45 @@ def test_dpmpp_2m_matches_kdiffusion_recurrence(sched):
 
     out = sample_dpmpp_2m(model, jnp.asarray(x), jnp.asarray(sigmas, jnp.float32))
     np.testing.assert_allclose(np.asarray(out), xr, rtol=2e-4, atol=2e-5)
+
+
+def test_heun_converges(sched):
+    from uwudiff_tpu.sampling import sample_heun
+
+    sigmas = sched.sample_sigmas_descending(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 1)) * sigmas[0]
+    out = sample_heun(_perfect_model, x, sigmas, rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+def test_heun_matches_kdiffusion_recurrence(sched):
+    """No churn: step-for-step vs a plain-python Heun transcription with
+    an x-dependent model."""
+    from uwudiff_tpu.sampling import sample_heun
+
+    def model(x, sigma, sigma_cond=None):
+        d = 0.9 * x - 0.1
+        return d, d
+
+    sigmas = np.asarray(sched.sample_sigmas_descending(6), np.float64)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 4, 4, 1)).astype(np.float32) * sigmas[0]
+
+    xr = np.asarray(x, np.float64)
+    for i in range(len(sigmas) - 1):
+        den = 0.9 * xr - 0.1
+        d = (xr - den) / sigmas[i]
+        dt = sigmas[i + 1] - sigmas[i]
+        if sigmas[i + 1] == 0:
+            xr = xr + d * dt
+        else:
+            x2 = xr + d * dt
+            den2 = 0.9 * x2 - 0.1
+            d2 = (x2 - den2) / sigmas[i + 1]
+            xr = xr + (d + d2) / 2 * dt
+
+    out = sample_heun(
+        model, jnp.asarray(x), jnp.asarray(sigmas, jnp.float32),
+        rng=jax.random.PRNGKey(1),
+    )
+    np.testing.assert_allclose(np.asarray(out), xr, rtol=2e-4, atol=2e-5)

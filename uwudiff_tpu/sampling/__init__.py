@@ -11,6 +11,7 @@ from uwudiff_tpu.sampling.euler import (
 )
 from uwudiff_tpu.sampling.dpm2 import sample_dpm2, sample_dpm2_cfgpp
 from uwudiff_tpu.sampling.dpmpp import sample_dpmpp_2m
+from uwudiff_tpu.sampling.heun import sample_heun
 from uwudiff_tpu.sampling.cfg import cfg_wrapper, cond_text_wrapper
 from uwudiff_tpu.sampling.sampling import diffusion_sampling
 from uwudiff_tpu.sampling.euler_latent import euler_latent_sampling
@@ -27,6 +28,7 @@ __all__ = [
     "sample_dpm2",
     "sample_dpm2_cfgpp",
     "sample_dpmpp_2m",
+    "sample_heun",
     "cfg_wrapper",
     "cond_text_wrapper",
     "diffusion_sampling",
