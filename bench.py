@@ -164,12 +164,14 @@ def bench_sampler():
         sample_dpm2,
         sample_dpmpp_2m,
         sample_euler_ancestral,
+        sample_heun,
     )
 
     samplers = {
         "euler": sample_euler_ancestral,
         "dpm2": sample_dpm2,
         "dpmpp_2m": sample_dpmpp_2m,
+        "heun": sample_heun,
     }
     names = os.environ.get("BENCH_SAMPLER", "euler").split(",")
     bss = [int(b) for b in os.environ.get("BENCH_SAMPLE_BS", "2").split(",")]
