@@ -102,6 +102,10 @@ def test_metric_harness():
     ]
     out = compute_metrics(configs, [1, 2, 3], prompts=["a", "b", "c"])
     assert out == {"count": 3, "with_prompts": 3}
+    # prompt-needing metrics skip (None) when no prompts are supplied,
+    # e.g. FID-only runs of demo_metrics_inception.yaml
+    out = compute_metrics(configs, [1, 2, 3])
+    assert out == {"count": 3, "with_prompts": None}
 
 
 def test_fid_self_zero_and_noise_monotonic_inception():

@@ -34,6 +34,11 @@ def compute_metrics(
                 ref, generated_images, **cfg.kwargs
             )
         elif cfg.needs_prompts:
+            if prompts is None:
+                # config supplied no prompts (e.g. FID-only runs of
+                # demo_metrics_inception.yaml): skip rather than crash
+                results[cfg.name] = None
+                continue
             results[cfg.name] = cfg.metric_func(
                 generated_images, prompts, **cfg.kwargs
             )
