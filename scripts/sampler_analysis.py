@@ -38,14 +38,9 @@ LATENT = int(os.environ.get("SA_LATENT", "64"))
 
 
 def _peak_flops() -> float:
-    kind = jax.devices()[0].device_kind.lower()
-    if "v5 lite" in kind or "v5e" in kind:
-        return 197e12
-    if "v5p" in kind or "v5" in kind:
-        return 459e12
-    if "v4" in kind:
-        return 275e12
-    return 197e12
+    import bench
+
+    return bench._device_peak_flops_bf16() or 197e12
 
 
 def main():

@@ -145,8 +145,8 @@ def test_trainer_seq_parallel_matches_unsharded(monkeypatch):
     ring_hits = []
     orig = att._maybe_ring
 
-    def spy(q, k, v, bias, scale):
-        out = orig(q, k, v, bias, scale)
+    def spy(q, k, v, bias, scale, use_flash=None):
+        out = orig(q, k, v, bias, scale, use_flash)
         if out is not None:
             ring_hits.append(tuple(q.shape))
         return out

@@ -216,3 +216,21 @@ def test_batch_and_directory_load(oracle, tmp_path):
     np.testing.assert_array_equal(
         got["attention_mask"], ref["attention_mask"]
     )
+
+
+def test_padding_longest_matches_hf(oracle, tmp_path):
+    """padding=True/'longest' pads to the batch longest, not max_length
+    (HF semantics)."""
+    json_path, hf = oracle
+    (tmp_path / "spiece.model").write_bytes(
+        serialize_sentencepiece_model(_PIECES)
+    )
+    mine = T5SPTokenizer(str(tmp_path), model_max_length=16)
+    texts = ["the quick fox", "abc"]
+    ref = hf(texts, padding=True, truncation=True, return_tensors="np")
+    got = mine(texts, padding=True, truncation=True)
+    np.testing.assert_array_equal(got["input_ids"], ref["input_ids"])
+    np.testing.assert_array_equal(
+        got["attention_mask"], ref["attention_mask"]
+    )
+    assert got["input_ids"].shape[1] < 16  # genuinely batch-longest

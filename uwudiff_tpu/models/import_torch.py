@@ -392,7 +392,9 @@ def stack_block_params(params: Any) -> Any:
             for k in node
             if re.fullmatch(r"blocks_\d+", k)
         )
-        if idx and [i for i, _ in idx] == list(range(len(idx))):
+        # 1-layer stacks stay unrolled in the model (Transformer2DModel
+        # only scans num_layers > 1), so only stack >= 2 blocks
+        if len(idx) > 1 and [i for i, _ in idx] == list(range(len(idx))):
             stacked = jax.tree_util.tree_map(
                 lambda *xs: np.stack([np.asarray(x) for x in xs]),
                 *[node[k] for _, k in idx],
@@ -527,9 +529,14 @@ def import_params(
             n_layers = int(leaf.shape[0])
             per_layer = []
             for i in range(n_layers):
-                torch_key, tr = key_map(
-                    our.replace("/blocks/", f"/blocks_{i}/", 1)
-                )
+                try:
+                    torch_key, tr = key_map(
+                        our.replace("/blocks/", f"/blocks_{i}/", 1)
+                    )
+                except KeyError:
+                    if strict:
+                        raise
+                    break  # unmapped subtree: keep the initialized leaf
                 w = fetch(torch_key, tr)
                 if w is None:
                     break

@@ -378,7 +378,9 @@ class T5SPTokenizer:
             if truncation and len(ids) > max_length:
                 ids = ids[: max_length - 1] + [self.eos_token_id]
             mask = [1] * len(ids)
-            if padding in (True, "max_length", "longest"):
+            # HF semantics: padding=True/"longest" pads only to the
+            # batch longest (done below); "max_length" pads to max_length
+            if padding == "max_length":
                 pad_n = max_length - len(ids)
                 ids += [self.pad_token_id] * pad_n
                 mask += [0] * pad_n

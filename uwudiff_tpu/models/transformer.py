@@ -331,8 +331,23 @@ class Transformer2DModel(nn.Module):
                 position_map,
             )
         else:
+            block_cls = BasicTransformerBlock
+            if self.remat_cell:
+                # scan_blocks models keep 1-layer stacks unrolled (no
+                # scan to checkpoint per iteration), so checkpoint the
+                # block itself — otherwise gradient_checkpointing would
+                # silently not apply to these levels (SD1.5 has ONLY
+                # 1-layer stacks)
+                import jax
+
+                policy = (
+                    getattr(jax.checkpoint_policies, self.remat_policy)
+                    if self.remat_policy
+                    else None
+                )
+                block_cls = nn.remat(BasicTransformerBlock, policy=policy)
             for i in range(self.num_layers):
-                x = BasicTransformerBlock(
+                x = block_cls(
                     **block_kwargs,
                     name=f"blocks_{i}",
                 )(

@@ -89,7 +89,7 @@ class sequence_parallel:
         return False
 
 
-def _maybe_ring(q, k, v, bias, scale):
+def _maybe_ring(q, k, v, bias, scale, use_flash=None):
     """Ring-attention dispatch under an active ``sequence_parallel``
     context; returns None when the call doesn't qualify."""
     ctx = _seq_ctx
@@ -128,12 +128,15 @@ def _maybe_ring(q, k, v, bias, scale):
         from uwudiff_tpu.parallel.ulysses import ulysses_attention
 
         inner = functools.partial(
-            ulysses_attention, axis_name=axis, scale=scale
+            ulysses_attention, axis_name=axis, scale=scale,
+            use_flash=use_flash,
         )
     else:  # ring: no head-divisibility constraint, composes with TP
         from uwudiff_tpu.parallel.ring_attention import ring_attention
 
-        inner = functools.partial(ring_attention, axis_name=axis, scale=scale)
+        inner = functools.partial(
+            ring_attention, axis_name=axis, scale=scale, use_flash=use_flash
+        )
 
     spec = P(batch_axes if batch_axes else None, axis, head_axis, None)
     fn = jax.shard_map(
@@ -293,7 +296,7 @@ def dot_product_attention(
             The default treats the bias as a constant on the flash path
             — correct for masks, silently wrong for trained biases.
     """
-    ring_out = _maybe_ring(q, k, v, bias, scale)
+    ring_out = _maybe_ring(q, k, v, bias, scale, use_flash)
     if ring_out is not None:
         return ring_out
     hp_out = _maybe_head_parallel(q, k, v, bias, scale, use_flash, bias_grad)

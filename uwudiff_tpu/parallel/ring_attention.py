@@ -30,7 +30,8 @@ import jax.numpy as jnp
 __all__ = ["ring_attention", "attention_with_lse"]
 
 
-def attention_with_lse(q, k, v, bias=None, scale=None, use_flash=None):
+def attention_with_lse(q, k, v, bias=None, scale=None, use_flash=None,
+                       bias_grad: bool = False):
     """Attention returning (out, lse): out [B, Sq, H, D], row
     log-sum-exp lse [B, H, Sq] — the quantities needed to merge
     partial attentions over K/V blocks.
@@ -40,6 +41,12 @@ def attention_with_lse(q, k, v, bias=None, scale=None, use_flash=None):
     block shapes — so each ring step stays O(block) memory — and the
     jnp einsum formulation elsewhere (small per-device blocks trace
     fine through XLA).
+
+    ``bias_grad``: the flash return_lse path treats ``bias`` as a
+    CONSTANT (zero gradient — correct for masks, the only bias ring
+    attention passes). Set True for a *learned* bias: the einsum
+    formulation (exact bias gradients) is used instead, since the
+    kernel does not support dBias together with return_lse.
     """
     from uwudiff_tpu.ops import attention as _dispatch
 
@@ -49,6 +56,8 @@ def attention_with_lse(q, k, v, bias=None, scale=None, use_flash=None):
             if _dispatch._flash_override is not None
             else _dispatch._on_tpu()
         )
+    if bias is not None and bias_grad:
+        use_flash = False
     if use_flash:
         from uwudiff_tpu.ops.flash_attention import (
             flash_attention,
@@ -96,6 +105,8 @@ def ring_attention(
     axis_name: str,
     key_bias: jnp.ndarray | None = None,  # [B, Sk_local], rotates with KV
     scale: float | None = None,
+    use_flash: bool | None = None,  # None = auto; False honors an
+    # explicit XLA-numerics request threaded from the dispatch
 ) -> jnp.ndarray:
     """Sequence-parallel attention inside ``shard_map`` (see module
     docstring). Returns the local [B, Sq_local, H, D] output."""
@@ -107,7 +118,9 @@ def ring_attention(
             return None
         return kb[:, None, None, :]  # [B, 1, 1, Sk_local]
 
-    out, lse = attention_with_lse(q, k, v, bias=bias4(key_bias), scale=scale)
+    out, lse = attention_with_lse(
+        q, k, v, bias=bias4(key_bias), scale=scale, use_flash=use_flash
+    )
 
     def step(carry, _):
         out, lse, kk, vv, kb = carry
@@ -115,7 +128,9 @@ def ring_attention(
         vv = jax.lax.ppermute(vv, axis_name, perm)
         if kb is not None:
             kb = jax.lax.ppermute(kb, axis_name, perm)
-        o_i, lse_i = attention_with_lse(q, kk, vv, bias=bias4(kb), scale=scale)
+        o_i, lse_i = attention_with_lse(
+            q, kk, vv, bias=bias4(kb), scale=scale, use_flash=use_flash
+        )
         out, lse = _merge(out, lse, o_i, lse_i)
         return (out, lse, kk, vv, kb), None
 

@@ -42,6 +42,7 @@ def ulysses_attention(
     axis_name: str,
     key_bias: jnp.ndarray | None = None,  # [B, Sk_local]
     scale: float | None = None,
+    use_flash: bool | None = None,
 ) -> jnp.ndarray:
     """Sequence-parallel attention inside ``shard_map``: head-group
     all-to-all -> full-sequence attention -> all-to-all back. Requires
@@ -70,7 +71,7 @@ def ulysses_attention(
 
     from uwudiff_tpu.ops.attention import _local_attention
 
-    out = _local_attention(qg, kg, vg, bias, scale=scale)
+    out = _local_attention(qg, kg, vg, bias, scale=scale, use_flash=use_flash)
     # [B, Sq, H/n, D] -> [B, Sq/n, H, D]
     return jax.lax.all_to_all(
         out, axis_name, split_axis=1, concat_axis=2, tiled=True

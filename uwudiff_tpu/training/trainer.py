@@ -423,6 +423,18 @@ class DMTrainer:
         ):
             from uwudiff_tpu.ops.attention import head_parallel
 
+            if getattr(self.unet, "fused_qkv", False):
+                import logging
+
+                # the column split of a fused [C, 3*inner] kernel puts
+                # q|k|v boundaries inside shards, so splitting back into
+                # q,k,v forces GSPMD resharding around every attention —
+                # the separate projections are head-contiguous and free
+                logging.getLogger("uwudiff_tpu").warning(
+                    "fused_qkv=True under tensor parallelism adds "
+                    "per-attention resharding collectives; prefer the "
+                    "default separate q/k/v projections with tensor>1"
+                )
             stack.enter_context(head_parallel(self.mesh, axis="tensor"))
         return stack
 
