@@ -6,6 +6,14 @@ machinery is its RoPE transformer blocks (``duwu/modules/rope_unet.py``).
 This is a TPU-first DiT: patchify -> adaLN-Zero transformer stack ->
 unpatchify, all MXU-shaped matmuls, fixed 2D sin-cos position embedding
 (+ optional learned axial RoPE), class-label CFG dropout.
+
+The model is split into ``embed`` / ``backbone`` / ``head`` methods so
+the depth-wise block stack can also be driven externally — the pipeline-
+parallel path (``parallel/pipeline.py``) runs ``embed`` and ``head``
+replicated and the stack as a GPipe pipeline over a ``pipe`` mesh axis.
+``scan_blocks=True`` folds the ``depth`` identical blocks into one
+``nn.scan`` (single block body in the HLO; params stacked on a leading
+layer axis — the layout pipeline parallelism shards stage-wise).
 """
 
 from __future__ import annotations
@@ -93,6 +101,14 @@ class DiTBlock(nn.Module):
         return x + gate_m * h
 
 
+class _DiTScanCell(DiTBlock):
+    """DiTBlock adapted to the (carry, out) convention ``nn.scan``
+    expects."""
+
+    def __call__(self, x, *args):
+        return super().__call__(x, *args), None
+
+
 class DiT(nn.Module):
     """Class-conditional diffusion transformer."""
 
@@ -107,6 +123,7 @@ class DiT(nn.Module):
     learn_sigma: bool = False
     use_rope: bool = False
     gradient_checkpointing: bool = False
+    scan_blocks: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
@@ -124,40 +141,96 @@ class DiT(nn.Module):
     def addition_embed_type(self):
         return None
 
-    @nn.compact
-    def __call__(
+    def setup(self):
+        self.patch_embed = nn.Conv(
+            self.hidden_size,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+        )
+        self.t_fc1 = nn.Dense(self.hidden_size, dtype=self.dtype)
+        self.t_fc2 = nn.Dense(self.hidden_size, dtype=self.dtype)
+        # null class at index num_classes (CFG dropout target); params
+        # materialize lazily — class-free models never create them
+        self.label_embed = nn.Embed(
+            self.num_classes + 1, self.hidden_size, dtype=self.dtype
+        )
+
+        block_kwargs = dict(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            use_rope=self.use_rope,
+            dtype=self.dtype,
+        )
+        if self.scan_blocks and self.depth > 1:
+            cell = _DiTScanCell
+            if self.gradient_checkpointing:
+                # scan-of-remat: checkpoint each iteration so backward
+                # recomputes one block at a time (see
+                # models/transformer.py::remat_cell for the memory math)
+                cell = nn.remat(cell, prevent_cse=False)
+            self.blocks = nn.scan(
+                cell,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+                in_axes=(nn.broadcast, nn.broadcast),
+            )(**block_kwargs)
+        else:
+            block_cls = (
+                nn.remat(DiTBlock)
+                if self.gradient_checkpointing
+                else DiTBlock
+            )
+            self.blocks = [
+                block_cls(**block_kwargs) for _ in range(self.depth)
+            ]
+
+        self.final_modulation = nn.Dense(
+            2 * self.hidden_size,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )
+        self.final_norm = nn.LayerNorm(
+            use_bias=False, use_scale=False, dtype=self.dtype
+        )
+        out_channels = self.in_channels * (2 if self.learn_sigma else 1)
+        self.final_proj = nn.Dense(
+            self.patch_size * self.patch_size * out_channels,
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )
+
+    # -- stages -------------------------------------------------------
+
+    def embed(
         self,
         sample: jnp.ndarray,  # [B, H, W, C]
         timesteps: jnp.ndarray,  # [B]
         class_labels: jnp.ndarray | None = None,  # [B] int
         train: bool = False,
-    ) -> jnp.ndarray:
-        b, h, w, c = sample.shape
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Patchify + position embedding and the (time+class)
+        conditioning vector: ``(tokens [B,S,D], cond [B,D])``."""
+        b, h, w, _ = sample.shape
         p = self.patch_size
         gh, gw = h // p, w // p
-        out_channels = self.in_channels * (2 if self.learn_sigma else 1)
 
-        # patchify via conv (MXU-shaped)
-        x = nn.Conv(
-            self.hidden_size, (p, p), strides=(p, p), dtype=self.dtype,
-            name="patch_embed",
-        )(sample.astype(self.dtype))
+        x = self.patch_embed(sample.astype(self.dtype))
         x = x.reshape(b, gh * gw, self.hidden_size)
         pos = jnp.asarray(
             _2d_sincos_pos_embed(self.hidden_size, gh, gw), self.dtype
         )
         x = x + pos[None]
 
-        # conditioning: time + class
         t_emb = get_timestep_embedding(
             jnp.atleast_1d(timesteps), 256
         ).astype(self.dtype)
-        t_emb = nn.Dense(self.hidden_size, dtype=self.dtype, name="t_fc1")(t_emb)
-        t_emb = nn.silu(t_emb)
-        t_emb = nn.Dense(self.hidden_size, dtype=self.dtype, name="t_fc2")(t_emb)
+        t_emb = self.t_fc2(nn.silu(self.t_fc1(t_emb)))
         c_emb = t_emb
         if class_labels is not None:
-            # null class at index num_classes (CFG dropout target)
             labels = class_labels
             if train and self.class_dropout_prob > 0:
                 drop = jax.random.bernoulli(
@@ -166,48 +239,70 @@ class DiT(nn.Module):
                     (b,),
                 )
                 labels = jnp.where(drop, self.num_classes, labels)
-            y_emb = nn.Embed(
-                self.num_classes + 1, self.hidden_size, dtype=self.dtype,
-                name="label_embed",
-            )(labels)
-            c_emb = c_emb + y_emb
+            c_emb = c_emb + self.label_embed(labels)
+        return x, c_emb
 
-        position_map = make_axial_pos(gh, gw) if self.use_rope else None
-        block_cls = nn.remat(DiTBlock) if self.gradient_checkpointing else DiTBlock
-        for i in range(self.depth):
-            x = block_cls(
-                hidden_size=self.hidden_size,
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                use_rope=self.use_rope,
-                dtype=self.dtype,
-                name=f"blocks_{i}",
-            )(x, c_emb, position_map)
+    def backbone(self, x, c_emb, position_map=None):
+        if self.scan_blocks and self.depth > 1:
+            x, _ = self.blocks(x, c_emb, position_map)
+        else:
+            for blk in self.blocks:
+                x = blk(x, c_emb, position_map)
+        return x
 
-        # final adaLN + zero-init projection
-        mod = nn.Dense(
-            2 * self.hidden_size,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="final_modulation",
-        )(nn.silu(c_emb))
+    def head(self, x, c_emb, sample_shape) -> jnp.ndarray:
+        """Final adaLN + zero-init projection + unpatchify."""
+        b, h, w, _ = sample_shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+        out_channels = self.in_channels * (2 if self.learn_sigma else 1)
+
+        mod = self.final_modulation(nn.silu(c_emb))
         shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
-        x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype,
-                         name="final_norm")(x)
+        x = self.final_norm(x)
         x = x * (1 + scale) + shift
-        x = nn.Dense(
-            p * p * out_channels,
-            kernel_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="final_proj",
-        )(x)
-        # unpatchify
+        x = self.final_proj(x)
         x = x.reshape(b, gh, gw, p, p, out_channels)
         x = jnp.einsum("bhwpqc->bhpwqc", x).reshape(
             b, gh * p, gw * p, out_channels
         )
         return x.astype(jnp.float32)
+
+    # -- pipeline hooks (pure, no bound variables) ---------------------
+
+    def block_position_map(self, sample_shape):
+        """RoPE position map for the block stack (None without RoPE)."""
+        if not self.use_rope:
+            return None
+        p = self.patch_size
+        return make_axial_pos(sample_shape[1] // p, sample_shape[2] // p)
+
+    def apply_block(self, block_params, x, extras, position_map=None):
+        """Apply ONE block functionally from its (unstacked) param
+        slice — the pipeline-parallel stage body."""
+        (c_emb,) = extras
+        block = DiTBlock(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            use_rope=self.use_rope,
+            dtype=self.dtype,
+            parent=None,  # detached: not a child of this (unbound) module
+        )
+        return block.apply({"params": block_params}, x, c_emb, position_map)
+
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # [B, H, W, C]
+        timesteps: jnp.ndarray,  # [B]
+        class_labels: jnp.ndarray | None = None,  # [B] int
+        train: bool = False,
+    ) -> jnp.ndarray:
+        x, c_emb = self.embed(sample, timesteps, class_labels, train=train)
+        x = self.backbone(
+            x, c_emb, self.block_position_map(sample.shape)
+        )
+        return self.head(x, c_emb, sample.shape)
 
 
 DIT_PRESETS: dict[str, dict] = {

@@ -4,10 +4,13 @@ from uwudiff_tpu.parallel.mesh import (
     fsdp_param_sharding,
     replicate_sharding,
 )
+from uwudiff_tpu.parallel.pipeline import pipeline_blocks, pipelined_dit_apply
 
 __all__ = [
     "make_mesh",
     "batch_sharding",
     "fsdp_param_sharding",
     "replicate_sharding",
+    "pipeline_blocks",
+    "pipelined_dit_apply",
 ]

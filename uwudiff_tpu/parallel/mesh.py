@@ -33,11 +33,13 @@ __all__ = [
     "DATA_AXIS",
     "FSDP_AXIS",
     "TENSOR_AXIS",
+    "PIPE_AXIS",
 ]
 
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tensor"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(
@@ -145,6 +147,10 @@ def fsdp_param_sharding(
 ) -> Any:
     """NamedSharding pytree for params.
 
+    - ``pipe`` axis (if in the mesh, size>1): layer-stacked block params
+      (``.../blocks/...`` leaves from ``nn.scan`` stacks) shard their
+      leading layer axis stage-wise — the pipeline-parallel layout
+      (``parallel/pipeline.py``).
     - ``tensor`` axis (if in the mesh, size>1): Megatron-style
       column/row splits on attention and MLP kernels (``_TP_RULES``).
     - ``fsdp`` axis: shard the largest remaining divisible axis of each
@@ -153,20 +159,32 @@ def fsdp_param_sharding(
     """
     has_fsdp = FSDP_AXIS in mesh.axis_names and mesh.shape[FSDP_AXIS] > 1
     has_tp = TENSOR_AXIS in mesh.axis_names and mesh.shape[TENSOR_AXIS] > 1
-    if not has_fsdp and not has_tp:
+    has_pipe = PIPE_AXIS in mesh.axis_names and mesh.shape[PIPE_AXIS] > 1
+    if not has_fsdp and not has_tp and not has_pipe:
         rep = replicate_sharding(mesh)
         return jax.tree_util.tree_map(lambda _: rep, params)
     fsdp_size = mesh.shape[FSDP_AXIS] if has_fsdp else 1
     tp_size = mesh.shape[TENSOR_AXIS] if has_tp else 1
+    pipe_size = mesh.shape[PIPE_AXIS] if has_pipe else 1
 
     def leaf_sharding(path, x):
         shape = tuple(x.shape)
         spec = [None] * len(shape)
         tp_dim = None
+        pipe_dim = None
+        our = "/".join(str(getattr(p, "key", p)) for p in path)
+        if (
+            has_pipe
+            and re.search(r"(^|/)blocks/", our)
+            and shape
+            and shape[0] % pipe_size == 0
+            and shape[0] >= pipe_size
+        ):
+            spec[0] = PIPE_AXIS
+            pipe_dim = 0
         if has_tp:
-            our = "/".join(str(getattr(p, "key", p)) for p in path)
             hit = _tp_spec_for_path(our, shape, tp_size)
-            if hit is not None:
+            if hit is not None and hit[0] != pipe_dim:
                 tp_dim = hit[0]
                 spec[tp_dim] = TENSOR_AXIS
         if has_fsdp and int(np.prod(shape)) >= min_size:
@@ -174,7 +192,7 @@ def fsdp_param_sharding(
                 range(len(shape)), key=lambda i: (shape[i], i), reverse=True
             )
             for dim in order:
-                if dim == tp_dim:
+                if dim == tp_dim or dim == pipe_dim:
                     continue
                 # a dim already carrying tensor can't also carry fsdp;
                 # sharded-dim remainder must still divide

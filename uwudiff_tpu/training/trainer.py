@@ -106,6 +106,10 @@ class DMTrainer:
     # constraint, composes with TP) or "ulysses" (head all-to-all;
     # needs heads % seq == 0, fewer/larger transfers)
     sequence_parallel_method: str = "ring"
+    # `pipe`-axis microbatch count (GPipe over a scan_blocks DiT body,
+    # ``parallel/pipeline.py``). None = one microbatch per stage —
+    # the minimum; raise to shrink the (P-1)/(M+P-1) bubble.
+    pipeline_microbatches: int | None = None
     ema_decay: float = 0.99
     seed: int = 42
     # "bfloat16" stores trainable params in bf16 and applies optimizer
@@ -376,6 +380,13 @@ class DMTrainer:
             {"params": base}, *a, rngs=rngs, **kw
         )
 
+    def _has_pipe(self) -> bool:
+        return (
+            self.mesh is not None
+            and "pipe" in self.mesh.axis_names
+            and self.mesh.shape["pipe"] > 1
+        )
+
     def _loss_for_batch(self, params, frozen, batch, rng):
         rng_enc, rng_loss, rng_drop = jax.random.split(rng, 3)
         x, ctx, mask, added_cond = self._encode_batch(frozen, batch, rng_enc)
@@ -384,10 +395,43 @@ class DMTrainer:
         if "class_labels" in batch:  # class-conditional models (DiT)
             labels = batch["class_labels"]
 
-            def model_fn(noisy, t):
-                return unet_fn(noisy, t, labels, train=True)
+            if self._has_pipe():
+                # pipeline parallelism: GPipe over the stage-sharded
+                # block stack (parallel/pipeline.py)
+                from uwudiff_tpu.parallel.pipeline import pipelined_dit_apply
+
+                base = (
+                    self.adapter.merge(frozen["unet_base"], params)
+                    if self.adapter is not None
+                    else params
+                )
+
+                def model_fn(noisy, t):
+                    return pipelined_dit_apply(
+                        self.unet,
+                        base,
+                        noisy,
+                        t,
+                        labels,
+                        self.mesh,
+                        n_microbatches=self.pipeline_microbatches,
+                        train=True,
+                        rngs={"dropout": rng_drop},
+                    )
+
+            else:
+
+                def model_fn(noisy, t):
+                    return unet_fn(noisy, t, labels, train=True)
 
         else:
+            if self._has_pipe():
+                raise ValueError(
+                    "mesh_axes['pipe'] > 1 is supported for the DiT "
+                    "family (scan_blocks=True); UNet models pipeline "
+                    "poorly (conv down/up stages) — use data/fsdp/"
+                    "tensor/seq axes instead"
+                )
 
             def model_fn(noisy, t):
                 return unet_fn(noisy, t, ctx, mask, added_cond)
