@@ -24,6 +24,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from uwudiff_tpu.utils import apply_platform_env
+
+apply_platform_env()  # UWU_PLATFORM=cpu forces the backend pre-init
+
 _KEY_MAPS = {
     "unet": "unet_key_map",
     "vae": "vae_key_map",

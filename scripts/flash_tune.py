@@ -20,6 +20,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from uwudiff_tpu.utils import apply_platform_env
+
+apply_platform_env()  # UWU_PLATFORM=cpu forces the backend pre-init
+
 from uwudiff_tpu.ops.flash_attention import flash_attention  # noqa: E402
 
 # (name, B*H, Sq, Sk, D) — attention sites:

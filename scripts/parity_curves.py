@@ -23,6 +23,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from uwudiff_tpu.utils import apply_platform_env
+
+apply_platform_env()  # UWU_PLATFORM=cpu forces the backend pre-init
+
 STEPS = 200
 BATCH = 8
 SHAPE = (4, 4, 4)  # H, W, C

@@ -25,6 +25,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from uwudiff_tpu.utils import apply_platform_env
+
+apply_platform_env()  # UWU_PLATFORM=cpu forces the backend pre-init
+
 from uwudiff_tpu.diffusion import NoiseSchedule  # noqa: E402
 from uwudiff_tpu.models.unet import UNet2DConditionModel  # noqa: E402
 from uwudiff_tpu.sampling import (  # noqa: E402

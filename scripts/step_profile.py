@@ -32,6 +32,10 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from uwudiff_tpu.utils import apply_platform_env
+
+apply_platform_env()  # UWU_PLATFORM=cpu forces the backend pre-init
+
 _SHAPE_RE = re.compile(r"(?:bf16|f16|f32|f64|s32|u32|s8|u8|pred)\[([\d,]*)\]")
 _DTYPE_BYTES = {"bf16": 2, "f16": 2, "f32": 4, "f64": 8, "s32": 4,
                 "u32": 4, "s8": 1, "u8": 1, "pred": 1}

@@ -34,7 +34,22 @@ __all__ = [
     "setup_uwu_logger",
     "get_images_recursively",
     "append_dims",
+    "apply_platform_env",
 ]
+
+
+def apply_platform_env() -> None:
+    """Honor a ``UWU_PLATFORM`` env var (e.g. ``cpu``) at the jax.config
+    level, BEFORE the first backend touch.
+
+    Needed because PJRT proxy plugins (the axon TPU tunnel here) ignore
+    the ``JAX_PLATFORMS``/``JAX_PLATFORM_NAME`` env vars and initialize
+    anyway — which hangs every CLI when the remote relay is unreachable.
+    Call this first in every script ``main()``.
+    """
+    plat = os.environ.get("UWU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
 
 def exists(val: Any) -> bool:
