@@ -1,6 +1,8 @@
 from uwudiff_tpu.models.unet import UNet2DConditionModel, UNET_PRESETS
 from uwudiff_tpu.models.vae import AutoencoderKL
 from uwudiff_tpu.models.text_encoders import ConcatTextEncoders, TextModelExtraConfig
+from uwudiff_tpu.models.dit import DiT, DIT_PRESETS
+from uwudiff_tpu.models.mmdit import MMDiT, MMDIT_PRESETS
 
 __all__ = [
     "UNet2DConditionModel",
@@ -8,4 +10,8 @@ __all__ = [
     "AutoencoderKL",
     "ConcatTextEncoders",
     "TextModelExtraConfig",
+    "DiT",
+    "DIT_PRESETS",
+    "MMDiT",
+    "MMDIT_PRESETS",
 ]

@@ -328,7 +328,14 @@ class DMTrainer:
         self.state = jax.device_put(state, self.state_sharding)
 
     def _added_cond(self, batch, pooled, n=None):
-        if getattr(self.unet, "addition_embed_type", None) != "text_time":
+        kind = getattr(self.unet, "addition_embed_type", None)
+        if kind == "pooled_text":  # MMDiT: pooled text only, no time_ids
+            assert pooled is not None, (
+                "pooled_text addition embedding needs pooled text "
+                "embeddings (a use_pooled=True CLIP encoder)"
+            )
+            return {"text_embeds": pooled if n is None else pooled[:n]}
+        if kind != "text_time":
             return None
         time_ids = jnp.asarray(batch["added_cond"]["time_ids"])
         if n is not None:
