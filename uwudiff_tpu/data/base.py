@@ -52,13 +52,18 @@ class UwUBaseDataset:
             tokenizer_outputs.append(
                 {"input_ids": input_ids, "attention_mask": attention_mask}
             )
-        return {
+        out = {
             "sample": samples,
             "captions": captions,
             "tokenizer_outputs": tokenizer_outputs,
             "added_cond": {"time_ids": add_time_ids},
             "cross_attention_kwargs": {},
         }
+        if "class_label" in batch[0]:  # class-conditional (DiT family)
+            out["class_labels"] = np.asarray(
+                [x["class_label"] for x in batch], np.int32
+            )
+        return out
 
 
 class DummyDataset(UwUBaseDataset):
@@ -76,6 +81,7 @@ class DummyDataset(UwUBaseDataset):
         tokenizers: Sequence = (),
         caption: str = "DUMMY TEST",
         seed: int = 0,
+        n_classes: int | None = None,
         **kwargs,
     ):
         self.sample_size = tuple(sample_size)
@@ -88,6 +94,13 @@ class DummyDataset(UwUBaseDataset):
             list(tokenizers) if isinstance(tokenizers, (list, tuple)) else [tokenizers]
         )
         self.caption = caption
+        # class-conditional fixtures (DiT family): deterministic labels
+        self.n_classes = n_classes
+        self.labels = (
+            rng.integers(0, n_classes, size=n_samples).astype(np.int32)
+            if n_classes
+            else None
+        )
 
     def __len__(self):
         return len(self.samples)
@@ -95,7 +108,7 @@ class DummyDataset(UwUBaseDataset):
     def __getitem__(self, index: int) -> dict:
         h = self.sample_size[0]
         w = self.sample_size[1]
-        return {
+        item = {
             "sample": self.samples[index],
             "caption": self.caption,
             "tokenizer_out": [
@@ -105,6 +118,9 @@ class DummyDataset(UwUBaseDataset):
             # org_h, org_w, crop_top, crop_left, target_h, target_w
             "add_time_ids": np.asarray([h, w, 0, 0, h, w], dtype=np.float32),
         }
+        if self.labels is not None:
+            item["class_label"] = int(self.labels[index])
+        return item
 
 
 class DataLoader:

@@ -49,12 +49,20 @@ def _2d_sincos_pos_embed(dim: int, h: int, w: int) -> np.ndarray:
 
 
 class DiTBlock(nn.Module):
-    """adaLN-Zero transformer block."""
+    """adaLN-Zero transformer block.
+
+    ``num_experts > 0`` swaps the dense MLP for a token-choice top-k
+    MoE (``models/moe.py``) — the DiT-MoE variant; expert weights
+    shard over an ``expert`` mesh axis (``parallel/expert.py``).
+    """
 
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
     use_rope: bool = False
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -94,10 +102,23 @@ class DiTBlock(nn.Module):
         h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype,
                          name="norm2")(x)
         h = h * (1 + scale_m) + shift_m
-        inner = int(self.hidden_size * self.mlp_ratio)
-        h = nn.Dense(inner, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=True)
-        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
+        if self.num_experts:
+            from uwudiff_tpu.models.moe import MoEMlp
+
+            h = MoEMlp(
+                hidden_size=self.hidden_size,
+                num_experts=self.num_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype,
+                name="moe",
+            )(h)
+        else:
+            inner = int(self.hidden_size * self.mlp_ratio)
+            h = nn.Dense(inner, dtype=self.dtype, name="mlp_fc1")(h)
+            h = nn.gelu(h, approximate=True)
+            h = nn.Dense(self.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
         return x + gate_m * h
 
 
@@ -122,6 +143,12 @@ class DiT(nn.Module):
     class_dropout_prob: float = 0.1
     learn_sigma: bool = False
     use_rope: bool = False
+    # MoE (DiT-MoE): >0 replaces every block's MLP with a top-k
+    # mixture of `num_experts` experts (models/moe.py); the aux losses
+    # are sown into "moe_losses" and added by DMTrainer
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     gradient_checkpointing: bool = False
     scan_blocks: bool = False
     dtype: Any = jnp.float32
@@ -161,6 +188,9 @@ class DiT(nn.Module):
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             use_rope=self.use_rope,
+            num_experts=self.num_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
             dtype=self.dtype,
         )
         if self.scan_blocks and self.depth > 1:
@@ -172,7 +202,7 @@ class DiT(nn.Module):
                 cell = nn.remat(cell, prevent_cse=False)
             self.blocks = nn.scan(
                 cell,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "moe_losses": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=(nn.broadcast, nn.broadcast),
@@ -286,6 +316,9 @@ class DiT(nn.Module):
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             use_rope=self.use_rope,
+            num_experts=self.num_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
             dtype=self.dtype,
             parent=None,  # detached: not a child of this (unbound) module
         )
@@ -312,5 +345,19 @@ DIT_PRESETS: dict[str, dict] = {
     "dit_s_2": dict(patch_size=2, hidden_size=384, depth=12, num_heads=6),
     "tiny": dict(
         patch_size=2, hidden_size=32, depth=2, num_heads=2, num_classes=10
+    ),
+    # DiT-MoE (arXiv:2407.11633 scale points): top-2 of E experts per
+    # block, dense attention — S/2 and B/2 activated-param classes
+    "dit_moe_s_2_8e": dict(
+        patch_size=2, hidden_size=384, depth=12, num_heads=6,
+        num_experts=8, moe_top_k=2,
+    ),
+    "dit_moe_b_2_8e": dict(
+        patch_size=2, hidden_size=768, depth=12, num_heads=12,
+        num_experts=8, moe_top_k=2,
+    ),
+    "tiny_moe": dict(
+        patch_size=2, hidden_size=32, depth=2, num_heads=2,
+        num_classes=10, num_experts=4, moe_top_k=2,
     ),
 }

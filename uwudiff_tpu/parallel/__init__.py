@@ -4,6 +4,7 @@ from uwudiff_tpu.parallel.mesh import (
     fsdp_param_sharding,
     replicate_sharding,
 )
+from uwudiff_tpu.parallel.expert import expert_parallel, constrain_expert
 from uwudiff_tpu.parallel.pipeline import pipeline_blocks, pipelined_dit_apply
 
 __all__ = [
@@ -11,6 +12,8 @@ __all__ = [
     "batch_sharding",
     "fsdp_param_sharding",
     "replicate_sharding",
+    "expert_parallel",
+    "constrain_expert",
     "pipeline_blocks",
     "pipelined_dit_apply",
 ]

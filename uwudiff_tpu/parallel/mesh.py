@@ -34,12 +34,19 @@ __all__ = [
     "FSDP_AXIS",
     "TENSOR_AXIS",
     "PIPE_AXIS",
+    "EXPERT_AXIS",
 ]
 
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tensor"
 PIPE_AXIS = "pipe"
+EXPERT_AXIS = "expert"
+
+# MoE expert-stacked leaves (models/moe.py): [E, d, f] kernels and
+# [E, f] biases whose leading expert axis shards over `expert`. The
+# fp32 router kernel is excluded (replicated/FSDP like any small leaf).
+_MOE_EXPERT_LEAF = re.compile(r"(^|/)moe/(wi|wo|bi|bo)$")
 
 
 def make_mesh(
@@ -160,18 +167,21 @@ def fsdp_param_sharding(
     has_fsdp = FSDP_AXIS in mesh.axis_names and mesh.shape[FSDP_AXIS] > 1
     has_tp = TENSOR_AXIS in mesh.axis_names and mesh.shape[TENSOR_AXIS] > 1
     has_pipe = PIPE_AXIS in mesh.axis_names and mesh.shape[PIPE_AXIS] > 1
-    if not has_fsdp and not has_tp and not has_pipe:
+    has_ep = EXPERT_AXIS in mesh.axis_names and mesh.shape[EXPERT_AXIS] > 1
+    if not has_fsdp and not has_tp and not has_pipe and not has_ep:
         rep = replicate_sharding(mesh)
         return jax.tree_util.tree_map(lambda _: rep, params)
     fsdp_size = mesh.shape[FSDP_AXIS] if has_fsdp else 1
     tp_size = mesh.shape[TENSOR_AXIS] if has_tp else 1
     pipe_size = mesh.shape[PIPE_AXIS] if has_pipe else 1
+    ep_size = mesh.shape[EXPERT_AXIS] if has_ep else 1
 
     def leaf_sharding(path, x):
         shape = tuple(x.shape)
         spec = [None] * len(shape)
         tp_dim = None
         pipe_dim = None
+        ep_dim = None
         our = "/".join(str(getattr(p, "key", p)) for p in path)
         if (
             has_pipe
@@ -182,9 +192,21 @@ def fsdp_param_sharding(
         ):
             spec[0] = PIPE_AXIS
             pipe_dim = 0
+        if has_ep and _MOE_EXPERT_LEAF.search(our):
+            # expert axis: leading dim, or dim 1 under an nn.scan layer
+            # stack (leading dim = layers, already pipe's if pipe>1)
+            dim = 1 if re.search(r"(^|/)blocks/", our) else 0
+            if (
+                dim != pipe_dim
+                and dim < len(shape)
+                and shape[dim] % ep_size == 0
+                and shape[dim] >= ep_size
+            ):
+                spec[dim] = EXPERT_AXIS
+                ep_dim = dim
         if has_tp:
             hit = _tp_spec_for_path(our, shape, tp_size)
-            if hit is not None and hit[0] != pipe_dim:
+            if hit is not None and hit[0] != pipe_dim and hit[0] != ep_dim:
                 tp_dim = hit[0]
                 spec[tp_dim] = TENSOR_AXIS
         if has_fsdp and int(np.prod(shape)) >= min_size:
@@ -192,7 +214,7 @@ def fsdp_param_sharding(
                 range(len(shape)), key=lambda i: (shape[i], i), reverse=True
             )
             for dim in order:
-                if dim == tp_dim or dim == pipe_dim:
+                if dim == tp_dim or dim == pipe_dim or dim == ep_dim:
                     continue
                 # a dim already carrying tensor can't also carry fsdp;
                 # sharded-dim remainder must still divide

@@ -377,12 +377,37 @@ class DMTrainer:
             ctx = jax.lax.stop_gradient(ctx)
         return x, ctx, mask, added_cond
 
-    def _unet_apply_fn(self, params, frozen, rngs=None):
-        """Trainable-forward closure; adapters merge into the base here."""
+    def _is_moe(self) -> bool:
+        return bool(getattr(self.unet, "num_experts", 0))
+
+    def _unet_apply_fn(self, params, frozen, rngs=None, moe_cell=None):
+        """Trainable-forward closure; adapters merge into the base here.
+
+        For MoE models (``unet.num_experts > 0``) the apply runs with
+        ``mutable=["moe_losses"]`` and appends the summed sown aux
+        losses (load-balance + router z, already coefficient-scaled by
+        ``MoEMlp``) to ``moe_cell`` for the caller to add to the loss.
+        """
         if self.adapter is not None:
             base = self.adapter.merge(frozen["unet_base"], params)
         else:
             base = params
+        if self._is_moe() and moe_cell is not None:
+
+            def apply_fn(*a, **kw):
+                out, mut = self.unet.apply(
+                    {"params": base}, *a, rngs=rngs,
+                    mutable=["moe_losses"], **kw,
+                )
+                moe_cell.append(
+                    sum(
+                        jnp.sum(leaf)
+                        for leaf in jax.tree_util.tree_leaves(mut)
+                    )
+                )
+                return out
+
+            return apply_fn
         return lambda *a, **kw: self.unet.apply(
             {"params": base}, *a, rngs=rngs, **kw
         )
@@ -397,12 +422,22 @@ class DMTrainer:
     def _loss_for_batch(self, params, frozen, batch, rng):
         rng_enc, rng_loss, rng_drop = jax.random.split(rng, 3)
         x, ctx, mask, added_cond = self._encode_batch(frozen, batch, rng_enc)
-        unet_fn = self._unet_apply_fn(params, frozen, rngs={"dropout": rng_drop})
+        moe_cell: list = []
+        unet_fn = self._unet_apply_fn(
+            params, frozen, rngs={"dropout": rng_drop}, moe_cell=moe_cell
+        )
 
         if "class_labels" in batch:  # class-conditional models (DiT)
             labels = batch["class_labels"]
 
             if self._has_pipe():
+                if self._is_moe():
+                    raise ValueError(
+                        "mesh_axes['pipe'] > 1 with a MoE model is not "
+                        "supported: the pipelined block apply cannot "
+                        "collect the sown MoE aux losses — use the "
+                        "expert/data/fsdp axes for MoE models"
+                    )
                 # pipeline parallelism: GPipe over the stage-sharded
                 # block stack (parallel/pipeline.py)
                 from uwudiff_tpu.parallel.pipeline import pipelined_dit_apply
@@ -443,7 +478,11 @@ class DMTrainer:
             def model_fn(noisy, t):
                 return unet_fn(noisy, t, ctx, mask, added_cond)
 
-        return self.loss(rng_loss, x, model_fn)
+        loss, aux = self.loss(rng_loss, x, model_fn)
+        if moe_cell:
+            # MoE routing regularizers (coefficient-scaled in MoEMlp)
+            loss = loss + moe_cell[0]
+        return loss, aux
 
     def _seq_parallel_ctx(self):
         """Mesh-aware attention contexts:
@@ -468,6 +507,13 @@ class DMTrainer:
                     method=self.sequence_parallel_method,
                 )
             )
+        if (
+            "expert" in self.mesh.axis_names
+            and self.mesh.shape["expert"] > 1
+        ):
+            from uwudiff_tpu.parallel.expert import expert_parallel
+
+            stack.enter_context(expert_parallel(self.mesh, axis="expert"))
         if (
             "tensor" in self.mesh.axis_names
             and self.mesh.shape["tensor"] > 1
