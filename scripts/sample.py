@@ -32,21 +32,30 @@ def main():
 
     # build the model stack via a trainer node (shares the loader path)
     trainer = instantiate_any(config["trainer"])
+    sampling_cfg = dict(config.get("sampling_func", {}))
+    class_conditional = "class_labels" in sampling_cfg
     # sampling needs params: initialize (or restore via run_config.ckpt)
     from uwudiff_tpu.data import DummyDataset
 
     ds = DummyDataset(
         sample_size=tuple(config.get("init_sample_size", (64, 64, 4))),
         n_samples=2,
+        n_classes=(
+            getattr(trainer.unet, "num_classes", None)
+            if class_conditional
+            else None
+        ),
     )
     ds.set_tokenizers(trainer.tokenizers)
     trainer.setup(ds.collate([ds[0]]))
 
-    from uwudiff_tpu.models.text_encoders import TextEncodingPipeline
+    te_pipe = None
+    if trainer.te is not None:
+        from uwudiff_tpu.models.text_encoders import TextEncodingPipeline
 
-    te_pipe = TextEncodingPipeline(
-        trainer.te, trainer.frozen["te"], trainer.tokenizers
-    )
+        te_pipe = TextEncodingPipeline(
+            trainer.te, trainer.frozen["te"], trainer.tokenizers
+        )
 
     unet_params = trainer.merged_unet_params()
 
@@ -62,7 +71,7 @@ def main():
                 {"params": vae_params}, latents, method=trainer.vae.decode
             )
 
-    sampling_kwargs = dict(config.get("sampling_func", {}))
+    sampling_kwargs = sampling_cfg
     sampling_kwargs.pop("_target_", None)
     # instantiate nested config nodes in either supported format (e.g.
     # internal_sampling_func: a sampler callable via _partial_: true, or
@@ -70,18 +79,36 @@ def main():
     for key, val in list(sampling_kwargs.items()):
         if isinstance(val, dict) and ("_target_" in val or "class" in val):
             sampling_kwargs[key] = instantiate_any(val)
-    from uwudiff_tpu.sampling import diffusion_sampling
 
-    images = diffusion_sampling(
-        unet_fn,
-        te_pipe,
-        vae_decode,
-        train_schedule=trainer.loss.schedule,
-        vae_std=trainer.vae_std,
-        vae_mean=trainer.vae_mean,
-        unet_params=unet_params,
-        **sampling_kwargs,
-    )
+    if class_conditional:  # DiT family: labels instead of prompts
+        from uwudiff_tpu.sampling import class_conditional_sampling
+
+        def class_unet_fn(params, x, t, labels):
+            return trainer.unet.apply({"params": params}, x, t, labels)
+
+        images = class_conditional_sampling(
+            class_unet_fn,
+            train_schedule=trainer.loss.schedule,
+            null_label=trainer.unet.num_classes,
+            vae_decode=vae_decode,
+            vae_std=trainer.vae_std,
+            vae_mean=trainer.vae_mean,
+            unet_params=unet_params,
+            **sampling_kwargs,
+        )
+    else:
+        from uwudiff_tpu.sampling import diffusion_sampling
+
+        images = diffusion_sampling(
+            unet_fn,
+            te_pipe,
+            vae_decode,
+            train_schedule=trainer.loss.schedule,
+            vae_std=trainer.vae_std,
+            vae_mean=trainer.vae_mean,
+            unet_params=unet_params,
+            **sampling_kwargs,
+        )
     os.makedirs(args.out_dir, exist_ok=True)
     if hasattr(images, "shape"):  # latents
         import numpy as np

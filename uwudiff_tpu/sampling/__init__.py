@@ -12,8 +12,15 @@ from uwudiff_tpu.sampling.euler import (
 from uwudiff_tpu.sampling.dpm2 import sample_dpm2, sample_dpm2_cfgpp
 from uwudiff_tpu.sampling.dpmpp import sample_dpmpp_2m
 from uwudiff_tpu.sampling.heun import sample_heun
-from uwudiff_tpu.sampling.cfg import cfg_wrapper, cond_text_wrapper
-from uwudiff_tpu.sampling.sampling import diffusion_sampling
+from uwudiff_tpu.sampling.cfg import (
+    cfg_wrapper,
+    cond_text_wrapper,
+    build_class_cfg_fn,
+)
+from uwudiff_tpu.sampling.sampling import (
+    diffusion_sampling,
+    class_conditional_sampling,
+)
 from uwudiff_tpu.sampling.euler_latent import euler_latent_sampling
 
 __all__ = [
@@ -32,5 +39,7 @@ __all__ = [
     "cfg_wrapper",
     "cond_text_wrapper",
     "diffusion_sampling",
+    "class_conditional_sampling",
+    "build_class_cfg_fn",
     "euler_latent_sampling",
 ]

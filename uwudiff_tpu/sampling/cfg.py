@@ -13,7 +13,12 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-__all__ = ["cond_text_wrapper", "cfg_wrapper", "default_time_ids"]
+__all__ = [
+    "cond_text_wrapper",
+    "cfg_wrapper",
+    "default_time_ids",
+    "build_class_cfg_fn",
+]
 
 
 def default_time_ids(height: int, width: int, batch: int) -> jnp.ndarray:
@@ -155,3 +160,41 @@ def cfg_wrapper(
     ``out = uncond + (cond - uncond) * cfg`` (``cfg.py:54-127``)."""
     enc = encode_cfg_inputs(prompt, neg_prompt, width, height, te, time_ids)
     return build_cfg_fn(unet, enc, cfg)
+
+
+def build_class_cfg_fn(
+    unet: Callable,  # KDiffusionDenoiser
+    class_labels: jnp.ndarray,  # [N] int
+    null_label: int,
+    cfg: float,
+) -> Callable:
+    """Class-label CFG for the DiT family: the unconditional branch is
+    the learned null-class embedding (index ``num_classes``, the same
+    embedding CFG label-dropout trains). ``cfg == 1`` short-circuits to
+    a single conditional pass (no doubled batch)."""
+    class_labels = jnp.asarray(class_labels)
+
+    def cond_fn(x, sigma, sigma_cond=None):
+        out = unet(x, sigma, sigma_cond=sigma_cond, class_labels=class_labels)
+        return out, out
+
+    if cfg == 1.0:
+        return cond_fn
+
+    labels2 = jnp.concatenate(
+        [class_labels, jnp.full_like(class_labels, null_label)]
+    )
+
+    def cfg_fn(x, sigma, sigma_cond=None):
+        if sigma_cond is not None:
+            sigma_cond = jnp.concatenate([sigma_cond, sigma_cond])
+        out = unet(
+            jnp.concatenate([x, x]),
+            jnp.concatenate([sigma, sigma]),
+            sigma_cond=sigma_cond,
+            class_labels=labels2,
+        )
+        cond, uncond = jnp.split(out, 2)
+        return uncond + (cond - uncond) * cfg, uncond
+
+    return cfg_fn

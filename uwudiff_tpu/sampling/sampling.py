@@ -21,7 +21,7 @@ from uwudiff_tpu.sampling.euler import sample_euler_ancestral
 from uwudiff_tpu.sampling.wrapper import KDiffusionDenoiser
 from uwudiff_tpu.utils import truncate_or_pad_to_length
 
-__all__ = ["diffusion_sampling"]
+__all__ = ["diffusion_sampling", "class_conditional_sampling"]
 
 
 def diffusion_sampling(
@@ -118,6 +118,90 @@ def diffusion_sampling(
         return latents * vae_std + vae_mean
 
     if jit_compile:  # the whole sigma loop is one XLA program
+        sample_latents = jax.jit(sample_latents)
+    latents = sample_latents(unet_params, rng_init, rng_samp, sigmas)
+    if return_latents or vae_decode is None:
+        return latents
+    images = vae_decode(latents)
+    return [vae_image_postprocess(img) for img in np.asarray(images)]
+
+
+def class_conditional_sampling(
+    unet_fn: Callable,  # (x, t, class_labels) -> eps (params bound)
+    # OR (params, x, t, class_labels) when unet_params is given
+    train_schedule: NoiseSchedule,
+    class_labels,  # [N] ints; one sample per label
+    null_label: int,  # the CFG-dropout null class (DiT: num_classes)
+    vae_decode: Callable | None = None,
+    num_steps: int = 16,
+    sample_schedule: NoiseSchedule | None = None,
+    get_sigma_func: Callable | None = None,
+    cfg_scale: float = 4.0,
+    seed: int = 42,
+    width: int = 256,
+    height: int = 256,
+    rescale: bool = False,
+    vae_std: float | None = None,
+    vae_mean: float | None = None,
+    latent_channels: int = 4,
+    vae_downscale: int = 8,
+    internal_sampling_func: Callable | None = None,
+    return_latents: bool = False,
+    jit_compile: bool = True,
+    unet_params=None,
+):
+    """Class-conditional sampling for the DiT family (the reference has
+    no class-conditional models; this mirrors ``diffusion_sampling``'s
+    contract with labels instead of prompts). The unconditional CFG
+    branch is the trained null-class embedding
+    (``sampling/cfg.py::build_class_cfg_fn``)."""
+    from uwudiff_tpu.sampling.cfg import build_class_cfg_fn
+
+    rng = jax.random.PRNGKey(seed)
+    internal_sampling_func = internal_sampling_func or sample_euler_ancestral
+    vae_std = vae_std if vae_std is not None else 1.0
+    vae_mean = vae_mean or 0.0
+    class_labels = jnp.asarray(np.asarray(class_labels, np.int32))
+    num_samples = class_labels.shape[0]
+
+    def make_cfg_fn(params):
+        def eps_fn(x, t, class_labels=None, **kwargs):
+            args = (x, t, class_labels)
+            return unet_fn(params, *args) if params is not None else unet_fn(*args)
+
+        model_wrapper = KDiffusionDenoiser(
+            model_fn=eps_fn, schedule=train_schedule, quantize=False
+        )
+        return build_class_cfg_fn(
+            model_wrapper, class_labels, null_label, cfg_scale
+        )
+
+    sample_schedule = sample_schedule or train_schedule
+    if get_sigma_func is None:
+        sigmas = sample_schedule.sample_sigmas_descending(num_steps)
+    else:
+        sigmas = jnp.asarray(np.asarray(get_sigma_func(num_steps), np.float32))
+
+    rng, rng_init, rng_samp = jax.random.split(rng, 3)
+
+    def sample_latents(params, rng_init, rng_samp, sigmas):
+        cfg_fn = make_cfg_fn(params)
+        init_x = jax.random.normal(
+            rng_init,
+            (
+                num_samples,
+                height // vae_downscale,
+                width // vae_downscale,
+                latent_channels,
+            ),
+        ) * jnp.sqrt(1 + sigmas[0] ** 2)
+        latents = internal_sampling_func(cfg_fn, init_x, sigmas, rng=rng_samp)
+        if rescale:
+            std = latents.reshape(latents.shape[0], -1).std(axis=1)
+            latents = latents / std[:, None, None, None]
+        return latents * vae_std + vae_mean
+
+    if jit_compile:
         sample_latents = jax.jit(sample_latents)
     latents = sample_latents(unet_params, rng_init, rng_samp, sigmas)
     if return_latents or vae_decode is None:
