@@ -208,3 +208,50 @@ def test_put_batch_multihost_path_degenerate_single_process():
     np.testing.assert_array_equal(
         np.asarray(via_multihost), np.asarray(via_put)
     )
+
+
+def test_local_class_image_dataset(tmp_path):
+    """ImageNet-style folder-per-class: labels, captions, collate, and a
+    class-conditional DiT train step."""
+    from PIL import Image
+
+    from uwudiff_tpu.data import LocalClassImageDataset
+
+    rng = np.random.default_rng(0)
+    for cls in ("cat", "dog"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(2):
+            arr = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    ds = LocalClassImageDataset(str(tmp_path), image_size=(8, 8))
+    assert len(ds) == 4
+    assert ds.num_classes == 2
+    assert ds.idx_to_class == ["cat", "dog"]
+    item = ds[0]
+    assert item["class_label"] == 0
+    assert item["caption"] == "cat"
+    assert item["sample"].shape == (8, 8, 3)
+    assert ds[3]["class_label"] == 1
+
+    batch = ds.collate([ds[i] for i in range(4)])
+    np.testing.assert_array_equal(batch["class_labels"], [0, 0, 1, 1])
+
+    from uwudiff_tpu.diffusion import DiffusionLoss, NoiseSchedule
+    from uwudiff_tpu.models.dit import DiT
+    from uwudiff_tpu.training import DMTrainer
+
+    trainer = DMTrainer(
+        model_config={
+            "unet": DiT.from_config("tiny", in_channels=3, num_classes=2),
+            "te": None,
+            "vae": None,
+        },
+        use_warm_up=False,
+        loss_config=DiffusionLoss(schedule=NoiseSchedule.sdxl()),
+        mesh_axes={"data": 1},
+        seed=0,
+    )
+    metrics, _ = trainer.train_step(batch)
+    assert np.isfinite(float(metrics["train/loss"]))

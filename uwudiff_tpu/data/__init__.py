@@ -4,6 +4,12 @@ from uwudiff_tpu.data.base import (
     TrainDataModule,
     DataLoader,
 )
+from uwudiff_tpu.data.local import (
+    LocalImageDataset,
+    LocalImageDatasetFromFolder,
+    LocalTextImageDataset,
+    LocalClassImageDataset,
+)
 from uwudiff_tpu.data.aspect_buckets import (
     AspectBucketDataset,
     BucketBatchLoader,
@@ -15,6 +21,10 @@ __all__ = [
     "DummyDataset",
     "TrainDataModule",
     "DataLoader",
+    "LocalImageDataset",
+    "LocalImageDatasetFromFolder",
+    "LocalTextImageDataset",
+    "LocalClassImageDataset",
     "AspectBucketDataset",
     "BucketBatchLoader",
     "make_buckets",

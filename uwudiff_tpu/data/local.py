@@ -17,6 +17,7 @@ __all__ = [
     "LocalImageDataset",
     "LocalImageDatasetFromFolder",
     "LocalTextImageDataset",
+    "LocalClassImageDataset",
 ]
 
 
@@ -110,3 +111,46 @@ class LocalTextImageDataset(LocalImageDataset):
         if os.path.exists(path):
             return path.read_text().strip()
         return self.caption
+
+
+class LocalClassImageDataset(LocalImageDataset):
+    """ImageNet-style folder-per-class dataset for the class-conditional
+    DiT family (no reference counterpart — its datasets are caption-
+    based): ``<root>/<class_name>/*.{jpg,png,...}``, labels = index of
+    the sorted class-folder name. Captions default to the class name so
+    the same tree can also drive text-conditional models."""
+
+    def __init__(
+        self,
+        image_dir: str,
+        caption_from_class: bool = True,
+        **kwargs,
+    ):
+        root = Path(image_dir)
+        classes = sorted(d.name for d in root.iterdir() if d.is_dir())
+        assert classes, f"no class subfolders under {image_dir}"
+        self.idx_to_class = classes
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        paths: list[str] = []
+        labels: list[int] = []
+        for c in classes:
+            for p in sorted(get_images_recursively(str(root / c))):
+                paths.append(p)
+                labels.append(self.class_to_idx[c])
+        super().__init__(image_paths=paths, **kwargs)
+        self.labels = np.asarray(labels, np.int32)
+        self.caption_from_class = caption_from_class
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.idx_to_class)
+
+    def _caption_for(self, index: int) -> str:
+        if self.caption_from_class:
+            return self.idx_to_class[int(self.labels[index])]
+        return self.caption
+
+    def __getitem__(self, index: int) -> dict:
+        item = super().__getitem__(index)
+        item["class_label"] = int(self.labels[index])
+        return item
