@@ -227,3 +227,95 @@ def test_moe_plus_pipe_rejected():
     }
     with pytest.raises(ValueError, match="MoE"):
         trainer.train_step(batch)
+
+
+def test_moe_group_size_matches_reshaped_ungrouped():
+    """group_size=g routing == ungrouped routing on [B*(S/g), g, D]."""
+    b, s, d, e, k, g = 2, 16, 16, 4, 2, 4
+    grouped = MoEMlp(hidden_size=d, num_experts=e, top_k=k,
+                     capacity_factor=1.0, group_size=g)
+    ungrouped = MoEMlp(hidden_size=d, num_experts=e, top_k=k,
+                       capacity_factor=1.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, s, d))
+    params = grouped.init(jax.random.PRNGKey(0), x)["params"]
+    y_g = grouped.apply({"params": params}, x)
+    y_u = ungrouped.apply(
+        {"params": params}, x.reshape(b * s // g, g, d)
+    ).reshape(b, s, d)
+    np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_u), atol=1e-6)
+
+
+def test_moe_dit_group_size_trains():
+    losses = []
+    trainer = DMTrainer(
+        model_config={
+            "unet": _tiny_moe_dit(moe_group_size=8),
+            "te": None,
+            "vae": None,
+        },
+        lr=1e-3,
+        use_warm_up=False,
+        loss_config=DiffusionLoss(schedule=NoiseSchedule.sdxl()),
+        mesh_axes={"data": 1},
+        seed=0,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "sample": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+        "class_labels": np.arange(2, dtype=np.int32),
+        "tokenizer_outputs": [],
+    }
+    m, _ = trainer.train_step(batch)
+    assert np.isfinite(float(m["train/loss"]))
+
+
+def _mmdit_moe_losses(mesh_axes, steps=2):
+    from uwudiff_tpu.diffusion import RectifiedFlowLoss
+    from uwudiff_tpu.models.mmdit import MMDiT
+    from uwudiff_tpu.models.text_encoders import ConcatTextEncoders
+    from uwudiff_tpu.models.tokenizers import SimpleTokenizer
+
+    te = ConcatTextEncoders.from_config(
+        [
+            (
+                {"model_type": "clip", "preset": "tiny"},
+                {"use_pooled": True, "layer_idx": -2},
+            )
+        ]
+    )
+    trainer = DMTrainer(
+        model_config={
+            "unet": MMDiT.from_config(
+                "tiny_moe", context_dim=32, pooled_dim=32
+            ),
+            "te": te,
+            "vae": None,
+        },
+        lr=1e-3,
+        use_warm_up=False,
+        loss_config=RectifiedFlowLoss(schedule=NoiseSchedule.sdxl()),
+        mesh_axes=mesh_axes,
+        seed=0,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "sample": rng.standard_normal((4, 16, 16, 4)).astype(np.float32),
+        "captions": ["a", "b", "c", "d"],
+        "tokenizer_outputs": [
+            SimpleTokenizer()(["a", "b", "c", "d"], padding=True,
+                              truncation=True)
+        ],
+    }
+    return [
+        float(trainer.train_step(batch)[0]["train/loss"])
+        for _ in range(steps)
+    ]
+
+
+def test_mmdit_moe_expert_parallel_matches_single_device():
+    """MMDiT with MoE image-stream MLPs: the moe_losses collection flows
+    through the dual-stream scan-free path and EP matches 1 device."""
+    ep = _mmdit_moe_losses({"data": 2, "expert": 4})
+    single = _mmdit_moe_losses({"data": 1})
+    assert all(np.isfinite(l) for l in ep)
+    np.testing.assert_allclose(ep, single, rtol=2e-4)

@@ -63,6 +63,7 @@ class DiTBlock(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    moe_group_size: int | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -110,6 +111,7 @@ class DiTBlock(nn.Module):
                 num_experts=self.num_experts,
                 top_k=self.moe_top_k,
                 capacity_factor=self.moe_capacity_factor,
+                group_size=self.moe_group_size,
                 mlp_ratio=self.mlp_ratio,
                 dtype=self.dtype,
                 name="moe",
@@ -149,6 +151,7 @@ class DiT(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    moe_group_size: int | None = None
     gradient_checkpointing: bool = False
     scan_blocks: bool = False
     dtype: Any = jnp.float32
@@ -191,6 +194,7 @@ class DiT(nn.Module):
             num_experts=self.num_experts,
             moe_top_k=self.moe_top_k,
             moe_capacity_factor=self.moe_capacity_factor,
+            moe_group_size=self.moe_group_size,
             dtype=self.dtype,
         )
         if self.scan_blocks and self.depth > 1:
@@ -319,6 +323,7 @@ class DiT(nn.Module):
             num_experts=self.num_experts,
             moe_top_k=self.moe_top_k,
             moe_capacity_factor=self.moe_capacity_factor,
+            moe_group_size=self.moe_group_size,
             dtype=self.dtype,
             parent=None,  # detached: not a child of this (unbound) module
         )

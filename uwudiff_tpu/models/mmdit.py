@@ -113,6 +113,13 @@ class MMDiTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     qk_norm: bool = True
+    # MoE on the IMAGE-stream MLP (the compute-dominant stream; text
+    # stream stays dense) — models/moe.py semantics, expert weights
+    # shard over the `expert` mesh axis
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_group_size: int | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -166,12 +173,27 @@ class MMDiTBlock(nn.Module):
             use_bias=False, use_scale=False, dtype=self.dtype, name="norm2_x"
         )(x)
         hx = hx * (1 + scx_m) + sx_m
-        x = x + gx_m * _MLP(
-            hidden_size=self.hidden_size,
-            mlp_ratio=self.mlp_ratio,
-            dtype=self.dtype,
-            name="mlp_x",
-        )(hx)
+        if self.num_experts:
+            from uwudiff_tpu.models.moe import MoEMlp
+
+            mlp_out = MoEMlp(
+                hidden_size=self.hidden_size,
+                num_experts=self.num_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                group_size=self.moe_group_size,
+                mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype,
+                name="moe",
+            )(hx)
+        else:
+            mlp_out = _MLP(
+                hidden_size=self.hidden_size,
+                mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype,
+                name="mlp_x",
+            )(hx)
+        x = x + gx_m * mlp_out
 
         hc = nn.LayerNorm(
             use_bias=False, use_scale=False, dtype=self.dtype, name="norm2_ctx"
@@ -207,6 +229,12 @@ class MMDiT(nn.Module):
     context_dim: int = 4096
     pooled_dim: int = 2048
     qk_norm: bool = True
+    # MoE on the image-stream MLPs (SD3-MoE variant; aux losses sown
+    # into "moe_losses" and added by DMTrainer)
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_group_size: int | None = None
     gradient_checkpointing: bool = False
     scan_blocks: bool = False
     dtype: Any = jnp.float32
@@ -246,6 +274,10 @@ class MMDiT(nn.Module):
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             qk_norm=self.qk_norm,
+            num_experts=self.num_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_group_size=self.moe_group_size,
             dtype=self.dtype,
         )
         if self.scan_blocks and self.depth > 1:
@@ -254,7 +286,7 @@ class MMDiT(nn.Module):
                 cell = nn.remat(cell, prevent_cse=False)
             self.blocks = nn.scan(
                 cell,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "moe_losses": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=(nn.broadcast, nn.broadcast),
@@ -383,5 +415,16 @@ MMDIT_PRESETS: dict[str, dict] = {
     "tiny": dict(
         patch_size=2, hidden_size=32, depth=2, num_heads=2,
         in_channels=4, context_dim=48, pooled_dim=24,
+    ),
+    # SD3-MoE class point: top-2 of 8 experts on the image-stream MLPs
+    "sd3_medium_8e": dict(
+        patch_size=2, hidden_size=1536, depth=24, num_heads=24,
+        in_channels=16, context_dim=4096, pooled_dim=2048,
+        num_experts=8, moe_top_k=2,
+    ),
+    "tiny_moe": dict(
+        patch_size=2, hidden_size=32, depth=2, num_heads=2,
+        in_channels=4, context_dim=48, pooled_dim=24,
+        num_experts=4, moe_top_k=2,
     ),
 }

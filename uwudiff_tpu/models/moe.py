@@ -58,12 +58,25 @@ class MoEMlp(nn.Module):
     mlp_ratio: float = 4.0
     aux_loss_coeff: float = 1e-2
     router_z_coeff: float = 1e-3
+    # routing-group size (GShard "group_size"): capacity and the
+    # dispatch/combine one-hots are per group of `group_size` tokens
+    # instead of the whole sequence, keeping the dispatch einsum
+    # O(S * group_size * k) rather than O(S^2 * k / E). None = one
+    # group per sequence (exact for short S; quadratic for long S).
+    group_size: int | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, S, D]
         from uwudiff_tpu.parallel.expert import constrain_expert
 
+        b0, s0, d0 = x.shape
+        if self.group_size is not None and self.group_size < s0:
+            g = self.group_size
+            assert s0 % g == 0, (
+                f"seq len {s0} not divisible by group_size {g}"
+            )
+            x = x.reshape(b0 * (s0 // g), g, d0)
         b, s, d = x.shape
         e, k = self.num_experts, self.top_k
         assert 0 < k <= e, f"top_k={k} must be in (0, num_experts={e}]"
@@ -140,4 +153,4 @@ class MoEMlp(nn.Module):
         out = out + bo.astype(self.dtype)[:, None, None, :]
         out = constrain_expert(out)
         y = jnp.einsum("bsec,ebcd->bsd", combine.astype(self.dtype), out)
-        return y
+        return y.reshape(b0, s0, d0)
