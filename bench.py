@@ -21,6 +21,10 @@ import os
 import sys
 import time
 
+from uwudiff_tpu.utils import apply_platform_env
+
+apply_platform_env()  # UWU_PLATFORM=cpu forces the backend pre-init
+
 # Documented anchors (NOT measured in this environment): approximate
 # A100-80GB PyTorch per-chip full-fine-tune throughput at the same
 # latent resolution, used only to scale vs_baseline. The driver's
@@ -46,6 +50,13 @@ _MODEL_DEFAULTS = {
     # activations instead (bs=16 OOMs by 2.5GB fused) -> XLA GN.
     "sdxl": (8, "1", "adamw_factored", "bfloat16", "1", "0"),
     "sd15": (16, "0", "adamw_fp16", None, "0", "1.0"),
+    # DiT family (class-conditional, 32x32 latents = 256px by default;
+    # BENCH_LATENT overrides). No A100 anchor -> vs_baseline = 1.0.
+    "dit_xl_2": (64, "0", "adamw", None, "0", "1.0"),
+    "dit_moe_s_2_8e": (64, "0", "adamw", None, "0", "1.0"),
+    "dit_moe_b_2_8e": (64, "0", "adamw", None, "0", "1.0"),
+    "sd3_medium": (8, "1", "adamw_factored", "bfloat16", "0", "0"),
+    "sd3_medium_8e": (8, "1", "adamw_factored", "bfloat16", "0", "0"),
 }
 (_DEF_BATCH, _DEF_REMAT, _DEF_OPT, _DEF_PDTYPE, _DEF_GN,
  _DEF_CLIP) = _MODEL_DEFAULTS.get(
@@ -53,7 +64,8 @@ _MODEL_DEFAULTS = {
 )
 os.environ.setdefault("UWU_FUSED_GN", _DEF_GN)
 BATCH = int(os.environ.get("BENCH_BATCH", str(_DEF_BATCH)))
-LATENT = int(os.environ.get("BENCH_LATENT", "64"))  # 64 -> 512px images
+_DEF_LATENT = "32" if MODEL.startswith("dit") else "64"
+LATENT = int(os.environ.get("BENCH_LATENT", _DEF_LATENT))  # 64 -> 512px
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
 MODE = os.environ.get("BENCH_MODE", "train")  # train | sample
 OPTIMIZER = os.environ.get("BENCH_OPT", _DEF_OPT)
@@ -291,19 +303,46 @@ def build_trainer_and_batch():
     import numpy as np
 
     from uwudiff_tpu.diffusion import DiffusionLoss, NoiseSchedule
-    from uwudiff_tpu.models.unet import UNet2DConditionModel
     from uwudiff_tpu.training import DMTrainer
 
-    unet = UNet2DConditionModel.from_config(
-        MODEL,
-        dtype=jnp.bfloat16,
-        gradient_checkpointing=REMAT,
-        remat_policy=REMAT_POLICY,
-        # perf/compile levers (measured individually; see README perf log)
-        fused_qkv=os.environ.get("BENCH_FUSED_QKV", "0") == "1",
-        scan_transformer_blocks=os.environ.get("BENCH_SCAN", "0") == "1",
-    )
-    ctx_dim = unet.cross_attention_dim
+    scan = os.environ.get("BENCH_SCAN", "0") == "1"
+    if MODEL.startswith("dit"):
+        # DiT family (incl. DiT-MoE): class-conditional, no TE context
+        from uwudiff_tpu.models.dit import DiT
+
+        unet = DiT.from_config(
+            MODEL,
+            dtype=jnp.bfloat16,
+            gradient_checkpointing=REMAT,
+            scan_blocks=scan,
+        )
+        ctx_dim = None
+    elif MODEL.startswith("sd3") or MODEL.startswith("mmdit_"):
+        # MMDiT family (incl. image-stream MoE): dual-stream joint attn
+        # ("mmdit_<preset>" aliases any MMDIT_PRESETS entry)
+        from uwudiff_tpu.models.mmdit import MMDiT
+
+        preset = MODEL[6:] if MODEL.startswith("mmdit_") else MODEL
+        unet = MMDiT.from_config(
+            preset,
+            dtype=jnp.bfloat16,
+            gradient_checkpointing=REMAT,
+            scan_blocks=scan,
+        )
+        ctx_dim = unet.context_dim
+    else:
+        from uwudiff_tpu.models.unet import UNet2DConditionModel
+
+        unet = UNet2DConditionModel.from_config(
+            MODEL,
+            dtype=jnp.bfloat16,
+            gradient_checkpointing=REMAT,
+            remat_policy=REMAT_POLICY,
+            # perf/compile levers (measured individually; README perf log)
+            fused_qkv=os.environ.get("BENCH_FUSED_QKV", "0") == "1",
+            scan_transformer_blocks=scan,
+        )
+        ctx_dim = unet.cross_attention_dim
     trainer = DMTrainer(
         model_config={"unet": unet, "te": None, "vae": None},
         lr=1e-5,
@@ -317,18 +356,26 @@ def build_trainer_and_batch():
     )
 
     rng = np.random.default_rng(0)
+    in_ch = getattr(unet, "in_channels", 4)
     batch = {
         "sample": rng.standard_normal(
-            (BATCH, LATENT, LATENT, 4), dtype=np.float32
+            (BATCH, LATENT, LATENT, in_ch), dtype=np.float32
         ),
-        "ctx": rng.standard_normal((BATCH, 77, ctx_dim), dtype=np.float32),
         "tokenizer_outputs": [],
-        "added_cond": {
-            "time_ids": np.tile(
-                np.asarray([[1024, 1024, 0, 0, 1024, 1024]], np.float32),
-                (BATCH, 1),
-            )
-        },
+    }
+    if MODEL.startswith("dit"):
+        batch["class_labels"] = (
+            rng.integers(0, unet.num_classes, BATCH).astype(np.int32)
+        )
+        return trainer, batch
+    batch["ctx"] = rng.standard_normal(
+        (BATCH, 77, ctx_dim), dtype=np.float32
+    )
+    batch["added_cond"] = {
+        "time_ids": np.tile(
+            np.asarray([[1024, 1024, 0, 0, 1024, 1024]], np.float32),
+            (BATCH, 1),
+        )
     }
     if getattr(unet, "addition_embed_type", None) == "text_time":
         # SDXL micro-conditioning also needs the pooled text embedding
@@ -338,6 +385,11 @@ def build_trainer_and_batch():
         )
         batch["pooled"] = rng.standard_normal(
             (BATCH, pooled_dim), dtype=np.float32
+        )
+    elif getattr(unet, "addition_embed_type", None) == "pooled_text":
+        # MMDiT: pooled CLIP conditioning, no time_ids
+        batch["pooled"] = rng.standard_normal(
+            (BATCH, unet.pooled_dim), dtype=np.float32
         )
     return trainer, batch
 
@@ -374,7 +426,9 @@ def main():
     dt = float(np.median(window_dts))
 
     imgs_per_sec = BATCH / dt
-    anchor = A100_ANCHOR_IMGS_PER_SEC.get(MODEL, A100_ANCHOR_IMGS_PER_SEC["sd15"])
+    # models without a documented A100 anchor (DiT/MMDiT families)
+    # report vs_baseline = 1.0 rather than a fabricated ratio
+    anchor = A100_ANCHOR_IMGS_PER_SEC.get(MODEL)
     flops, matmul_flops = _compiled_step_flops(trainer, batch)
     peak = _device_peak_flops_bf16()
     mfu = (flops / dt / peak) if (flops and peak) else None
@@ -391,7 +445,7 @@ def main():
         ),
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec/chip",
-        "vs_baseline": round(imgs_per_sec / anchor, 3),
+        "vs_baseline": round(imgs_per_sec / anchor, 3) if anchor else 1.0,
     }
     if mfu is not None:
         result["mfu"] = round(mfu, 4)

@@ -106,7 +106,10 @@ class NNWeightedLossTrainer(DMTrainer):
     def _loss_for_batch(self, params, frozen, batch, rng):
         rng_enc, rng_loss = jax.random.split(rng)
         x, ctx, mask, added_cond = self._encode_batch(frozen, batch, rng_enc)
-        unet_fn = self._unet_apply_fn(params["model"], frozen)
+        moe_cell: list = []
+        unet_fn = self._unet_apply_fn(
+            params["model"], frozen, moe_cell=moe_cell
+        )
 
         def model_fn(noisy, t):
             return unet_fn(noisy, t, ctx, mask, added_cond)
@@ -116,4 +119,7 @@ class NNWeightedLossTrainer(DMTrainer):
                 {"params": params["loss_pred"]}, noisy, sigmas
             )
 
-        return self.loss(rng_loss, x, model_fn, loss_pred_fn=loss_pred_fn)
+        loss, aux = self.loss(rng_loss, x, model_fn, loss_pred_fn=loss_pred_fn)
+        if moe_cell:  # MoE routing regularizers (scaled in MoEMlp)
+            loss = loss + moe_cell[0]
+        return loss, aux
