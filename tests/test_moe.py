@@ -319,3 +319,102 @@ def test_mmdit_moe_expert_parallel_matches_single_device():
     single = _mmdit_moe_losses({"data": 1})
     assert all(np.isfinite(l) for l in ep)
     np.testing.assert_allclose(ep, single, rtol=2e-4)
+
+
+def _ec_reference(variables, x, num_experts, capacity_factor, top_k):
+    """Per-expert loop oracle for expert-choice routing."""
+    p = variables["params"]
+    router = np.asarray(p["router"]["kernel"], np.float32)
+    wi = np.asarray(p["wi"], np.float32)
+    bi = np.asarray(p["bi"], np.float32)
+    wo = np.asarray(p["wo"], np.float32)
+    bo = np.asarray(p["bo"], np.float32)
+    x = np.asarray(x, np.float32)
+    b, s, d = x.shape
+    e = num_experts
+    cap = max(1, min(int(math.ceil(capacity_factor * s * top_k / e)), s))
+
+    logits = x @ router
+    z = logits - logits.max(-1, keepdims=True)
+    probs = np.exp(z) / np.exp(z).sum(-1, keepdims=True)  # [B, S, E]
+
+    def gelu(a):
+        return 0.5 * a * (
+            1.0 + np.tanh(0.7978845608028654 * (a + 0.044715 * a**3))
+        )
+
+    y = np.zeros_like(x)
+    for bb in range(b):
+        for ee in range(e):
+            # each expert picks its top-cap tokens by affinity
+            order = np.argsort(-probs[bb, :, ee], kind="stable")[:cap]
+            for ss in order:
+                h = gelu(x[bb, ss] @ wi[ee] + bi[ee])
+                y[bb, ss] += probs[bb, ss, ee] * (h @ wo[ee] + bo[ee])
+    return y
+
+
+def test_expert_choice_matches_reference():
+    b, s, d, e = 2, 8, 16, 4
+    moe = MoEMlp(
+        hidden_size=d, num_experts=e, top_k=2, capacity_factor=1.0,
+        router_type="expert_choice",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, s, d))
+    variables = moe.init(jax.random.PRNGKey(0), x)
+    y = moe.apply(variables, x)
+    ref = _ec_reference(variables, x, e, 1.0, 2)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5)
+
+
+def test_expert_choice_perfectly_balanced():
+    """Every expert processes exactly `cap` tokens — dispatch sums to
+    cap per (batch, expert)."""
+    b, s, d, e = 2, 16, 16, 4
+    moe = MoEMlp(
+        hidden_size=d, num_experts=e, top_k=2, capacity_factor=1.0,
+        router_type="expert_choice",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, s, d))
+    variables = moe.init(jax.random.PRNGKey(0), x)
+    # recompute dispatch the way the layer does
+    logits = x @ variables["params"]["router"]["kernel"]
+    probs = jax.nn.softmax(logits, axis=-1)
+    cap = math.ceil(1.0 * s * 2 / e)
+    _, idx = jax.lax.top_k(probs.transpose(0, 2, 1), cap)
+    onehot = jax.nn.one_hot(idx, s)
+    per_expert = np.asarray(onehot.sum(axis=(2, 3)))  # [B, E]
+    np.testing.assert_array_equal(per_expert, np.full((b, e), cap))
+
+
+def test_expert_choice_dit_ep_parity():
+    ec_kwargs = dict(moe_router_type="expert_choice")
+
+    # EC model: EP mesh must match single device
+    def run(mesh):
+        trainer = DMTrainer(
+            model_config={
+                "unet": _tiny_moe_dit(**ec_kwargs),
+                "te": None,
+                "vae": None,
+            },
+            lr=1e-3,
+            use_warm_up=False,
+            loss_config=DiffusionLoss(schedule=NoiseSchedule.sdxl()),
+            mesh_axes=mesh,
+            seed=0,
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "sample": rng.standard_normal((4, 8, 8, 4)).astype(np.float32),
+            "class_labels": np.arange(4, dtype=np.int32) % 10,
+            "tokenizer_outputs": [],
+        }
+        return [
+            float(trainer.train_step(batch)[0]["train/loss"])
+            for _ in range(2)
+        ]
+
+    np.testing.assert_allclose(
+        run({"data": 2, "expert": 4}), run({"data": 1}), rtol=2e-4
+    )

@@ -64,6 +64,7 @@ class DiTBlock(nn.Module):
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_group_size: int | None = None
+    moe_router_type: str = "top_k"  # or "expert_choice" (models/moe.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -112,6 +113,7 @@ class DiTBlock(nn.Module):
                 top_k=self.moe_top_k,
                 capacity_factor=self.moe_capacity_factor,
                 group_size=self.moe_group_size,
+                router_type=self.moe_router_type,
                 mlp_ratio=self.mlp_ratio,
                 dtype=self.dtype,
                 name="moe",
@@ -152,6 +154,7 @@ class DiT(nn.Module):
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_group_size: int | None = None
+    moe_router_type: str = "top_k"
     gradient_checkpointing: bool = False
     scan_blocks: bool = False
     dtype: Any = jnp.float32
@@ -195,6 +198,7 @@ class DiT(nn.Module):
             moe_top_k=self.moe_top_k,
             moe_capacity_factor=self.moe_capacity_factor,
             moe_group_size=self.moe_group_size,
+            moe_router_type=self.moe_router_type,
             dtype=self.dtype,
         )
         if self.scan_blocks and self.depth > 1:
@@ -324,6 +328,7 @@ class DiT(nn.Module):
             moe_top_k=self.moe_top_k,
             moe_capacity_factor=self.moe_capacity_factor,
             moe_group_size=self.moe_group_size,
+            moe_router_type=self.moe_router_type,
             dtype=self.dtype,
             parent=None,  # detached: not a child of this (unbound) module
         )

@@ -64,6 +64,13 @@ class MoEMlp(nn.Module):
     # O(S * group_size * k) rather than O(S^2 * k / E). None = one
     # group per sequence (exact for short S; quadratic for long S).
     group_size: int | None = None
+    # "top_k" = token-choice (each token picks its top-k experts;
+    # needs the load-balance aux loss, may drop tokens at capacity).
+    # "expert_choice" = EC routing (Zhou et al. 2022: each expert
+    # picks its top-capacity tokens) — perfectly load-balanced by
+    # construction, no lb aux loss, no drops from imbalance; tokens
+    # may be picked by 0..E experts (residual passes unpicked ones).
+    router_type: str = "top_k"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -93,39 +100,54 @@ class MoEMlp(nn.Module):
             name="router",
         )(x.astype(jnp.float32))  # [B, S, E]
         probs = jax.nn.softmax(logits, axis=-1)
-        gate, idx = jax.lax.top_k(probs, k)  # [B, S, K]
-        gate = gate / jnp.maximum(gate.sum(-1, keepdims=True), 1e-9)
+        z_loss = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
 
-        # slot positions within each expert's queue, priority =
-        # (choice rank major, token order minor)
-        onehot_e = jax.nn.one_hot(idx, e, dtype=jnp.int32)  # [B, S, K, E]
-        ranked = onehot_e.transpose(0, 2, 1, 3).reshape(b, k * s, e)
-        pos = jnp.cumsum(ranked, axis=1) - ranked  # 0-based queue position
-        pos = (pos * ranked).sum(-1)  # [B, K*S]
-        pos = pos.reshape(b, k, s).transpose(0, 2, 1)  # [B, S, K]
+        if self.router_type == "expert_choice":
+            # EC: every expert takes its top-`cap` tokens — dispatch is
+            # balanced by construction, so no load-balance aux loss
+            affinity = probs.transpose(0, 2, 1)  # [B, E, S]
+            gate_ec, idx_ec = jax.lax.top_k(affinity, cap)  # [B, E, C]
+            onehot_s = jax.nn.one_hot(idx_ec, s, dtype=jnp.float32)
+            dispatch = jnp.einsum("becs->bsec", onehot_s)
+            combine = jnp.einsum("bec,becs->bsec", gate_ec, onehot_s)
+            aux = self.router_z_coeff * z_loss
+        elif self.router_type == "top_k":
+            gate, idx = jax.lax.top_k(probs, k)  # [B, S, K]
+            gate = gate / jnp.maximum(gate.sum(-1, keepdims=True), 1e-9)
 
-        # one_hot of an out-of-capacity position is all-zero, so the
-        # drop mask is implicit
-        onehot_c = jax.nn.one_hot(pos, cap, dtype=jnp.float32)  # [B,S,K,C]
-        dispatch = jnp.einsum(
-            "bske,bskc->bsec", onehot_e.astype(jnp.float32), onehot_c
-        )
-        combine = jnp.einsum(
-            "bsk,bske,bskc->bsec", gate, onehot_e.astype(jnp.float32),
-            onehot_c,
-        )
+            # slot positions within each expert's queue, priority =
+            # (choice rank major, token order minor)
+            onehot_e = jax.nn.one_hot(idx, e, dtype=jnp.int32)  # [B,S,K,E]
+            ranked = onehot_e.transpose(0, 2, 1, 3).reshape(b, k * s, e)
+            pos = jnp.cumsum(ranked, axis=1) - ranked  # 0-based position
+            pos = (pos * ranked).sum(-1)  # [B, K*S]
+            pos = pos.reshape(b, k, s).transpose(0, 2, 1)  # [B, S, K]
+
+            # one_hot of an out-of-capacity position is all-zero, so the
+            # drop mask is implicit
+            onehot_c = jax.nn.one_hot(pos, cap, dtype=jnp.float32)
+            dispatch = jnp.einsum(
+                "bske,bskc->bsec", onehot_e.astype(jnp.float32), onehot_c
+            )
+            combine = jnp.einsum(
+                "bsk,bske,bskc->bsec", gate, onehot_e.astype(jnp.float32),
+                onehot_c,
+            )
+
+            # Switch load-balance: E * sum_e f_e * P_e (== 1 at uniform
+            # P); f_e = fraction of routed slots landing on expert e
+            f = ranked.astype(jnp.float32).sum(axis=(0, 1)) / (b * s * k)
+            p = probs.mean(axis=(0, 1))  # [E]
+            lb_loss = e * jnp.sum(f * p)
+            aux = self.aux_loss_coeff * lb_loss + self.router_z_coeff * z_loss
+        else:
+            raise ValueError(f"unknown router_type {self.router_type!r}")
 
         # --- aux losses (sown; trainer adds them to the loss) ---------
-        # Switch load-balance: E * sum_e f_e * P_e  (== 1 when P uniform);
-        # f_e = fraction of routed slots landing on expert e (sums to 1)
-        f = ranked.astype(jnp.float32).sum(axis=(0, 1)) / (b * s * k)  # [E]
-        p = probs.mean(axis=(0, 1))  # [E]
-        lb_loss = e * jnp.sum(f * p)
-        z_loss = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
         self.sow(
             "moe_losses",
             "aux",
-            self.aux_loss_coeff * lb_loss + self.router_z_coeff * z_loss,
+            aux,
             reduce_fn=lambda a, b: a + b,
             init_fn=lambda: jnp.zeros((), jnp.float32),
         )
