@@ -418,3 +418,34 @@ def test_expert_choice_dit_ep_parity():
     np.testing.assert_allclose(
         run({"data": 2, "expert": 4}), run({"data": 1}), rtol=2e-4
     )
+
+
+def test_moe_scan_remat_gradients():
+    """scan-of-remat + MoE: the sown aux losses survive nn.remat inside
+    nn.scan and expert/router grads flow (adaLN gates randomized — they
+    are zero-init, which zeroes MLP grads at step 0 by design)."""
+    model = _tiny_moe_dit(scan_blocks=True, gradient_checkpointing=True)
+    x = jnp.zeros((2, 8, 8, 4))
+    t = jnp.ones((2,))
+    lab = jnp.zeros((2,), jnp.int32)
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, t, lab, train=True,
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(v["params"])
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = treedef.unflatten(
+        [l + 0.1 * jax.random.normal(k, l.shape, l.dtype)
+         for l, k in zip(leaves, keys)]
+    )
+
+    def loss(p):
+        out, mut = model.apply(
+            {"params": p}, x, t, lab, train=False, mutable=["moe_losses"]
+        )
+        aux = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(mut))
+        return jnp.sum(out**2) + aux
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.sum(jnp.abs(g["blocks"]["moe"]["wi"]))) > 0
+    assert float(jnp.sum(jnp.abs(g["blocks"]["moe"]["router"]["kernel"]))) > 0
