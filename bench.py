@@ -188,14 +188,35 @@ def bench_sampler():
     names = os.environ.get("BENCH_SAMPLER", "euler").split(",")
     bss = [int(b) for b in os.environ.get("BENCH_SAMPLE_BS", "2").split(",")]
 
-    unet = UNet2DConditionModel.from_config(MODEL, dtype=jnp.bfloat16)
+    # family dispatch mirrors build_trainer_and_batch so every advertised
+    # BENCH_MODEL also works in BENCH_MODE=sample
+    if MODEL.startswith("dit"):
+        from uwudiff_tpu.models.dit import DiT
+
+        unet = DiT.from_config(MODEL, dtype=jnp.bfloat16)
+        family, ctx_dim = "dit", None
+    elif MODEL.startswith("sd3") or MODEL.startswith("mmdit_"):
+        from uwudiff_tpu.models.mmdit import MMDiT
+
+        preset = MODEL[6:] if MODEL.startswith("mmdit_") else MODEL
+        unet = MMDiT.from_config(preset, dtype=jnp.bfloat16)
+        family, ctx_dim = "mmdit", unet.context_dim
+    else:
+        unet = UNet2DConditionModel.from_config(MODEL, dtype=jnp.bfloat16)
+        family, ctx_dim = "unet", unet.cross_attention_dim
     sched = NoiseSchedule.sd15()
-    hw, ctx_dim = LATENT, unet.cross_attention_dim
+    hw = LATENT
+    in_ch = getattr(unet, "in_channels", 4)
     rng = jax.random.PRNGKey(0)
 
     def added_cond_for(n):
-        # SDXL micro-conditioning for text_time models; None otherwise
-        if getattr(unet, "addition_embed_type", None) != "text_time":
+        # SDXL micro-conditioning (text_time), MMDiT pooled text, or None
+        kind = getattr(unet, "addition_embed_type", None)
+        if family == "mmdit" or kind == "pooled_text":
+            return {
+                "text_embeds": jnp.zeros((n, unet.pooled_dim), jnp.float32)
+            }
+        if kind != "text_time":
             return None
         pooled_dim = (
             unet.projection_class_embeddings_input_dim
@@ -218,14 +239,22 @@ def bench_sampler():
     from uwudiff_tpu.ops.attention import flash_disabled
 
     with jax.default_device(cpu), flash_disabled():
-        params = unet.init(
-            rng,
-            jnp.zeros((1, hw, hw, 4)),
-            jnp.zeros((1,)),
-            jnp.zeros((1, 77, ctx_dim)),
-            None,
-            added_cond_for(1),
-        )["params"]
+        if family == "dit":
+            params = unet.init(
+                rng,
+                jnp.zeros((1, hw, hw, in_ch)),
+                jnp.zeros((1,)),
+                jnp.zeros((1,), jnp.int32),
+            )["params"]
+        else:
+            params = unet.init(
+                rng,
+                jnp.zeros((1, hw, hw, in_ch)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 77, ctx_dim)),
+                None,
+                added_cond_for(1),
+            )["params"]
     # commit params to the accelerator ONCE (host-committed args would
     # re-upload 3.4GB per call)
     params = jax.device_put(params, jax.devices()[0])
@@ -236,21 +265,46 @@ def bench_sampler():
     for name in names:
         sampler = samplers[name]
         for bs in bss:
-            x_shape = (bs, hw, hw, 4)
-            ctx = jax.device_put(
-                jnp.zeros((2 * bs, 77, ctx_dim)), jax.devices()[0]
-            )
+            x_shape = (bs, hw, hw, in_ch)
+            if family == "dit":
+                # class-label CFG: cond labels + trained null class
+                labels2 = jax.device_put(
+                    jnp.concatenate(
+                        [
+                            jnp.arange(bs, dtype=jnp.int32)
+                            % unet.num_classes,
+                            jnp.full((bs,), unet.num_classes, jnp.int32),
+                        ]
+                    ),
+                    jax.devices()[0],
+                )
+
+                def model_fn_for(params, labels2=labels2):
+                    return lambda z, t, **kw: unet.apply(
+                        {"params": params}, z, t, labels2
+                    )
+
+            else:
+                ctx = jax.device_put(
+                    jnp.zeros((2 * bs, 77, ctx_dim)), jax.devices()[0]
+                )
+
+                def model_fn_for(params, ctx=ctx):
+                    return lambda z, t, **kw: unet.apply(
+                        {"params": params}, z, t, ctx, None,
+                        added_cond_for(z.shape[0]),
+                    )
 
             @jax.jit
-            def run(params, rng, ctx=ctx, sampler=sampler, x_shape=x_shape):
+            def run(
+                params, rng,
+                model_fn_for=model_fn_for, sampler=sampler, x_shape=x_shape,
+            ):
                 # params are jit ARGUMENTS (closure capture would bake
                 # 3.4GB of weights into the program as constants)
                 def cfg_model(xx, sigma, sigma_cond=None):
                     den = KDiffusionDenoiser(
-                        model_fn=lambda z, t, **kw: unet.apply(
-                            {"params": params}, z, t, ctx, None,
-                            added_cond_for(z.shape[0]),
-                        ),
+                        model_fn=model_fn_for(params),
                         schedule=sched,
                     )
                     out = den(

@@ -371,3 +371,6 @@ DIT_PRESETS: dict[str, dict] = {
         num_classes=10, num_experts=4, moe_top_k=2,
     ),
 }
+# prefixed aliases: bench.py routes BENCH_MODEL by the "dit" prefix
+DIT_PRESETS["dit_tiny"] = DIT_PRESETS["tiny"]
+DIT_PRESETS["dit_tiny_moe"] = DIT_PRESETS["tiny_moe"]

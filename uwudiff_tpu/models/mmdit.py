@@ -20,8 +20,10 @@ It slots into the existing stack with zero new plumbing:
 
 TPU-first choices: NHWC patchify conv, bf16-friendly LayerNorms, one
 ``dot_product_attention`` (Pallas flash on TPU) over the joint
-sequence, ``scan_blocks`` stacking for compile time + pipeline
-parallelism, and param names chosen to hit the Megatron TP rules
+sequence, ``scan_blocks`` stacking for compile time (pipeline
+parallelism is DiT-only — the dual-stream carry does not fit
+``pipelined_dit_apply``'s single-stream stage hop; DMTrainer rejects
+MMDiT+pipe meshes), and param names chosen to hit the Megatron TP rules
 (``attn1/attn2 to_q|to_k|to_v|to_out``, ``fc1|fc2`` —
 ``parallel/mesh.py::_TP_RULES``).
 """

@@ -109,11 +109,18 @@ def pipeline_blocks(
     if b % dp:
         raise ValueError(f"batch {b} not divisible by {dp} data shards")
     local_b = b // dp
-    # default: one microbatch per stage, clamped to the local batch
-    m = n_microbatches if n_microbatches is not None else min(n_stages, local_b)
-    if local_b % m:
-        raise ValueError(
-            f"local batch {local_b} not divisible by {m} microbatches"
+    if n_microbatches is not None:
+        m = n_microbatches
+        if local_b % m:
+            raise ValueError(
+                f"local batch {local_b} not divisible by {m} microbatches"
+            )
+    else:
+        # default: one microbatch per stage when that divides the local
+        # batch, else the largest divisor of local_b that fits in n_stages
+        # (always exists: 1 divides everything)
+        m = max(
+            d for d in range(1, min(n_stages, local_b) + 1) if local_b % d == 0
         )
 
     bspec = P(batch_axes if batch_axes else None)

@@ -380,6 +380,15 @@ class DMTrainer:
     def _is_moe(self) -> bool:
         return bool(getattr(self.unet, "num_experts", 0))
 
+    def _merged_unet_params(self, params, frozen):
+        """The full UNet param tree for a forward pass: the trainable
+        tree itself, or adapters merged into the frozen base — the ONE
+        place the adapter-merge convention lives (both the plain and
+        the pipelined apply paths call this)."""
+        if self.adapter is not None:
+            return self.adapter.merge(frozen["unet_base"], params)
+        return params
+
     def _unet_apply_fn(self, params, frozen, rngs=None, moe_cell=None):
         """Trainable-forward closure; adapters merge into the base here.
 
@@ -388,10 +397,7 @@ class DMTrainer:
         losses (load-balance + router z, already coefficient-scaled by
         ``MoEMlp``) to ``moe_cell`` for the caller to add to the loss.
         """
-        if self.adapter is not None:
-            base = self.adapter.merge(frozen["unet_base"], params)
-        else:
-            base = params
+        base = self._merged_unet_params(params, frozen)
         if self._is_moe() and moe_cell is not None:
 
             def apply_fn(*a, **kw):
@@ -442,11 +448,7 @@ class DMTrainer:
                 # block stack (parallel/pipeline.py)
                 from uwudiff_tpu.parallel.pipeline import pipelined_dit_apply
 
-                base = (
-                    self.adapter.merge(frozen["unet_base"], params)
-                    if self.adapter is not None
-                    else params
-                )
+                base = self._merged_unet_params(params, frozen)
 
                 def model_fn(noisy, t):
                     return pipelined_dit_apply(
@@ -469,10 +471,12 @@ class DMTrainer:
         else:
             if self._has_pipe():
                 raise ValueError(
-                    "mesh_axes['pipe'] > 1 is supported for the DiT "
-                    "family (scan_blocks=True); UNet models pipeline "
-                    "poorly (conv down/up stages) — use data/fsdp/"
-                    "tensor/seq axes instead"
+                    "mesh_axes['pipe'] > 1 is only supported for the "
+                    "class-conditional DiT family (scan_blocks=True): "
+                    "UNet models pipeline poorly (conv down/up stages) "
+                    "and MMDiT's dual-stream embed/backbone signature "
+                    "has no pipelined apply — use data/fsdp/tensor/seq "
+                    "axes instead"
                 )
 
             def model_fn(noisy, t):
