@@ -20,10 +20,11 @@ It slots into the existing stack with zero new plumbing:
 
 TPU-first choices: NHWC patchify conv, bf16-friendly LayerNorms, one
 ``dot_product_attention`` (Pallas flash on TPU) over the joint
-sequence, ``scan_blocks`` stacking for compile time (pipeline
-parallelism is DiT-only — the dual-stream carry does not fit
-``pipelined_dit_apply``'s single-stream stage hop; DMTrainer rejects
-MMDiT+pipe meshes), and param names chosen to hit the Megatron TP rules
+sequence, ``scan_blocks`` stacking for compile time + pipeline
+parallelism (``parallel/pipeline.py::pipelined_mmdit_apply`` — the
+dual-stream ``(x, ctx)`` carry hops stages as one pytree; MoE variants
+are pipe-rejected by DMTrainer), and param names chosen to hit the
+Megatron TP rules
 (``attn1/attn2 to_q|to_k|to_v|to_out``, ``fc1|fc2`` —
 ``parallel/mesh.py::_TP_RULES``).
 """
@@ -377,6 +378,31 @@ class MMDiT(nn.Module):
             b, gh * p, gw * p, self.in_channels
         )
         return x.astype(jnp.float32)
+
+    def apply_block(self, block_params, carry, extras, has_bias=False):
+        """Apply ONE joint-attention block functionally from its
+        (unstacked) param slice — the pipeline-parallel stage body.
+        ``carry`` is the dual-stream ``(x, ctx)`` pytree; ``extras`` is
+        ``(c,)`` or ``(c, joint_bias)`` (``has_bias`` is static)."""
+        if has_bias:
+            c_emb, bias = extras
+        else:
+            (c_emb,), bias = extras, None
+        x, ctx = carry
+        block = MMDiTBlock(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qk_norm=self.qk_norm,
+            num_experts=self.num_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_group_size=self.moe_group_size,
+            moe_router_type=self.moe_router_type,
+            dtype=self.dtype,
+            parent=None,  # detached: not a child of this (unbound) module
+        )
+        return block.apply({"params": block_params}, x, ctx, c_emb, bias)
 
     def joint_bias(self, encoder_attention_mask, n_image_tokens: int):
         """Additive attention bias masking padded TEXT keys in the joint

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["pipeline_blocks", "pipelined_dit_apply"]
+__all__ = ["pipeline_blocks", "pipelined_dit_apply", "pipelined_mmdit_apply"]
 
 PIPE_AXIS = "pipe"
 
@@ -46,39 +46,45 @@ def _batch_axes(mesh: Mesh) -> tuple[str, ...]:
 
 
 def pipeline_blocks(
-    block_apply: Callable[[Any, jnp.ndarray, Sequence[jnp.ndarray]], jnp.ndarray],
+    block_apply: Callable[[Any, Any, Sequence[jnp.ndarray]], Any],
     stacked_params: Any,
-    x: jnp.ndarray,
+    x: Any,
     extras: Sequence[jnp.ndarray],
     mesh: Mesh,
     axis: str = PIPE_AXIS,
     n_microbatches: int | None = None,
-) -> jnp.ndarray:
+) -> Any:
     """Run ``L`` stacked layers over ``P`` pipeline stages.
 
     Args:
-        block_apply: ``(params_of_one_layer, x, extras) -> x`` pure
-            single-block application. Called under ``lax.scan`` twice
-            (local layer slice x pipeline ticks) — must be trace-safe.
+        block_apply: ``(params_of_one_layer, carry, extras) -> carry``
+            pure single-block application. Called under ``lax.scan``
+            twice (local layer slice x pipeline ticks) — must be
+            trace-safe.
         stacked_params: pytree whose every leaf has a leading layer axis
             of size ``L`` with ``L % P == 0``.
-        x: ``[B, ...]`` activations entering the stack. ``B`` must split
-            into ``n_microbatches`` after the data-axis sharding.
+        x: the activation carry entering the stack — a ``[B, ...]``
+            array or any pytree of them sharing the leading batch dim
+            (e.g. MMDiT's dual-stream ``(x_img, ctx)``). ``B`` must
+            split into ``n_microbatches`` after the data-axis sharding.
         extras: per-sample broadcast inputs (e.g. adaLN conditioning),
             each ``[B, ...]`` — microbatched alongside ``x``. Static
             (batch-independent) context belongs in ``block_apply``'s
             closure instead.
         mesh: mesh containing ``axis`` (and optionally data/fsdp axes).
         n_microbatches: microbatch count ``M`` (default: the stage
-            count, the minimum that keeps every stage busy in steady
-            state; raise it to shrink the (P-1)/(M+P-1) bubble).
+            count when it divides the local batch, else the largest
+            divisor that does; raise it to shrink the (P-1)/(M+P-1)
+            bubble).
 
     Returns:
-        ``[B, ...]`` activations after all ``L`` layers, replicated over
-        ``axis`` (one ``psum`` broadcast from the last stage).
+        the carry after all ``L`` layers (same pytree structure as
+        ``x``), replicated over ``axis`` (one ``psum`` broadcast from
+        the last stage).
     """
     if axis not in mesh.axis_names:
         raise ValueError(f"mesh has no '{axis}' axis: {mesh.axis_names}")
+    tmap = jax.tree_util.tree_map
     n_stages = mesh.shape[axis]
     leaves = jax.tree_util.tree_leaves(stacked_params)
     if not leaves:
@@ -89,6 +95,16 @@ def pipeline_blocks(
             raise ValueError(
                 "pipeline_blocks needs layer-stacked params (every leaf "
                 f"with leading axis {n_layers}); got shape {leaf.shape}"
+            )
+    carry_leaves = jax.tree_util.tree_leaves(x)
+    if not carry_leaves:
+        raise ValueError("pipeline_blocks carry has no array leaves")
+    b = carry_leaves[0].shape[0]
+    for leaf in carry_leaves:
+        if leaf.shape[0] != b:
+            raise ValueError(
+                "carry leaves must share the leading batch dim; got "
+                f"{leaf.shape[0]} vs {b}"
             )
     if n_stages == 1:
         # degenerate mesh: sequential scan, no communication
@@ -105,7 +121,6 @@ def pipeline_blocks(
     import numpy as np
 
     dp = int(np.prod([mesh.shape[a] for a in batch_axes])) if batch_axes else 1
-    b = x.shape[0]
     if b % dp:
         raise ValueError(f"batch {b} not divisible by {dp} data shards")
     local_b = b // dp
@@ -124,15 +139,17 @@ def pipeline_blocks(
         )
 
     bspec = P(batch_axes if batch_axes else None)
-    pspec = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
+    pspec = tmap(lambda _: P(axis), stacked_params)
+    cspec = tmap(lambda _: bspec, x)
     espec = tuple(bspec for _ in extras)
 
     def run(params_local, x_local, *extras_local):
-        # params_local leaves: [L/P, ...]; x_local: [b_local, ...]
+        # params_local leaves: [L/P, ...]; x_local leaves: [b_local, ...]
         stage = jax.lax.axis_index(axis)
-        b_local = x_local.shape[0]
-        mb = b_local // m
-        mbs = x_local.reshape((m, mb) + x_local.shape[1:])
+        mb = local_b // m
+        mbs = tmap(
+            lambda a: a.reshape((m, mb) + a.shape[1:]), x_local
+        )
         ex_mbs = tuple(
             e.reshape((m, mb) + e.shape[1:]) for e in extras_local
         )
@@ -146,13 +163,23 @@ def pipeline_blocks(
 
         fwd_perm = [(i, i + 1) for i in range(n_stages - 1)]
 
+        def take(tree, i):
+            return tmap(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, i, 0, keepdims=False
+                ),
+                tree,
+            )
+
         def tick(carry, t):
             state, outputs = carry
             # stage 0 injects microbatch t (clamped to a real index on
             # bubble ticks; the result is masked out below)
             inj = jnp.clip(t, 0, m - 1)
-            x0 = jax.lax.dynamic_index_in_dim(mbs, inj, 0, keepdims=False)
-            x_in = jnp.where(stage == 0, x0, state)
+            x0 = take(mbs, inj)
+            x_in = tmap(
+                lambda a0, s: jnp.where(stage == 0, a0, s), x0, state
+            )
             # stage s holds microbatch (t - s) at tick t
             mb_idx = jnp.clip(t - stage, 0, m - 1)
             exi = tuple(
@@ -164,28 +191,41 @@ def pipeline_blocks(
             out_idx = t - (n_stages - 1)
             valid = (out_idx >= 0) & (stage == n_stages - 1)
             oi = jnp.clip(out_idx, 0, m - 1)
-            prev = jax.lax.dynamic_index_in_dim(outputs, oi, 0, keepdims=False)
-            outputs = jax.lax.dynamic_update_index_in_dim(
-                outputs, jnp.where(valid, y, prev), oi, 0
+            prev = take(outputs, oi)
+            outputs = tmap(
+                lambda o, yy, pp: jax.lax.dynamic_update_index_in_dim(
+                    o, jnp.where(valid, yy, pp), oi, 0
+                ),
+                outputs, y, prev,
             )
-            state_next = jax.lax.ppermute(y, axis, fwd_perm)
+            state_next = tmap(
+                lambda a: jax.lax.ppermute(a, axis, fwd_perm), y
+            )
             return (state_next, outputs), None
 
         n_ticks = m + n_stages - 1
-        init = (jnp.zeros_like(mbs[0]), jnp.zeros_like(mbs))
+        init = (
+            tmap(lambda a: jnp.zeros_like(a[0]), mbs),
+            tmap(jnp.zeros_like, mbs),
+        )
         (_, outputs), _ = jax.lax.scan(tick, init, jnp.arange(n_ticks))
         # results live on the last stage only; psum broadcasts them to
         # every pipe rank (masked: other stages contribute zeros)
-        outputs = jax.lax.psum(
-            jnp.where(stage == n_stages - 1, outputs, 0.0), axis
+        outputs = tmap(
+            lambda o: jax.lax.psum(
+                jnp.where(stage == n_stages - 1, o, 0.0), axis
+            ),
+            outputs,
         )
-        return outputs.reshape(x_local.shape)
+        return tmap(
+            lambda o, xl: o.reshape(xl.shape), outputs, x_local
+        )
 
     fn = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(pspec, bspec) + espec,
-        out_specs=bspec,
+        in_specs=(pspec, cspec) + espec,
+        out_specs=cspec,
         check_vma=False,
     )
     return fn(stacked_params, x, *extras)
@@ -244,4 +284,70 @@ def pipelined_dit_apply(
         c,
         sample.shape,
         method=dit.head,
+    )
+
+
+def pipelined_mmdit_apply(
+    mmdit,
+    params: Any,
+    sample: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    encoder_hidden_states: jnp.ndarray,
+    encoder_attention_mask: jnp.ndarray | None,
+    added_cond: dict | None,
+    mesh: Mesh,
+    axis: str = PIPE_AXIS,
+    n_microbatches: int | None = None,
+) -> jnp.ndarray:
+    """MMDiT forward with the joint-attention body pipelined over
+    ``axis``.
+
+    Equivalent to ``mmdit.apply({"params": params}, ...)`` for a
+    ``scan_blocks=True`` MMDiT: the dual-stream carry ``(x, ctx)`` hops
+    stages as one pytree (``pipeline_blocks`` microbatches/permutes
+    every leaf), the cheap embed/head ends run replicated on every
+    stage. MoE variants are rejected upstream by DMTrainer (the
+    pipelined block apply cannot collect sown aux losses).
+    """
+    if not getattr(mmdit, "scan_blocks", False):
+        raise ValueError(
+            "pipeline parallelism needs MMDiT(scan_blocks=True) "
+            "(layer-stacked block params)"
+        )
+    pooled = added_cond.get("text_embeds") if added_cond else None
+    x, ctx, c = mmdit.apply(
+        {"params": params},
+        sample,
+        timesteps,
+        encoder_hidden_states,
+        pooled,
+        method=mmdit.embed,
+    )
+    p = mmdit.patch_size
+    n_img = (sample.shape[1] // p) * (sample.shape[2] // p)
+    bias = mmdit.apply(
+        {"params": params},
+        encoder_attention_mask,
+        n_img,
+        method=mmdit.joint_bias,
+    )
+    extras = (c,) if bias is None else (c, bias)
+    block_apply = partial(mmdit.apply_block, has_bias=bias is not None)
+    if mmdit.gradient_checkpointing:
+        block_apply = jax.checkpoint(block_apply, prevent_cse=False)
+    x, _ = pipeline_blocks(
+        block_apply,
+        params["blocks"],
+        (x, ctx),
+        extras,
+        mesh,
+        axis=axis,
+        n_microbatches=n_microbatches,
+    )
+    return mmdit.apply(
+        {"params": params},
+        x,
+        c,
+        sample.shape,
+        method=mmdit.head,
     )

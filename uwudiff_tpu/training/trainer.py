@@ -470,17 +470,46 @@ class DMTrainer:
 
         else:
             if self._has_pipe():
-                raise ValueError(
-                    "mesh_axes['pipe'] > 1 is only supported for the "
-                    "class-conditional DiT family (scan_blocks=True): "
-                    "UNet models pipeline poorly (conv down/up stages) "
-                    "and MMDiT's dual-stream embed/backbone signature "
-                    "has no pipelined apply — use data/fsdp/tensor/seq "
-                    "axes instead"
+                from uwudiff_tpu.models.mmdit import MMDiT
+
+                if not isinstance(self.unet, MMDiT):
+                    raise ValueError(
+                        "mesh_axes['pipe'] > 1 is only supported for "
+                        "the transformer families (DiT / MMDiT with "
+                        "scan_blocks=True): UNet models pipeline "
+                        "poorly (conv down/up stages) — use data/fsdp/"
+                        "tensor/seq axes instead"
+                    )
+                if self._is_moe():
+                    raise ValueError(
+                        "mesh_axes['pipe'] > 1 with a MoE model is not "
+                        "supported: the pipelined block apply cannot "
+                        "collect the sown MoE aux losses — use the "
+                        "expert/data/fsdp axes for MoE models"
+                    )
+                from uwudiff_tpu.parallel.pipeline import (
+                    pipelined_mmdit_apply,
                 )
 
-            def model_fn(noisy, t):
-                return unet_fn(noisy, t, ctx, mask, added_cond)
+                base = self._merged_unet_params(params, frozen)
+
+                def model_fn(noisy, t):
+                    return pipelined_mmdit_apply(
+                        self.unet,
+                        base,
+                        noisy,
+                        t,
+                        ctx,
+                        mask,
+                        added_cond,
+                        self.mesh,
+                        n_microbatches=self.pipeline_microbatches,
+                    )
+
+            else:
+
+                def model_fn(noisy, t):
+                    return unet_fn(noisy, t, ctx, mask, added_cond)
 
         loss, aux = self.loss(rng_loss, x, model_fn)
         if moe_cell:
