@@ -34,6 +34,7 @@ _KEY_MAPS = {
     "clip_text": "clip_text_key_map",
     "clip_vision": "clip_vision_key_map",
     "t5": "t5_key_map",
+    "dit": "dit_key_map",
 }
 
 

@@ -6,8 +6,8 @@ A model config node may carry ``_load_config_`` with:
   export, or an Orbax directory)
 - ``state_dict_key`` / ``state_dict_prefix``: sub-dict extraction
   (``duwu/loader.py:24-33``)
-- ``importer``: "unet" | "vae" | "clip" | "npz" (torch-name translation;
-  auto-detected from the module class when omitted)
+- ``importer``: "unet" | "vae" | "clip" | "dit" | "npz" (torch-name
+  translation; auto-detected from the module class when omitted)
 - ``param_dtype``: cast restored params (e.g. "bfloat16")
 - ``to_freeze``: exclude from training (the trainer freezes te/vae by
   construction; this marks the unet frozen for adapter-only runs)
@@ -58,6 +58,7 @@ def load_any(node: Any) -> tuple[Any, ModelLoadConfig | None]:
 
 def _auto_importer(module) -> str:
     from uwudiff_tpu.models.clip import CLIPTextModel
+    from uwudiff_tpu.models.dit import DiT
     from uwudiff_tpu.models.unet import UNet2DConditionModel
     from uwudiff_tpu.models.vae import AutoencoderKL
 
@@ -67,6 +68,8 @@ def _auto_importer(module) -> str:
         return "vae"
     if isinstance(module, CLIPTextModel):
         return "clip"
+    if isinstance(module, DiT):
+        return "dit"
     return "npz"
 
 
@@ -94,6 +97,7 @@ def apply_load_config(
         else:
             from uwudiff_tpu.models.import_torch import (
                 clip_text_key_map,
+                dit_key_map,
                 extract_state_dict,
                 import_params,
                 load_torch_state_dict,
@@ -110,6 +114,7 @@ def apply_load_config(
                 "unet": unet_key_map,
                 "vae": vae_key_map,
                 "clip": clip_text_key_map,
+                "dit": dit_key_map,
             }[importer]
             params = import_params(params, sd, key_map)
     dtype = cfg.param_dtype or cfg.precision

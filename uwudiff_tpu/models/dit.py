@@ -33,7 +33,16 @@ __all__ = ["DiT", "DIT_PRESETS"]
 
 
 def _2d_sincos_pos_embed(dim: int, h: int, w: int) -> np.ndarray:
-    """Fixed 2D sin-cos position embedding, [h*w, dim]."""
+    """Fixed 2D sin-cos position embedding, [h*w, dim].
+
+    Matches the public MAE/DiT/diffusers ``get_2d_sincos_pos_embed``
+    bit-for-bit, including its quirk: ``np.meshgrid(w, h)`` puts the
+    w-coordinates in ``grid[0]``, and the reference code feeds
+    ``grid[0]`` to the FIRST half of the embedding — so the layout is
+    [w-emb | h-emb]. Kept identical so real DiT/SD3 checkpoints (whose
+    ``pos_embed`` buffer bakes this layout into the trained weights)
+    import faithfully (``import_torch.py::dit_key_map``).
+    """
     def _1d(dim, pos):
         omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
         omega = 1.0 / 10000**omega
@@ -42,10 +51,10 @@ def _2d_sincos_pos_embed(dim: int, h: int, w: int) -> np.ndarray:
 
     gh = np.arange(h, dtype=np.float64)
     gw = np.arange(w, dtype=np.float64)
-    grid = np.meshgrid(gw, gh)  # (w, h) order
-    emb_h = _1d(dim // 2, np.asarray(grid[1]).reshape(-1))
-    emb_w = _1d(dim // 2, np.asarray(grid[0]).reshape(-1))
-    return np.concatenate([emb_h, emb_w], axis=1)
+    grid = np.meshgrid(gw, gh)  # grid[0] = w-coords, grid[1] = h-coords
+    emb_first = _1d(dim // 2, np.asarray(grid[0]).reshape(-1))
+    emb_second = _1d(dim // 2, np.asarray(grid[1]).reshape(-1))
+    return np.concatenate([emb_first, emb_second], axis=1)
 
 
 class DiTBlock(nn.Module):

@@ -242,6 +242,83 @@ _T5_RULES = [
 ]
 
 
+class _SplitLinear:
+    """One torch tensor stacked along dim 0 feeding SEVERAL flax leaves
+    — e.g. the facebookresearch-DiT fused ``attn.qkv.weight`` [3*D, D]
+    whose rows [q; k; v] land in our separate q/k/v kernels. ``j`` of
+    ``n`` selects the slice; 2-D kernels transpose, 1-D biases slice
+    as-is. ``export_params`` re-concatenates the parts."""
+
+    def __init__(self, n: int, j: int):
+        self.n, self.j = n, j
+
+    def __call__(self, w):
+        part = np.split(np.asarray(w), self.n, axis=0)[self.j]
+        return _t_linear(part) if part.ndim == 2 else part
+
+    def inverse_part(self, w):  # flax leaf -> its torch slice
+        w = np.asarray(w)
+        return _inv_linear(w) if w.ndim == 2 else w
+
+
+# facebookresearch-DiT state-dict naming (the released DiT-XL/2 etc.
+# ImageNet checkpoints). The torch ``pos_embed`` entry is skipped: ours
+# is recomputed by `_2d_sincos_pos_embed`, which matches the MAE helper
+# those checkpoints baked in bit-for-bit. norm1/norm2/norm_final carry
+# no params on either side (elementwise_affine=False there,
+# use_scale/use_bias=False here).
+_DIT_RULES: list[tuple[str, str, Callable]] = [
+    (r"^patch_embed/kernel$", "x_embedder.proj.weight", _t_conv),
+    (r"^patch_embed/bias$", "x_embedder.proj.bias", _identity),
+    (r"^t_fc1/kernel$", "t_embedder.mlp.0.weight", _t_linear),
+    (r"^t_fc1/bias$", "t_embedder.mlp.0.bias", _identity),
+    (r"^t_fc2/kernel$", "t_embedder.mlp.2.weight", _t_linear),
+    (r"^t_fc2/bias$", "t_embedder.mlp.2.bias", _identity),
+    (r"^label_embed/embedding$",
+     "y_embedder.embedding_table.weight", _identity),
+    (r"^blocks_(\d+)/adaLN_modulation/kernel$",
+     r"blocks.\1.adaLN_modulation.1.weight", _t_linear),
+    (r"^blocks_(\d+)/adaLN_modulation/bias$",
+     r"blocks.\1.adaLN_modulation.1.bias", _identity),
+    (r"^blocks_(\d+)/q/(kernel|bias)$",
+     r"blocks.\1.attn.qkv.{leaf}", _SplitLinear(3, 0)),
+    (r"^blocks_(\d+)/k/(kernel|bias)$",
+     r"blocks.\1.attn.qkv.{leaf}", _SplitLinear(3, 1)),
+    (r"^blocks_(\d+)/v/(kernel|bias)$",
+     r"blocks.\1.attn.qkv.{leaf}", _SplitLinear(3, 2)),
+    (r"^blocks_(\d+)/proj/kernel$", r"blocks.\1.attn.proj.weight",
+     _t_linear),
+    (r"^blocks_(\d+)/proj/bias$", r"blocks.\1.attn.proj.bias", _identity),
+    (r"^blocks_(\d+)/mlp_fc(\d)/kernel$",
+     r"blocks.\1.mlp.fc\2.weight", _t_linear),
+    (r"^blocks_(\d+)/mlp_fc(\d)/bias$",
+     r"blocks.\1.mlp.fc\2.bias", _identity),
+    (r"^final_modulation/kernel$",
+     "final_layer.adaLN_modulation.1.weight", _t_linear),
+    (r"^final_modulation/bias$",
+     "final_layer.adaLN_modulation.1.bias", _identity),
+    (r"^final_proj/kernel$", "final_layer.linear.weight", _t_linear),
+    (r"^final_proj/bias$", "final_layer.linear.bias", _identity),
+]
+
+
+def dit_key_map(our_path: str):
+    """``models/dit.py::DiT`` paths -> facebookresearch-DiT torch keys
+    (scanned ``blocks`` stacks go through the generic per-layer
+    machinery in import/export_params). RoPE/MoE variants have no torch
+    counterpart and raise KeyError (use strict=False to keep their
+    initialized leaves)."""
+    for pat, repl, tr in _DIT_RULES:
+        m = re.match(pat, our_path)
+        if m:
+            key = re.sub(pat, repl, our_path)
+            if "{leaf}" in key:
+                leaf = "weight" if our_path.endswith("kernel") else "bias"
+                key = key.replace("{leaf}", leaf)
+            return key, tr
+    raise KeyError(f"no torch mapping for DiT param {our_path!r}")
+
+
 def t5_key_map(our_path: str):
     """T5EncoderModel paths -> HF ``transformers.T5EncoderModel`` keys
     (the SD3-style third TE, ``duwu/modules/text_encoders.py:290-297``)."""
@@ -430,6 +507,18 @@ def unstack_block_params(params: Any, to_numpy: bool = True) -> Any:
     return convert(params)
 
 
+# an nn.scan layer stack: a `blocks` subtree either nested (UNet
+# Transformer2DModel: ".../blocks/...") or at the tree root (DiT/MMDiT:
+# "blocks/...")
+_SCAN_STACK_RE = re.compile(r"(^|/)blocks/")
+
+
+def _unroll_path(our: str, i: int) -> str:
+    """``.../blocks/leaf`` -> ``.../blocks_i/leaf`` (layer ``i`` of a
+    scanned stack), handling the root-level ``blocks/`` spelling."""
+    return _SCAN_STACK_RE.sub(rf"\g<1>blocks_{i}/", our, count=1)
+
+
 def _inv_linear(w):  # [in, out] -> [out, in]
     return np.transpose(np.asarray(w), (1, 0))
 
@@ -453,6 +542,9 @@ def export_params(
     per layer index."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out: dict[str, np.ndarray] = {}
+    # _SplitLinear leaves: several flax leaves concatenate back into one
+    # torch tensor (e.g. q/k/v -> fused qkv.weight)
+    pending: dict[str, list] = {}
 
     def emit(our, torch_key, tr, w):
         w = np.asarray(w)
@@ -460,6 +552,10 @@ def export_params(
             parts = np.split(w, len(torch_key), axis=-1)
             for tk, part in zip(torch_key, parts):
                 out[tk] = _inv_linear(part).astype(dtype)
+            return
+        if isinstance(tr, _SplitLinear):
+            parts = pending.setdefault(torch_key, [None] * tr.n)
+            parts[tr.j] = tr.inverse_part(w).astype(dtype)
             return
         if tr == "proj":
             tr = _t_conv if w.ndim == 4 else _t_linear
@@ -476,16 +572,20 @@ def export_params(
 
     for path, leaf in flat:
         our = "/".join(str(getattr(p, "key", p)) for p in path)
-        if "/blocks/" in our:  # nn.scan stack: one torch entry per layer
+        if _SCAN_STACK_RE.search(our):  # nn.scan stack: per-layer entries
             arr = np.asarray(leaf)
             for i in range(int(arr.shape[0])):
-                torch_key, tr = key_map(
-                    our.replace("/blocks/", f"/blocks_{i}/", 1)
-                )
+                torch_key, tr = key_map(_unroll_path(our, i))
                 emit(our, torch_key, tr, arr[i])
             continue
         torch_key, tr = key_map(our)
         emit(our, torch_key, tr, leaf)
+    for torch_key, parts in pending.items():
+        if any(p is None for p in parts):
+            raise ValueError(
+                f"incomplete fused export for {torch_key}: missing parts"
+            )
+        out[torch_key] = np.concatenate(parts, axis=0)
     return out
 
 
@@ -522,7 +622,7 @@ def import_params(
         our = "/".join(
             str(getattr(p, "key", p)) for p in path
         )
-        if "/blocks/" in our:
+        if _SCAN_STACK_RE.search(our):
             # nn.scan layout (scan_transformer_blocks=True): the leaf
             # carries a leading layer axis; import each layer through the
             # per-index key and stack
@@ -530,9 +630,7 @@ def import_params(
             per_layer = []
             for i in range(n_layers):
                 try:
-                    torch_key, tr = key_map(
-                        our.replace("/blocks/", f"/blocks_{i}/", 1)
-                    )
+                    torch_key, tr = key_map(_unroll_path(our, i))
                 except KeyError:
                     if strict:
                         raise
