@@ -448,8 +448,46 @@ def build_trainer_and_batch():
     return trainer, batch
 
 
+def _require_backend(timeout_s: float):
+    """Fail fast — with the one honest JSON line — if the TPU backend
+    never comes up (the axon relay hangs ``jax.devices()`` indefinitely
+    when it's down; see CLAUDE.md hazards). Backend INIT only: compiles
+    happen after and may legitimately take much longer."""
+    import threading
+
+    ok: list = []
+
+    def probe():
+        import jax
+
+        ok.append(jax.devices()[0].platform)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(
+            json.dumps(
+                {
+                    "metric": f"{MODEL}-class bench (backend unreachable)",
+                    "value": 0,
+                    "unit": "imgs/sec/chip",
+                    "vs_baseline": 0,
+                    "error": (
+                        "jax backend init exceeded "
+                        f"{timeout_s:.0f}s — TPU relay down? "
+                        "(UWU_PLATFORM=cpu runs on host)"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+
 def main():
     _enable_compile_cache()
+    _require_backend(float(os.environ.get("BENCH_BACKEND_TIMEOUT", "180")))
     if MODE == "sample":
         bench_sampler()
         return
