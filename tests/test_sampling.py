@@ -236,6 +236,44 @@ def test_end_to_end_diffusion_sampling(sched):
     assert np.isfinite(np.asarray(latents)).all()
 
 
+def test_end_to_end_mmdit_sampling(sched):
+    """MMDiT rides the same text-conditional CFG path as the UNet:
+    pooled CLIP lands in added_cond['text_embeds'], time_ids are
+    ignored (configs/sampling/demo_sampling_mmdit.yaml)."""
+    from uwudiff_tpu.models.mmdit import MMDiT
+
+    mmdit = MMDiT.from_config(
+        "tiny", context_dim=32, pooled_dim=32, in_channels=4
+    )
+    x = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 8, 32))
+    params = mmdit.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((1,)), ctx, None,
+        {"text_embeds": jnp.zeros((1, 32))},
+    )["params"]
+
+    def unet_fn(x, t, ctx, mask, added):
+        return mmdit.apply({"params": params}, x, t, ctx, mask, added)
+
+    te = _tiny_pipeline()
+    latents = diffusion_sampling(
+        unet_fn,
+        te,
+        vae_decode=None,
+        train_schedule=sched,
+        prompt="a cat",
+        neg_prompt="",
+        num_steps=4,
+        num_samples=2,
+        cfg_scale=3.0,
+        width=64,
+        height=64,
+        seed=0,
+    )
+    assert latents.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(latents)).all()
+
+
 def test_euler_latent_inversion_api(sched):
     from uwudiff_tpu.models.unet import UNet2DConditionModel
 
