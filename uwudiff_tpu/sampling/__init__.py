@@ -12,6 +12,7 @@ from uwudiff_tpu.sampling.euler import (
 from uwudiff_tpu.sampling.dpm2 import sample_dpm2, sample_dpm2_cfgpp
 from uwudiff_tpu.sampling.dpmpp import sample_dpmpp_2m
 from uwudiff_tpu.sampling.heun import sample_heun
+from uwudiff_tpu.sampling.lcm import LCMDenoiser, sample_lcm, get_sigmas_lcm
 from uwudiff_tpu.sampling.cfg import (
     cfg_wrapper,
     cond_text_wrapper,
@@ -36,6 +37,9 @@ __all__ = [
     "sample_dpm2_cfgpp",
     "sample_dpmpp_2m",
     "sample_heun",
+    "LCMDenoiser",
+    "sample_lcm",
+    "get_sigmas_lcm",
     "cfg_wrapper",
     "cond_text_wrapper",
     "diffusion_sampling",

@@ -52,6 +52,10 @@ def diffusion_sampling(
     return_latents: bool = False,
     jit_compile: bool = True,
     unet_params=None,
+    # the sigma-space model wrapper; pass ``sampling.lcm.LCMDenoiser``
+    # (with cfg_scale=1 and internal_sampling_func=sample_lcm) to drive
+    # a consistency-distilled student
+    denoiser_cls: type = KDiffusionDenoiser,
 ):
     rng = jax.random.PRNGKey(seed)
     internal_sampling_func = internal_sampling_func or sample_euler_ancestral
@@ -85,7 +89,7 @@ def diffusion_sampling(
             )
             return unet_fn(params, *args) if params is not None else unet_fn(*args)
 
-        model_wrapper = KDiffusionDenoiser(
+        model_wrapper = denoiser_cls(
             model_fn=eps_fn, schedule=train_schedule, quantize=False
         )
         return build_cfg_fn(model_wrapper, enc, cfg_scale)
@@ -149,6 +153,7 @@ def class_conditional_sampling(
     return_latents: bool = False,
     jit_compile: bool = True,
     unet_params=None,
+    denoiser_cls: type = KDiffusionDenoiser,
 ):
     """Class-conditional sampling for the DiT family (the reference has
     no class-conditional models; this mirrors ``diffusion_sampling``'s
@@ -169,7 +174,7 @@ def class_conditional_sampling(
             args = (x, t, class_labels)
             return unet_fn(params, *args) if params is not None else unet_fn(*args)
 
-        model_wrapper = KDiffusionDenoiser(
+        model_wrapper = denoiser_cls(
             model_fn=eps_fn, schedule=train_schedule, quantize=False
         )
         return build_class_cfg_fn(

@@ -1,4 +1,9 @@
 from uwudiff_tpu.training.trainer import DMTrainer, TrainState
+from uwudiff_tpu.training.distill import (
+    ConsistencyDistillLoss,
+    LCMDistillTrainer,
+    boundary_scalings,
+)
 from uwudiff_tpu.training.optimizers import build_optimizer, adamw_fp16_state
 from uwudiff_tpu.training.lr_schedules import (
     warmup_cosine_schedule,
@@ -9,6 +14,9 @@ from uwudiff_tpu.training.lr_schedules import (
 __all__ = [
     "DMTrainer",
     "TrainState",
+    "ConsistencyDistillLoss",
+    "LCMDistillTrainer",
+    "boundary_scalings",
     "build_optimizer",
     "adamw_fp16_state",
     "warmup_cosine_schedule",
