@@ -160,3 +160,40 @@ def test_batching_server_seed_isolation_and_stop_drains():
         except Exception:
             done += 1  # failed-fast is acceptable; hanging is not
     assert done == 10
+
+
+def test_pipeline_lcm_few_step_serving():
+    """Serve a consistency-distilled student: LCMDenoiser + sample_lcm
+    + cfg 1 through the same pipeline (the few-step production path)."""
+    from uwudiff_tpu.sampling import LCMDenoiser, get_sigmas_lcm, sample_lcm
+    from uwudiff_tpu.training import LCMDistillTrainer
+
+    te = ConcatTextEncoders.from_config(
+        [({"model_type": "clip", "preset": "tiny"},
+          {"use_pooled": False, "layer_idx": -2})]
+    )
+    trainer = LCMDistillTrainer(
+        model_config={
+            "unet": UNet2DConditionModel.from_config("tiny"),
+            "te": te,
+            "vae": None,
+        },
+        lr=1e-4,
+        use_warm_up=False,
+        distill_cfg_scale=3.0,
+        seed=0,
+    )
+    ds = DummyDataset(sample_size=(32, 32, 4), n_samples=4)
+    ds.set_tokenizers(trainer.tokenizers)
+    trainer.train_step(ds.collate([ds[0], ds[1]]))
+
+    pipe = Txt2ImgPipeline.from_trainer(
+        trainer, sampler=sample_lcm, denoiser_cls=LCMDenoiser
+    )
+    latents = pipe(
+        prompt="a cat", num_steps=4, num_samples=1, cfg_scale=1.0,
+        width=32, height=32, return_latents=True,
+        get_sigma_func=get_sigmas_lcm,
+    )
+    assert latents.shape == (1, 4, 4, 4)
+    assert np.isfinite(np.asarray(latents)).all()

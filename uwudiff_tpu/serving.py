@@ -36,6 +36,9 @@ class Txt2ImgPipeline:
         latent_channels: int = 4,
         sampler: Callable = sample_euler_ancestral,
         unet_params=None,
+        # pass sampling.lcm.LCMDenoiser (+ sampler=sample_lcm, cfg 1)
+        # to serve a consistency-distilled student in ~4 steps
+        denoiser_cls: type | None = None,
     ):
         self.unet_fn = unet_fn
         self.unet_params = unet_params
@@ -49,6 +52,7 @@ class Txt2ImgPipeline:
         self.vae_downscale = vae_downscale
         self.latent_channels = latent_channels
         self.sampler = sampler
+        self.denoiser_cls = denoiser_cls
 
     @classmethod
     def from_trainer(cls, trainer, **kwargs) -> "Txt2ImgPipeline":
@@ -123,6 +127,11 @@ class Txt2ImgPipeline:
             internal_sampling_func=self.sampler,
             return_latents=return_latents,
             unet_params=self.unet_params,
+            **(
+                {"denoiser_cls": self.denoiser_cls}
+                if self.denoiser_cls is not None
+                else {}
+            ),
             **kwargs,
         )
 
