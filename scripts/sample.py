@@ -80,7 +80,51 @@ def main():
         if isinstance(val, dict) and ("_target_" in val or "class" in val):
             sampling_kwargs[key] = instantiate_any(val)
 
-    if class_conditional:  # DiT family: labels instead of prompts
+    if "init_image" in sampling_kwargs:  # img2img / inpainting branch
+        from PIL import Image
+        import numpy as np
+
+        from uwudiff_tpu.sampling import image_to_image_sampling
+
+        img = Image.open(sampling_kwargs.pop("init_image")).convert("RGB")
+        init = np.asarray(img, np.float32)[None] / 127.5 - 1.0
+
+        vae_encode = None
+        if trainer.vae is not None:
+            vae_params_enc = trainer.frozen["vae"]
+
+            def vae_encode(images, rng_):
+                dist = trainer.vae.apply(
+                    {"params": vae_params_enc}, images,
+                    method=trainer.vae.encode,
+                )
+                return dist.sample(rng_)
+
+        mask_path = sampling_kwargs.pop("inpaint_mask", None)
+        if isinstance(mask_path, str):
+            m = Image.open(mask_path).convert("L")
+            downs = (
+                2 ** (len(trainer.vae.block_out_channels) - 1)
+                if trainer.vae is not None else 8
+            )
+            m = m.resize((img.width // downs, img.height // downs))
+            sampling_kwargs["inpaint_mask"] = (
+                np.asarray(m, np.float32)[None, :, :, None] / 255.0
+            )
+
+        images = image_to_image_sampling(
+            unet_fn,
+            te_pipe,
+            init_image=init,
+            vae_encode=vae_encode,
+            vae_decode=vae_decode,
+            train_schedule=trainer.loss.schedule,
+            vae_std=trainer.vae_std,
+            vae_mean=trainer.vae_mean,
+            unet_params=unet_params,
+            **sampling_kwargs,
+        )
+    elif class_conditional:  # DiT family: labels instead of prompts
         from uwudiff_tpu.sampling import class_conditional_sampling
 
         def class_unet_fn(params, x, t, labels):

@@ -23,6 +23,11 @@ from uwudiff_tpu.sampling.sampling import (
     class_conditional_sampling,
 )
 from uwudiff_tpu.sampling.euler_latent import euler_latent_sampling
+from uwudiff_tpu.sampling.img2img import (
+    image_to_image_sampling,
+    img2img_sigmas,
+    masked_model_wrapper,
+)
 
 __all__ = [
     "KDiffusionDenoiser",
@@ -46,4 +51,7 @@ __all__ = [
     "class_conditional_sampling",
     "build_class_cfg_fn",
     "euler_latent_sampling",
+    "image_to_image_sampling",
+    "img2img_sigmas",
+    "masked_model_wrapper",
 ]
