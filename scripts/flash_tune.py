@@ -46,12 +46,11 @@ _BK = [512, 1024, 2048, 4096]
 
 
 def _bench(fn, *args, iters=20):
-    jax.tree_util.tree_leaves(fn(*args))[0].block_until_ready()  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    # chained-carry timing: the dispatch-N-block-once pattern measured
+    # impossible numbers over the axon tunnel (see utils/timing.py)
+    from uwudiff_tpu.utils.timing import chained_op_time
+
+    return chained_op_time(fn, *args, iters=iters) * 1e3  # ms
 
 
 def main():

@@ -24,14 +24,13 @@ from uwudiff_tpu.utils import apply_platform_env
 apply_platform_env()  # UWU_PLATFORM=cpu forces the backend pre-init
 
 
-def _time(fn, *args, iters=30):
-    out = fn(*args)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+def _time_op(op, *args, iters=30, repeats=3):
+    """Chained-carry per-op timing (see ``uwudiff_tpu/utils/timing.py``
+    for why the naive dispatch-loop measured 3-16x the chip's peak over
+    the axon tunnel)."""
+    from uwudiff_tpu.utils.timing import chained_op_time
+
+    return chained_op_time(op, *args, iters=iters, repeats=repeats)
 
 
 def main():
@@ -68,21 +67,20 @@ def main():
     for name, m, k, n in matmuls:
         a = jax.random.normal(key, (m, k), jnp.bfloat16)
         b = jax.random.normal(key, (k, n), jnp.bfloat16)
-        f = jax.jit(lambda a, b: a @ b)
-        dt = _time(f, a, b)
+        dt = _time_op(lambda a, b: a @ b, a, b)
         fl = 2 * m * k * n
         print(f"{name:28s} {dt*1e3:8.3f} {fl/dt/1e12:9.2f} "
               f"{100*fl/dt/peak:6.1f}%")
     for name, b_, h, w, cin, cout in convs:
         x = jax.random.normal(key, (b_, h, w, cin), jnp.bfloat16)
         kern = jax.random.normal(key, (3, 3, cin, cout), jnp.bfloat16)
-        f = jax.jit(
+        dt = _time_op(
             lambda x, k: jax.lax.conv_general_dilated(
                 x, k, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            ),
+            x, kern,
         )
-        dt = _time(f, x, kern)
         fl = 2 * b_ * h * w * cin * cout * 9
         print(f"{name:28s} {dt*1e3:8.3f} {fl/dt/1e12:9.2f} "
               f"{100*fl/dt/peak:6.1f}%")

@@ -25,19 +25,11 @@ apply_platform_env()  # UWU_PLATFORM=cpu forces the backend pre-init
 
 
 def _bench(fn, *args, iters=30):
-    out = fn(*args)
-    jax_leaves(out)[0].block_until_ready()  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax_leaves(out)[0].block_until_ready()
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    # chained-carry timing: the dispatch-N-block-once pattern measured
+    # impossible numbers over the axon tunnel (see utils/timing.py)
+    from uwudiff_tpu.utils.timing import chained_op_time
 
-
-def jax_leaves(x):
-    import jax
-
-    return jax.tree_util.tree_leaves(x)
+    return chained_op_time(fn, *args, iters=iters) * 1e3  # ms
 
 
 def main():
