@@ -395,6 +395,9 @@ def build_trainer_and_batch():
             # perf/compile levers (measured individually; README perf log)
             fused_qkv=os.environ.get("BENCH_FUSED_QKV", "0") == "1",
             scan_transformer_blocks=scan,
+            # BENCH_ROPE=1: axial-RoPE attention (for the fused-RoPE
+            # HLO check through scripts/step_profile.py)
+            use_rope=os.environ.get("BENCH_ROPE", "0") == "1",
         )
         ctx_dim = unet.cross_attention_dim
     trainer = DMTrainer(
