@@ -57,8 +57,14 @@ def chained_op_time(
     f = jax.jit(chained)
     f(*args).block_until_ready()  # compile + warm
     best = float("inf")
-    for _ in range(repeats):
+    for r in range(1, repeats + 1):
+        # fresh input VALUES every timed run: the axon relay serves
+        # repeated (executable, identical inputs) executions from a
+        # cache (measured: whole 30-iter chains "ran" in ~30us), so a
+        # re-run with the same buffers times nothing. The perturbation
+        # multiply is its own (untimed) execution.
+        a0 = (args[0] * (1.0 + r * 1e-3)).block_until_ready()
         t0 = time.perf_counter()
-        f(*args).block_until_ready()
+        f(a0, *args[1:]).block_until_ready()
         best = min(best, time.perf_counter() - t0)
     return best / iters
