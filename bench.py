@@ -177,6 +177,7 @@ def bench_sampler():
         sample_dpmpp_2m,
         sample_euler_ancestral,
         sample_heun,
+        sample_unipc,
     )
 
     samplers = {
@@ -184,6 +185,7 @@ def bench_sampler():
         "dpm2": sample_dpm2,
         "dpmpp_2m": sample_dpmpp_2m,
         "heun": sample_heun,
+        "unipc": sample_unipc,
     }
     names = os.environ.get("BENCH_SAMPLER", "euler").split(",")
     bss = [int(b) for b in os.environ.get("BENCH_SAMPLE_BS", "2").split(",")]

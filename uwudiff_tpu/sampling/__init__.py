@@ -13,6 +13,7 @@ from uwudiff_tpu.sampling.dpm2 import sample_dpm2, sample_dpm2_cfgpp
 from uwudiff_tpu.sampling.dpmpp import sample_dpmpp_2m
 from uwudiff_tpu.sampling.heun import sample_heun
 from uwudiff_tpu.sampling.lcm import LCMDenoiser, sample_lcm, get_sigmas_lcm
+from uwudiff_tpu.sampling.unipc import sample_unipc
 from uwudiff_tpu.sampling.cfg import (
     cfg_wrapper,
     cond_text_wrapper,
@@ -45,6 +46,7 @@ __all__ = [
     "LCMDenoiser",
     "sample_lcm",
     "get_sigmas_lcm",
+    "sample_unipc",
     "cfg_wrapper",
     "cond_text_wrapper",
     "diffusion_sampling",
