@@ -112,6 +112,10 @@ def main():
                 np.asarray(m, np.float32)[None, :, :, None] / 255.0
             )
 
+        downs = (
+            2 ** (len(trainer.vae.block_out_channels) - 1)
+            if trainer.vae is not None else 8
+        )
         images = image_to_image_sampling(
             unet_fn,
             te_pipe,
@@ -121,6 +125,7 @@ def main():
             train_schedule=trainer.loss.schedule,
             vae_std=trainer.vae_std,
             vae_mean=trainer.vae_mean,
+            vae_downscale=downs,
             unet_params=unet_params,
             **sampling_kwargs,
         )

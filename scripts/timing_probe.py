@@ -92,9 +92,13 @@ def main():
             t_fetch, flops_one * iters,
         )
 
-    # 4. perturbed inputs each time
+    # 4. perturbed inputs each time (>= 1 bf16 ULP — (1 + 1e-3) would
+    # be a bit-exact no-op in bfloat16 and indistinguishable from the
+    # identical-args arm)
+    eps = float(jnp.finfo(a.dtype).eps)
     for trial in range(3):
-        a2 = (a * (1.0 + (trial + 1) * 1e-3)).block_until_ready()
+        a2 = (a * (1.0 + (trial + 1) * 4.0 * eps)).block_until_ready()
+        assert not bool(jnp.all(a2 == a)), "perturbation no-op"
         t0 = time.perf_counter()
         out = f2(a2, b)
         out.block_until_ready()

@@ -524,3 +524,36 @@ def test_unipc_jits_and_accepts_extra_args(sched):
     out = f(x)
     assert calls["tag"] == 7
     np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+def test_text_cfg_scale_one_single_pass(sched):
+    """build_cfg_fn at cfg=1 must run a single conditional pass (no
+    doubled batch) — the few-step consistency-student serving path."""
+    from uwudiff_tpu.sampling.cfg import build_cfg_fn
+
+    seen = {}
+
+    def unet(x, sigma, sigma_cond=None, encoder_hidden_states=None,
+             encoder_attention_mask=None, added_cond=None):
+        seen["bs"] = x.shape[0]
+        seen["ctx_bs"] = encoder_hidden_states.shape[0]
+        seen["added"] = (
+            added_cond["text_embeds"].shape[0] if added_cond else None
+        )
+        return jnp.full_like(x, X0)
+
+    enc = {
+        "ctx": jnp.ones((4, 7, 8)),  # cond|uncond stacked (2 each)
+        "mask": jnp.ones((4, 7)),
+        "added_cond": {"text_embeds": jnp.ones((4, 8))},
+    }
+    fn = build_cfg_fn(unet, enc, cfg=1.0)
+    x = jnp.zeros((2, 4, 4, 1))
+    out, uncond = fn(x, jnp.ones((2,)))
+    assert seen["bs"] == 2 and seen["ctx_bs"] == 2 and seen["added"] == 2
+    np.testing.assert_allclose(np.asarray(out), X0)
+    np.testing.assert_allclose(np.asarray(uncond), X0)
+
+    fn2 = build_cfg_fn(unet, enc, cfg=3.0)
+    fn2(x, jnp.ones((2,)))
+    assert seen["bs"] == 4  # doubled batch when cfg != 1

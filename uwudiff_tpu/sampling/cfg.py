@@ -126,7 +126,30 @@ def build_cfg_fn(unet: Callable, enc: dict, cfg: float) -> Callable:
     """Device-side half: the doubled-batch model fn (``cfg.py:113-126``).
     Safe to call inside jit (``enc`` tensors may be traced arguments —
     this is how large params avoid being baked into the program as
-    constants)."""
+    constants). ``cfg == 1`` short-circuits to a single conditional
+    pass (no doubled batch) — the few-step consistency-student path
+    (guidance baked in at distillation) runs at half the model cost."""
+    if cfg == 1.0:
+        n = enc["ctx"].shape[0] // 2
+
+        def cond_fn(x, sigma, sigma_cond=None):
+            out = unet(
+                x,
+                sigma,
+                sigma_cond=sigma_cond,
+                encoder_hidden_states=enc["ctx"][:n],
+                encoder_attention_mask=(
+                    enc["mask"][:n] if enc["mask"] is not None else None
+                ),
+                added_cond=(
+                    {k: v[:n] for k, v in enc["added_cond"].items()}
+                    if enc["added_cond"] is not None
+                    else None
+                ),
+            )
+            return out, out
+
+        return cond_fn
 
     def cfg_fn(x, sigma, sigma_cond=None):
         if sigma_cond is not None:

@@ -29,7 +29,7 @@ from uwudiff_tpu.data.utils import vae_image_postprocess
 from uwudiff_tpu.diffusion.schedules import NoiseSchedule
 from uwudiff_tpu.sampling.euler import sample_euler_ancestral
 from uwudiff_tpu.sampling.wrapper import KDiffusionDenoiser
-from uwudiff_tpu.utils import append_dims, truncate_or_pad_to_length
+from uwudiff_tpu.utils import truncate_or_pad_to_length
 
 __all__ = [
     "img2img_sigmas",
@@ -105,6 +105,7 @@ def image_to_image_sampling(
     seed: int = 42,
     vae_std: float | None = None,
     vae_mean: float | None = None,
+    vae_downscale: int = 8,  # latent->pixel factor for time_ids sizing
     internal_sampling_func: Callable | None = None,
     return_latents: bool = False,
     jit_compile: bool = True,
@@ -149,7 +150,9 @@ def image_to_image_sampling(
     from uwudiff_tpu.sampling.cfg import build_cfg_fn, encode_cfg_inputs
 
     h_lat, w_lat = init_latent.shape[1:3]
-    enc = encode_cfg_inputs(prompt, neg_prompt, w_lat * 8, h_lat * 8, te)
+    enc = encode_cfg_inputs(
+        prompt, neg_prompt, w_lat * vae_downscale, h_lat * vae_downscale, te
+    )
 
     sigmas = img2img_sigmas(
         train_schedule, num_steps, strength, get_sigma_func=get_sigma_func

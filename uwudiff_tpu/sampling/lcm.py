@@ -114,8 +114,11 @@ def get_sigmas_lcm(
     origin-solver steps rather than the raw trainer grid.
 
     ``num_steps`` leads so the function satisfies the samplers'
-    ``get_sigma_func(num_steps)`` contract directly (``schedule``
-    defaults to the SDXL training schedule).
+    ``get_sigma_func(num_steps)`` contract directly. ``schedule``
+    defaults to the SDXL training schedule as a convenience — a student
+    distilled on any OTHER schedule must bind its own (e.g. a config
+    ``_partial_`` with a ``schedule:`` node), or the inference steps
+    silently leave the grid it was trained on.
     """
     schedule = schedule if schedule is not None else NoiseSchedule.sdxl()
     n = schedule.num_train_timesteps

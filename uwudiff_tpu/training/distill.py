@@ -393,6 +393,14 @@ class LCMDistillTrainer(DMTrainer):
                 return out, out
 
         else:  # text-conditional (UNet / MMDiT)
+            if "uncond" not in frozen:
+                raise ValueError(
+                    "text-conditional distillation with cached embeddings "
+                    "(batch 'ctx', te=None) has no way to build the "
+                    "teacher's unconditional branch — configure a text "
+                    "encoder (model_config.te) so the empty prompt can be "
+                    "encoded at setup"
+                )
             bsz = x.shape[0]
             (c_ctx, c_mask), (u_ctx, u_mask), u_added = self._uncond_inputs(
                 frozen, bsz, ctx, mask, added_cond

@@ -1,18 +1,29 @@
 """Trustworthy isolated-op timing on (possibly remote) accelerators.
 
-The obvious pattern — dispatch N async calls, block on the last —
-under-measures badly over the axon TPU tunnel (round-3 finding: ops
-"ran" at 3-16x the chip's physical peak because identical dispatches
-get deduplicated/reordered somewhere between client and device).
-``bench.py`` never hit this because its train step donates and consumes
-the state, forcing a data-dependent chain across calls.
+Round-3 findings from ``scripts/timing_probe.py`` on the axon TPU
+tunnel (hw_logs/timing_probe.log):
 
-:func:`chained_op_time` builds the same protection for isolated ops:
-ONE jitted program whose ``lax.scan`` carry depends on every output
-leaf of every iteration — no LICM hoist, no dead-code elimination, no
-dedup — then times whole executions and divides by the iteration
-count. The per-iteration dependency costs one reduction per output
-leaf, so reported efficiency is a slight lower bound.
+- Big chained programs time correctly and reproducibly: a scan of 30
+  8192^3 matmuls measures 208±4 ms (156-159 TF/s, ~79% of v5e peak)
+  whether synced by ``block_until_ready`` or a value fetch, and
+  identical-args repeats are NOT served from a cache.
+- BUT ``block_until_ready`` can return spuriously early: the first
+  re-execution after the compile call "blocked" in 0.08 ms while the
+  value fetch took 612 ms. Micro-benchmarks whose whole chain is a few
+  ms hit this constantly — that is how ops "ran" at 16x the MXU's
+  physical peak in the first two rounds of measurements.
+
+Rules implemented by :func:`chained_op_time`:
+1. chain the iterations inside ONE jitted ``lax.scan`` whose carry
+   depends on every output leaf (no LICM hoist / DCE / reordering);
+2. sync by FETCHING a slice of the result, never only
+   ``block_until_ready``;
+3. discard the first post-compile execution;
+4. auto-scale the chain length until one execution takes >= ~100 ms,
+   so early-readiness glitches and round-trip jitter can't dominate;
+5. perturb inputs by >= 1 ULP between runs (belt-and-braces against
+   value-keyed result caching; (1 + 1e-3) is a bit-exact no-op in
+   bfloat16 — the first version of this guard silently did nothing).
 """
 
 from __future__ import annotations
@@ -22,20 +33,10 @@ from typing import Callable
 
 __all__ = ["chained_op_time"]
 
+_MIN_CHAIN_SECONDS = 0.1
 
-def chained_op_time(
-    op: Callable,
-    *args,
-    iters: int = 30,
-    repeats: int = 3,
-) -> float:
-    """Seconds per single execution of ``op(*args)``.
 
-    ``args[0]`` must be a float array (the chain carry); outputs may be
-    any pytree — every leaf feeds the carry so none can be eliminated.
-    Returns the best of ``repeats`` timed runs of the ``iters``-long
-    chain, divided by ``iters``.
-    """
+def _build(op, iters: int):
     import jax
     import jax.numpy as jnp
 
@@ -54,17 +55,67 @@ def chained_op_time(
         final, _ = jax.lax.scan(body, first, None, length=iters)
         return final
 
-    f = jax.jit(chained)
-    f(*args).block_until_ready()  # compile + warm
-    best = float("inf")
-    for r in range(1, repeats + 1):
-        # fresh input VALUES every timed run: the axon relay serves
-        # repeated (executable, identical inputs) executions from a
-        # cache (measured: whole 30-iter chains "ran" in ~30us), so a
-        # re-run with the same buffers times nothing. The perturbation
-        # multiply is its own (untimed) execution.
-        a0 = (args[0] * (1.0 + r * 1e-3)).block_until_ready()
-        t0 = time.perf_counter()
-        f(a0, *args[1:]).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+    return jax.jit(chained)
+
+
+def _fetch_sync(out):
+    """Force a real device->host value round trip (block_until_ready
+    alone can return early on the axon backend)."""
+    import numpy as np
+
+    idx = tuple(slice(0, 1) for _ in range(out.ndim))
+    return np.asarray(out[idx])
+
+
+def _perturb(x, r: int):
+    import jax.numpy as jnp
+
+    eps = float(jnp.finfo(x.dtype).eps)
+    out = x * (1.0 + (r + 1) * 4.0 * eps)
+    _fetch_sync(out)
+    assert not bool(jnp.all(out == x)), (
+        "perturbation was a no-op; cached-execution guard broken"
+    )
+    return out
+
+
+def _run_once(f, args, r: int):
+    a0 = _perturb(args[0], r)
+    t0 = time.perf_counter()
+    out = f(a0, *args[1:])
+    _fetch_sync(out)
+    return time.perf_counter() - t0
+
+
+def chained_op_time(
+    op: Callable,
+    *args,
+    iters: int = 30,
+    repeats: int = 3,
+) -> float:
+    """Seconds per single execution of ``op(*args)``.
+
+    ``args[0]`` must be a float array (the chain carry); outputs may be
+    any pytree — every leaf feeds the carry so none can be eliminated.
+    ``iters`` is the MINIMUM chain length; it is grown automatically
+    until one chain execution takes >= 100 ms. Returns the best of
+    ``repeats`` timed runs divided by the final chain length.
+    """
+    f = _build(op, iters)
+    _fetch_sync(f(*args))  # compile + warm
+    dt = _run_once(f, args, 0)  # discarded (first post-compile exec)
+    dt = _run_once(f, args, 1)  # calibration measurement
+
+    # grow the chain until it dominates sync/round-trip noise
+    while dt < _MIN_CHAIN_SECONDS and iters < 100_000:
+        scale = max(2, int(_MIN_CHAIN_SECONDS / max(dt, 1e-6) * 1.5))
+        iters *= scale
+        f = _build(op, iters)
+        _fetch_sync(f(*args))  # recompile + warm
+        _run_once(f, args, 0)  # discard
+        dt = _run_once(f, args, 1)
+
+    best = dt
+    for r in range(2, repeats + 1):
+        best = min(best, _run_once(f, args, r))
     return best / iters
