@@ -45,7 +45,7 @@ _BQ = [256, 512, 1024]
 _BK = [512, 1024, 2048, 4096]
 
 
-def _bench(fn, *args, iters=20):
+def _bench(fn, *args, iters=256):
     # chained-carry timing: the dispatch-N-block-once pattern measured
     # impossible numbers over the axon tunnel (see utils/timing.py)
     from uwudiff_tpu.utils.timing import chained_op_time
@@ -56,7 +56,7 @@ def _bench(fn, *args, iters=20):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="first 3 cases")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=256)
     args = ap.parse_args()
 
     cases = _CASES[:3] if args.quick else _CASES

@@ -24,7 +24,7 @@ from uwudiff_tpu.utils import apply_platform_env
 apply_platform_env()  # UWU_PLATFORM=cpu forces the backend pre-init
 
 
-def _bench(fn, *args, iters=30):
+def _bench(fn, *args, iters=256):
     # chained-carry timing: the dispatch-N-block-once pattern measured
     # impossible numbers over the axon tunnel (see utils/timing.py)
     from uwudiff_tpu.utils.timing import chained_op_time
