@@ -63,6 +63,10 @@ class UwUBaseDataset:
             out["class_labels"] = np.asarray(
                 [x["class_label"] for x in batch], np.int32
             )
+        if "control_cond" in batch[0]:  # ControlNet hint images
+            out["control_cond"] = np.stack(
+                [x["control_cond"] for x in batch]
+            ).astype(np.float32)
         return out
 
 
@@ -82,6 +86,9 @@ class DummyDataset(UwUBaseDataset):
         caption: str = "DUMMY TEST",
         seed: int = 0,
         n_classes: int | None = None,
+        # ControlNet fixtures: (H, W, C) of the pixel-space hint (e.g.
+        # 8x the latent sample_size for an SD-class VAE)
+        control_size: tuple[int, ...] | None = None,
         **kwargs,
     ):
         self.sample_size = tuple(sample_size)
@@ -99,6 +106,15 @@ class DummyDataset(UwUBaseDataset):
         self.labels = (
             rng.integers(0, n_classes, size=n_samples).astype(np.int32)
             if n_classes
+            else None
+        )
+        self.control_size = tuple(control_size) if control_size else None
+        self.controls = (
+            [
+                rng.standard_normal(self.control_size).astype(np.float32)
+                for _ in range(n_samples)
+            ]
+            if self.control_size
             else None
         )
 
@@ -120,6 +136,8 @@ class DummyDataset(UwUBaseDataset):
         }
         if self.labels is not None:
             item["class_label"] = int(self.labels[index])
+        if self.controls is not None:
+            item["control_cond"] = self.controls[index]
         return item
 
 

@@ -1,4 +1,9 @@
 from uwudiff_tpu.models.unet import UNet2DConditionModel, UNET_PRESETS
+from uwudiff_tpu.models.controlnet import (
+    build_controlnet_unet_fn,
+    controlnet_from_unet,
+    controlnet_params_from_unet,
+)
 from uwudiff_tpu.models.vae import AutoencoderKL
 from uwudiff_tpu.models.text_encoders import ConcatTextEncoders, TextModelExtraConfig
 from uwudiff_tpu.models.dit import DiT, DIT_PRESETS
@@ -6,6 +11,9 @@ from uwudiff_tpu.models.mmdit import MMDiT, MMDIT_PRESETS
 
 __all__ = [
     "UNet2DConditionModel",
+    "build_controlnet_unet_fn",
+    "controlnet_from_unet",
+    "controlnet_params_from_unet",
     "UNET_PRESETS",
     "AutoencoderKL",
     "ConcatTextEncoders",

@@ -83,6 +83,15 @@ class UNet2DConditionModel(nn.Module):
     # copies (cuts SDXL cold-compile; params gain a leading layer axis,
     # see models.import_torch.stack_block_params)
     scan_transformer_blocks: bool = False
+    # ControlNet mode (Zhang et al. 2023; beyond the reference): run
+    # ONLY conv_in + down path + mid block — module names identical to
+    # the full UNet so a trained UNet's params initialize it directly
+    # (models/controlnet.py) — add a zero-init hint-encoder after
+    # conv_in, and return one zero-init 1x1-conv residual per skip plus
+    # the mid residual instead of a denoised prediction.
+    controlnet_mode: bool = False
+    # hint-encoder channel ramp (pixel-space hint -> conv_in width)
+    conditioning_embedding_channels: Sequence[int] = (16, 32, 96, 256)
     dtype: Any = jnp.float32
 
     @classmethod
@@ -107,6 +116,11 @@ class UNet2DConditionModel(nn.Module):
         encoder_attention_mask: jnp.ndarray | None = None,  # [B, S]
         added_cond: dict[str, jnp.ndarray] | None = None,
         position_map: jnp.ndarray | None = None,
+        # ControlNet integration: pixel-space hint (controlnet_mode) or
+        # residuals produced by a controlnet (full-UNet mode)
+        controlnet_cond: jnp.ndarray | None = None,  # [B, H*f, W*f, 3]
+        down_block_additional_residuals: Sequence[jnp.ndarray] | None = None,
+        mid_block_additional_residual: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         n_blocks = len(self.block_out_channels)
         tf_layers = _per_block(self.transformer_layers_per_block, n_blocks)
@@ -185,6 +199,45 @@ class UNet2DConditionModel(nn.Module):
             name="conv_in",
         )(sample)
 
+        if self.controlnet_mode:
+            assert controlnet_cond is not None, (
+                "controlnet_mode=True needs controlnet_cond (the "
+                "pixel-space hint image)"
+            )
+            # hint encoder: stride-2 conv ramp down to latent resolution,
+            # zero-init final conv (the controlnet starts as a no-op)
+            c = controlnet_cond.astype(self.dtype)
+            chans = tuple(self.conditioning_embedding_channels)
+            c = nn.Conv(
+                chans[0], (3, 3), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, name="cond_embed_in",
+            )(c)
+            c = nn.silu(c)
+            for k in range(len(chans) - 1):
+                c = nn.Conv(
+                    chans[k], (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name=f"cond_embed_{k}a",
+                )(c)
+                c = nn.silu(c)
+                c = nn.Conv(
+                    chans[k + 1], (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name=f"cond_embed_{k}b",
+                )(c)
+                c = nn.silu(c)
+            c = nn.Conv(
+                self.block_out_channels[0], (3, 3),
+                padding=((1, 1), (1, 1)), kernel_init=zero_init,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype, name="cond_embed_out",
+            )(c)
+            assert c.shape == h.shape, (
+                f"hint embedding {c.shape} must match conv_in output "
+                f"{h.shape}: the hint must be the latent resolution x "
+                f"2^(len(conditioning_embedding_channels)-1)"
+            )
+            h = h + c
+
         # --- down path ---
         skips = [h]
         for i, (block_type, out_ch) in enumerate(
@@ -228,6 +281,19 @@ class UNet2DConditionModel(nn.Module):
                 )
                 skips.append(h)
 
+        if down_block_additional_residuals is not None:
+            # controlnet residuals ride the SKIP copies only (the
+            # running activation into the mid block is untouched;
+            # the mid residual covers it) — diffusers semantics
+            assert len(down_block_additional_residuals) == len(skips), (
+                f"expected {len(skips)} down residuals, got "
+                f"{len(down_block_additional_residuals)}"
+            )
+            skips = [
+                s + r.astype(s.dtype)
+                for s, r in zip(skips, down_block_additional_residuals)
+            ]
+
         # --- mid block ---
         mid_ch = self.block_out_channels[-1]
         h = block_cls["resnet"](
@@ -261,6 +327,28 @@ class UNet2DConditionModel(nn.Module):
             dtype=self.dtype,
             name="mid_res_1",
         )(h, emb)
+
+        if self.controlnet_mode:
+            # zero-init 1x1 heads: the controlnet is an exact no-op at
+            # init, so plugging it into a trained UNet changes nothing
+            # until the zero convs learn
+            down_res = tuple(
+                nn.Conv(
+                    s.shape[-1], (1, 1), kernel_init=zero_init,
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
+                    name=f"controlnet_down_{k}",
+                )(s).astype(jnp.float32)
+                for k, s in enumerate(skips)
+            )
+            mid_res = nn.Conv(
+                h.shape[-1], (1, 1), kernel_init=zero_init,
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name="controlnet_mid",
+            )(h).astype(jnp.float32)
+            return down_res, mid_res
+
+        if mid_block_additional_residual is not None:
+            h = h + mid_block_additional_residual.astype(h.dtype)
 
         # --- up path (mirrors down, +1 resnet per block, skip concat) ---
         up_block_types = tuple(reversed(self.down_block_types))

@@ -1,4 +1,5 @@
 from uwudiff_tpu.training.trainer import DMTrainer, TrainState
+from uwudiff_tpu.training.controlnet import ControlNetTrainer
 from uwudiff_tpu.training.distill import (
     ConsistencyDistillLoss,
     LCMDistillTrainer,
@@ -14,6 +15,7 @@ from uwudiff_tpu.training.lr_schedules import (
 __all__ = [
     "DMTrainer",
     "TrainState",
+    "ControlNetTrainer",
     "ConsistencyDistillLoss",
     "LCMDistillTrainer",
     "boundary_scalings",

@@ -284,16 +284,9 @@ class DMTrainer:
             unet_params, self._unet_load, self.unet
         )
 
-        if self.adapter_config is not None:
-            from uwudiff_tpu.training.adapters import LycorisAdapter
-
-            self.adapter = LycorisAdapter.create(
-                self.unet, unet_params, self.adapter_config, rng=r_lat
-            )
-            frozen["unet_base"] = unet_params
-            train_params = self.adapter.params
-        else:
-            train_params = unet_params
+        train_params, frozen = self._select_trainable_params(
+            unet_params, frozen, batch, (lat, t0, emb, mask, added), r_lat
+        )
 
         if self.param_dtype is not None:
             store_dtype = jnp.dtype(self.param_dtype)
@@ -326,6 +319,25 @@ class DMTrainer:
         # restore/resume sees consistent shardings
         self.state_sharding = fsdp_param_sharding(state, self.mesh)
         self.state = jax.device_put(state, self.state_sharding)
+
+    def _select_trainable_params(
+        self, unet_params, frozen, batch, init_args, rng
+    ):
+        """Choose the trainable tree from the initialized UNet params
+        (hook for subclasses — e.g. ControlNetTrainer trains a side
+        network and freezes the UNet). Default: adapters if configured,
+        else the UNet params themselves. ``init_args`` is the
+        ``(lat, t0, emb, mask, added)`` tuple the UNet was initialized
+        with, for subclasses that must init additional modules."""
+        if self.adapter_config is not None:
+            from uwudiff_tpu.training.adapters import LycorisAdapter
+
+            self.adapter = LycorisAdapter.create(
+                self.unet, unet_params, self.adapter_config, rng=rng
+            )
+            frozen["unet_base"] = unet_params
+            return self.adapter.params, frozen
+        return unet_params, frozen
 
     def _added_cond(self, batch, pooled, n=None):
         kind = getattr(self.unet, "addition_embed_type", None)
