@@ -46,12 +46,17 @@ DEFAULT_BLOCK_Q = 512  # larger Q tiles halve K/V re-reads across the grid
 DEFAULT_BLOCK_K = 2048
 NEG_INF = -1e30
 
-# measured winners from scripts/flash_tune.py (v5e, bf16, fwd+bwd):
+# measured winners from scripts/flash_tune.py (v5e, bf16, fwd+bwd,
+# probe-validated chained timer — hw_logs/flash_tune4.log):
 # (sq_bucket, sk_bucket) -> (block_q, block_k) where buckets are
-# "rounded up to the nearest entry" — head_dim proved not to move the
-# optimum in the sweep, so the key is sequence-only. Empty entries fall
-# through to the defaults above.
-BLOCK_TABLE: dict[tuple[int, int], tuple[int, int]] = {}
+# "rounded up to the nearest entry". (1024, 1024) beat the (512, 2048)
+# defaults at both measured SDXL self-attn shapes (2.15 vs 2.17 ms at
+# seq 1024; 12.76 vs 13.15 at 4096). Unmeasured shapes fall through to
+# the defaults above.
+BLOCK_TABLE: dict[tuple[int, int], tuple[int, int]] = {
+    (1024, 1024): (1024, 1024),
+    (4096, 4096): (1024, 1024),
+}
 
 
 def _pick_blocks(sq: int, sk: int) -> tuple[int, int]:
@@ -78,22 +83,21 @@ def flash_shape_supported(q, k, v) -> bool:
         return False
     if k.shape[1] < 128:
         # Short keys with a long query: UNet cross-attention, Sk=77 text
-        # tokens vs image tokens. The kernel pads K/V to one block and
-        # never materializes the [B, H, Sq, Sk] logits. Where that
-        # matters is long queries — at 1024px (Sq 4096/16384) the fp32
-        # logits are 100-400MB/layer, far beyond what XLA's memory-space
-        # assignment can keep in VMEM, so the einsum path is truly
-        # HBM-bound. At the 512px bench shapes (Sq 1024/256) the
-        # space-aware profile shows MSA already keeps those logits in
-        # VMEM (0.13GB true HBM), so XLA stays the default there.
-        # UWU_FLASH_XATTN=1 forces the kernel for any Sq>=128, =0
-        # disables it entirely (A/B via scripts/xattn_bench.py).
+        # tokens vs image tokens. MEASURED verdict (round-3 stage-4
+        # re-run with the probe-validated chained timer,
+        # hw_logs/xattn4_*.log): XLA wins at EVERY shape — flash is
+        # 3-14x slower (e.g. sd15_lvl0 1024px fwd+bwd 1.75ms XLA vs
+        # 5.59ms flash; boundary sq2048 fwd 0.058 vs 0.811) because the
+        # kernel pads Sk=77 K/V to a full block and its grid spends MXU
+        # cycles on padding, while XLA's einsum handles the thin
+        # [*, 77] contraction near peak. The earlier Sq>=2048 default
+        # rested on the VOID pre-probe timings. XLA is the default
+        # everywhere; UWU_FLASH_XATTN=1 still forces the kernel for
+        # A/B re-measurement (scripts/xattn_bench.py).
         import os
 
         mode = os.environ.get("UWU_FLASH_XATTN", "")
-        if k.shape[1] < 32 or mode == "0":
-            return False
-        if mode != "1" and q.shape[1] < 2048:
+        if k.shape[1] < 32 or mode != "1":
             return False
     if q.dtype not in (jnp.float32, jnp.bfloat16):
         return False
