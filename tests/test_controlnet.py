@@ -240,3 +240,44 @@ def test_controlnet_sampling_end_to_end():
     )
     assert latents.shape == (2, 8, 8, 4)
     assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_controlnet_import_roundtrip():
+    """controlnet_key_map covers every param: trunk via UNet/diffusers
+    names, hint encoder + zero convs via diffusers ControlNetModel
+    names; synth-torch round trip is exact."""
+    from uwudiff_tpu.models.import_torch import (
+        controlnet_key_map,
+        import_params,
+    )
+    from tests.test_import_torch import _synth_torch_sd
+
+    unet = UNet2DConditionModel.from_config("tiny", zero_init_stddev=-1.0)
+    cn = controlnet_from_unet(
+        unet, conditioning_embedding_channels=(8, 16, 24)
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 5, 32))
+    hint = jnp.zeros((1, 32, 32, 3))  # latent x 2^(3-1)
+    params = cn.init(
+        rng, x, jnp.zeros((1,)), ctx, None, None, controlnet_cond=hint
+    )["params"]
+
+    sd = _synth_torch_sd(params, controlnet_key_map)
+    assert any(
+        k.startswith("controlnet_cond_embedding.blocks.") for k in sd
+    )
+    assert "controlnet_cond_embedding.conv_in.weight" in sd
+    assert "controlnet_cond_embedding.conv_out.weight" in sd
+    assert "controlnet_mid_block.weight" in sd
+    assert any(k.startswith("controlnet_down_blocks.") for k in sd)
+    assert any(k.startswith("down_blocks.") for k in sd)  # trunk
+
+    zeros = jax.tree_util.tree_map(lambda v: jnp.zeros_like(v), params)
+    imported = import_params(zeros, sd, controlnet_key_map)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(imported),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

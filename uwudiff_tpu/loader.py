@@ -97,6 +97,7 @@ def apply_load_config(
         else:
             from uwudiff_tpu.models.import_torch import (
                 clip_text_key_map,
+                controlnet_key_map,
                 dit_key_map,
                 extract_state_dict,
                 import_params,
@@ -112,6 +113,7 @@ def apply_load_config(
             importer = cfg.importer or _auto_importer(module)
             key_map = {
                 "unet": unet_key_map,
+                "controlnet": controlnet_key_map,
                 "vae": vae_key_map,
                 "clip": clip_text_key_map,
                 "dit": dit_key_map,

@@ -26,6 +26,7 @@ __all__ = [
     "import_params",
     "export_params",
     "unet_key_map",
+    "controlnet_key_map",
     "vae_key_map",
     "clip_text_key_map",
     "clip_vision_key_map",
@@ -317,6 +318,48 @@ def dit_key_map(our_path: str):
                 key = key.replace("{leaf}", leaf)
             return key, tr
     raise KeyError(f"no torch mapping for DiT param {our_path!r}")
+
+
+# ControlNet-only modules (models/controlnet.py); the trunk reuses the
+# UNet rules — diffusers' ControlNetModel keeps the UNet encoder names.
+# diffusers' conditioning embedding: conv_in, blocks.{2k}=ch_k->ch_k,
+# blocks.{2k+1}=ch_k->ch_{k+1} stride 2, conv_out (zero-init) — our
+# cond_embed_in / cond_embed_{k}a / cond_embed_{k}b / cond_embed_out.
+_CONTROLNET_RULES: list[tuple[str, str, Callable]] = [
+    (r"^cond_embed_in/kernel$",
+     "controlnet_cond_embedding.conv_in.weight", _t_conv),
+    (r"^cond_embed_in/bias$",
+     "controlnet_cond_embedding.conv_in.bias", _identity),
+    (r"^cond_embed_out/kernel$",
+     "controlnet_cond_embedding.conv_out.weight", _t_conv),
+    (r"^cond_embed_out/bias$",
+     "controlnet_cond_embedding.conv_out.bias", _identity),
+    (r"^controlnet_mid/kernel$", "controlnet_mid_block.weight", _t_conv),
+    (r"^controlnet_mid/bias$", "controlnet_mid_block.bias", _identity),
+]
+
+
+def controlnet_key_map(our_path: str, use_linear_projection: bool = True):
+    """``models/controlnet.py`` paths -> diffusers ``ControlNetModel``
+    keys. The trunk (conv_in/time/add embeddings/down_*/mid_*) shares
+    the UNet rules; hint encoder and zero-conv heads map here."""
+    for pat, repl, tr in _CONTROLNET_RULES:
+        if re.match(pat, our_path):
+            return re.sub(pat, repl, our_path), tr
+    m = re.match(r"^cond_embed_(\d+)([ab])/(kernel|bias)$", our_path)
+    if m:
+        k, half, leaf = int(m.group(1)), m.group(2), m.group(3)
+        idx = 2 * k + (1 if half == "b" else 0)
+        suffix = "weight" if leaf == "kernel" else "bias"
+        tr = _t_conv if leaf == "kernel" else _identity
+        return f"controlnet_cond_embedding.blocks.{idx}.{suffix}", tr
+    m = re.match(r"^controlnet_down_(\d+)/(kernel|bias)$", our_path)
+    if m:
+        k, leaf = int(m.group(1)), m.group(2)
+        suffix = "weight" if leaf == "kernel" else "bias"
+        tr = _t_conv if leaf == "kernel" else _identity
+        return f"controlnet_down_blocks.{k}.{suffix}", tr
+    return unet_key_map(our_path, use_linear_projection)
 
 
 def t5_key_map(our_path: str):
