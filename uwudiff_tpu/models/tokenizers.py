@@ -97,6 +97,9 @@ class CLIPBPETokenizer:
         self.pad_token_id = self.encoder[self.pad_token]
         self.vocab_size = len(self.encoder)
         self._bpe_cache: dict[str, list[str]] = {}
+        # textual-inversion placeholders: exact-string -> id expansion,
+        # matched before BPE (see add_placeholder)
+        self.added_tokens: dict[str, list[int]] = {}
 
         self._pattern = regex.compile(
             r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
@@ -136,8 +139,29 @@ class CLIPBPETokenizer:
         self._bpe_cache[token] = parts
         return parts
 
+    def add_placeholder(self, token: str, ids: list[int]) -> None:
+        """Register a textual-inversion placeholder: every exact
+        occurrence of ``token`` expands to ``ids`` (bypassing BPE)."""
+        self.added_tokens[str(token)] = [int(i) for i in ids]
+
     def tokenize(self, text: str) -> list[int]:
         """Raw BPE ids for one string, no special tokens."""
+        if self.added_tokens:
+            import re as _re
+
+            pattern = (
+                "(" + "|".join(map(_re.escape, self.added_tokens)) + ")"
+            )
+            ids: list[int] = []
+            for part in _re.split(pattern, text):
+                if part in self.added_tokens:
+                    ids.extend(self.added_tokens[part])
+                elif part.strip():
+                    ids.extend(self._tokenize_plain(part))
+            return ids
+        return self._tokenize_plain(text)
+
+    def _tokenize_plain(self, text: str) -> list[int]:
         text = self._ws.sub(" ", text).strip().lower()
         ids: list[int] = []
         unk = self.encoder.get(self.eos_token)
@@ -205,6 +229,22 @@ class SimpleTokenizer:
         self.eos_token_id = eos_token_id
         self.pad_token = "<pad>"
         self.eos_token = "<eos>"
+        self.added_tokens: dict[str, list[int]] = {}
+
+    def add_placeholder(self, token: str, ids: list[int]) -> None:
+        """Register a textual-inversion placeholder word."""
+        self.added_tokens[str(token)] = [int(i) for i in ids]
+
+    def tokenize(self, text: str) -> list[int]:
+        """Raw word ids, no special tokens (API parity with the BPE
+        tokenizer)."""
+        ids: list[int] = []
+        for w in text.lower().split():
+            if w in self.added_tokens:
+                ids.extend(self.added_tokens[w])
+            else:
+                ids.append(self._word_id(w))
+        return ids
 
     def _word_id(self, word: str) -> int:
         h = int.from_bytes(
@@ -226,7 +266,11 @@ class SimpleTokenizer:
         ids_batch, mask_batch = [], []
         for t in text:
             ids = [self.bos_token_id]
-            ids += [self._word_id(w) for w in t.lower().split()]
+            for w in t.lower().split():
+                if w in self.added_tokens:
+                    ids.extend(self.added_tokens[w])
+                else:
+                    ids.append(self._word_id(w))
             ids.append(self.eos_token_id)
             if truncation and len(ids) > max_length:
                 ids = ids[: max_length - 1] + [self.eos_token_id]

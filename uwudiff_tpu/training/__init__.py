@@ -1,5 +1,6 @@
 from uwudiff_tpu.training.trainer import DMTrainer, TrainState
 from uwudiff_tpu.training.controlnet import ControlNetTrainer
+from uwudiff_tpu.training.textual_inversion import TextualInversionTrainer
 from uwudiff_tpu.training.distill import (
     ConsistencyDistillLoss,
     LCMDistillTrainer,
@@ -16,6 +17,7 @@ __all__ = [
     "DMTrainer",
     "TrainState",
     "ControlNetTrainer",
+    "TextualInversionTrainer",
     "ConsistencyDistillLoss",
     "LCMDistillTrainer",
     "boundary_scalings",
