@@ -80,6 +80,14 @@ class DiffusionLoss:
     prediction_type: str | None = None
     target_type: str | None = None
     loss_type: str = "mse"
+    # noise offset (community fine-tune staple): shift the noise by a
+    # per-(sample, channel) constant so the model learns to move image
+    # MEANS — fixes washed-out very-dark/bright generations
+    noise_offset: float = 0.0
+    # input perturbation (kohya-style): the model INPUT is noised with
+    # noise + gamma * fresh_noise while the target keeps the original
+    # noise — a regularizer against sampler-step error accumulation
+    input_perturbation: float = 0.0
 
     def __post_init__(self):
         if self.prediction_type is None:
@@ -183,13 +191,32 @@ class DiffusionLoss:
 
     # --- main entry (``loss/diffusion.py:169-193``) ---
 
+    def sample_noise(self, rng, x):
+        """Gaussian noise, optionally mean-shifted per (sample, channel)
+        by ``noise_offset`` (NHWC: the offset broadcasts over H, W).
+        Bitwise-identical to plain normal sampling when the offset is 0
+        (the extra key is derived by fold_in, not by changing splits)."""
+        noise = jax.random.normal(rng, x.shape, x.dtype)
+        if self.noise_offset:
+            off_shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+            noise = noise + self.noise_offset * jax.random.normal(
+                jax.random.fold_in(rng, 1), off_shape, x.dtype
+            )
+        return noise
+
     def __call__(
         self, rng, x: jnp.ndarray, model_fn: ModelFn, **model_kwargs: Any
     ) -> tuple[jnp.ndarray, DiffusionLossAux]:
         rng_t, rng_n = jax.random.split(rng)
-        noise = jax.random.normal(rng_n, x.shape, x.dtype)
+        noise = self.sample_noise(rng_n, x)
         timesteps, sigmas = self.sample_timesteps_and_sigmas(rng_t, x.shape[0])
-        noisy_latent = self.noise_latents(x, noise, sigmas)
+        if self.input_perturbation:
+            input_noise = noise + self.input_perturbation * jax.random.normal(
+                jax.random.fold_in(rng_n, 2), x.shape, x.dtype
+            )
+        else:
+            input_noise = noise
+        noisy_latent = self.noise_latents(x, input_noise, sigmas)
 
         model_output = model_fn(noisy_latent, timesteps, **model_kwargs)
 

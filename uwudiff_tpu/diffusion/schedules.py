@@ -57,6 +57,30 @@ class NoiseSchedule:
             prediction_type=prediction_type,
         )
 
+    def rescale_zero_terminal_snr(self) -> "NoiseSchedule":
+        """Zero-terminal-SNR rescale (Lin et al. 2023, "Common Diffusion
+        Noise Schedules and Sample Steps are Flawed"): shift+scale
+        sqrt(alphas_cumprod) so the FIRST value is preserved and the
+        LAST becomes 0 — the model then actually sees pure noise at
+        t=T. Meant for v-prediction (the epsilon target is undefined at
+        SNR 0). The terminal alphas_cumprod is clamped to 2^-24 instead
+        of exact 0 so the sigma machinery (log-sigmas, k-diffusion
+        wrappers) stays finite: sigma_max ~ 4096 instead of inf.
+        """
+        sqrt_acp = np.sqrt(np.asarray(self.alphas_cumprod, np.float64))
+        s0, sT = sqrt_acp[0], sqrt_acp[-1]
+        sqrt_acp = (sqrt_acp - sT) * s0 / (s0 - sT)
+        acp = np.maximum(sqrt_acp**2, 2.0**-24)
+        alphas = np.empty_like(acp)
+        alphas[0] = acp[0]
+        alphas[1:] = acp[1:] / acp[:-1]
+        betas = 1.0 - alphas
+        return type(self)(
+            alphas_cumprod=jnp.asarray(acp, jnp.float32),
+            betas=jnp.asarray(betas, jnp.float32),
+            prediction_type=self.prediction_type,
+        )
+
     @classmethod
     def ddpm(
         cls,
@@ -65,6 +89,7 @@ class NoiseSchedule:
         beta_end: float = 0.012,
         beta_schedule: str = "scaled_linear",
         prediction_type: str = "epsilon",
+        rescale_zero_terminal_snr: bool = False,
     ) -> "NoiseSchedule":
         """DDPM beta schedules with diffusers' conventions.
 
@@ -104,7 +129,10 @@ class NoiseSchedule:
             )
         else:
             raise ValueError(f"Unknown beta schedule {beta_schedule!r}")
-        return cls.from_betas(betas, prediction_type=prediction_type)
+        sched = cls.from_betas(betas, prediction_type=prediction_type)
+        if rescale_zero_terminal_snr:
+            sched = sched.rescale_zero_terminal_snr()
+        return sched
 
     @classmethod
     def from_logsnr(

@@ -122,7 +122,24 @@ def encode_cfg_inputs(
     }
 
 
-def build_cfg_fn(unet: Callable, enc: dict, cfg: float) -> Callable:
+def apply_cfg_rescale(cfg_output, cond, rescale: float):
+    """CFG rescale (Lin et al. 2023 §3.4): renormalize the guided
+    output's per-sample std to the conditional prediction's std, then
+    blend by ``rescale`` (phi). Counters the over-saturation/contrast
+    blowup of high guidance scales, especially with v-prediction +
+    zero-terminal-SNR schedules. ``rescale == 0`` is plain CFG."""
+    if rescale == 0.0:
+        return cfg_output
+    dims = tuple(range(1, cfg_output.ndim))
+    std_cond = jnp.std(cond, axis=dims, keepdims=True)
+    std_cfg = jnp.std(cfg_output, axis=dims, keepdims=True)
+    rescaled = cfg_output * (std_cond / jnp.maximum(std_cfg, 1e-8))
+    return rescale * rescaled + (1.0 - rescale) * cfg_output
+
+
+def build_cfg_fn(
+    unet: Callable, enc: dict, cfg: float, cfg_rescale: float = 0.0
+) -> Callable:
     """Device-side half: the doubled-batch model fn (``cfg.py:113-126``).
     Safe to call inside jit (``enc`` tensors may be traced arguments —
     this is how large params avoid being baked into the program as
@@ -164,6 +181,7 @@ def build_cfg_fn(unet: Callable, enc: dict, cfg: float) -> Callable:
         )
         cond, uncond = jnp.split(out, 2)
         cfg_output = uncond + (cond - uncond) * cfg
+        cfg_output = apply_cfg_rescale(cfg_output, cond, cfg_rescale)
         return cfg_output, uncond
 
     return cfg_fn
@@ -190,6 +208,7 @@ def build_class_cfg_fn(
     class_labels: jnp.ndarray,  # [N] int
     null_label: int,
     cfg: float,
+    cfg_rescale: float = 0.0,
 ) -> Callable:
     """Class-label CFG for the DiT family: the unconditional branch is
     the learned null-class embedding (index ``num_classes``, the same
@@ -218,6 +237,7 @@ def build_class_cfg_fn(
             class_labels=labels2,
         )
         cond, uncond = jnp.split(out, 2)
-        return uncond + (cond - uncond) * cfg, uncond
+        cfg_output = uncond + (cond - uncond) * cfg
+        return apply_cfg_rescale(cfg_output, cond, cfg_rescale), uncond
 
     return cfg_fn

@@ -40,6 +40,7 @@ def diffusion_sampling(
     num_samples: int = 1,
     padding_mode: Literal["repeat_last", "cycling", "uniform_expansion"] = "cycling",
     cfg_scale: float = 3.0,
+    cfg_rescale: float = 0.0,  # Lin et al. guidance rescale (phi)
     seed: int = 42,
     width: int = 1024,
     height: int = 1024,
@@ -92,7 +93,7 @@ def diffusion_sampling(
         model_wrapper = denoiser_cls(
             model_fn=eps_fn, schedule=train_schedule, quantize=False
         )
-        return build_cfg_fn(model_wrapper, enc, cfg_scale)
+        return build_cfg_fn(model_wrapper, enc, cfg_scale, cfg_rescale)
 
     sample_schedule = sample_schedule or train_schedule
     if get_sigma_func is None:
@@ -141,6 +142,7 @@ def class_conditional_sampling(
     sample_schedule: NoiseSchedule | None = None,
     get_sigma_func: Callable | None = None,
     cfg_scale: float = 4.0,
+    cfg_rescale: float = 0.0,
     seed: int = 42,
     width: int = 256,
     height: int = 256,
@@ -178,7 +180,7 @@ def class_conditional_sampling(
             model_fn=eps_fn, schedule=train_schedule, quantize=False
         )
         return build_class_cfg_fn(
-            model_wrapper, class_labels, null_label, cfg_scale
+            model_wrapper, class_labels, null_label, cfg_scale, cfg_rescale
         )
 
     sample_schedule = sample_schedule or train_schedule
