@@ -67,6 +67,10 @@ class UwUBaseDataset:
             out["control_cond"] = np.stack(
                 [x["control_cond"] for x in batch]
             ).astype(np.float32)
+        if "ip_embed" in batch[0]:  # IP-Adapter image embeddings
+            out["ip_embeds"] = np.stack(
+                [x["ip_embed"] for x in batch]
+            ).astype(np.float32)
         return out
 
 
@@ -89,6 +93,8 @@ class DummyDataset(UwUBaseDataset):
         # ControlNet fixtures: (H, W, C) of the pixel-space hint (e.g.
         # 8x the latent sample_size for an SD-class VAE)
         control_size: tuple[int, ...] | None = None,
+        # IP-Adapter fixtures: width of the per-item image embedding
+        ip_embed_dim: int | None = None,
         **kwargs,
     ):
         self.sample_size = tuple(sample_size)
@@ -117,6 +123,14 @@ class DummyDataset(UwUBaseDataset):
             if self.control_size
             else None
         )
+        self.ip_embeds = (
+            [
+                rng.standard_normal((ip_embed_dim,)).astype(np.float32)
+                for _ in range(n_samples)
+            ]
+            if ip_embed_dim
+            else None
+        )
 
     def __len__(self):
         return len(self.samples)
@@ -138,6 +152,8 @@ class DummyDataset(UwUBaseDataset):
             item["class_label"] = int(self.labels[index])
         if self.controls is not None:
             item["control_cond"] = self.controls[index]
+        if self.ip_embeds is not None:
+            item["ip_embed"] = self.ip_embeds[index]
         return item
 
 

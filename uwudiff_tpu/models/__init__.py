@@ -1,4 +1,8 @@
 from uwudiff_tpu.models.unet import UNet2DConditionModel, UNET_PRESETS
+from uwudiff_tpu.models.ip_adapter import (
+    ImageProjection,
+    build_ip_unet_fn,
+)
 from uwudiff_tpu.models.controlnet import (
     build_controlnet_unet_fn,
     controlnet_from_unet,
@@ -12,6 +16,8 @@ from uwudiff_tpu.models.mmdit import MMDiT, MMDIT_PRESETS
 __all__ = [
     "UNet2DConditionModel",
     "build_controlnet_unet_fn",
+    "ImageProjection",
+    "build_ip_unet_fn",
     "controlnet_from_unet",
     "controlnet_params_from_unet",
     "UNET_PRESETS",

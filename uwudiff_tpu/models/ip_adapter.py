@@ -1,0 +1,127 @@
+"""IP-Adapter (Ye et al. 2023): image-prompt conditioning.
+
+Beyond-the-reference capability. The decoupled cross-attention lives in
+``models/transformer.py::Attention`` (``to_k_ip``/``to_v_ip``, zero-init
+value projection -> exact no-op at init); this module holds the image
+projection that turns a CLIP image embedding into ``num_tokens``
+context-dim tokens, the param-tree partition helpers the trainer uses,
+and the sampler-side ``build_ip_unet_fn``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "ImageProjection",
+    "partition_by_path",
+    "merge_overlay",
+    "build_ip_unet_fn",
+]
+
+
+class ImageProjection(nn.Module):
+    """CLIP image embedding [B, D] -> [B, num_tokens, cross_dim]
+    (linear + reshape + LayerNorm, the original IP-Adapter projection)."""
+
+    cross_attention_dim: int
+    num_tokens: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embeds: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(
+            self.num_tokens * self.cross_attention_dim,
+            dtype=self.dtype,
+            name="proj",
+        )(image_embeds.astype(self.dtype))
+        x = x.reshape(
+            image_embeds.shape[0], self.num_tokens, self.cross_attention_dim
+        )
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+def partition_by_path(tree, pred: Callable[[str], bool]):
+    """Split a nested-dict param tree into (selected, rest) by a
+    predicate over '/'-joined paths. Both keep the nested structure
+    (empty subtrees pruned)."""
+
+    def walk(node, prefix):
+        sel, rest = {}, {}
+        for k, v in node.items():
+            path = f"{prefix}/{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                s, r = walk(v, path)
+                if s:
+                    sel[k] = s
+                if r:
+                    rest[k] = r
+            elif pred(path):
+                sel[k] = v
+            else:
+                rest[k] = v
+        return sel, rest
+
+    return walk(tree, "")
+
+
+def merge_overlay(base, overlay):
+    """Recursive dict merge: overlay leaves replace base leaves (the
+    inverse of :func:`partition_by_path`)."""
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_overlay(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def is_ip_param(path: str) -> bool:
+    return "to_k_ip" in path or "to_v_ip" in path
+
+
+def build_ip_unet_fn(
+    unet,
+    image_proj: ImageProjection,
+    uncond_zero_embeds: bool = True,
+) -> Callable:
+    """A ``unet_fn(params, x, t, ctx, mask, added)`` for the sampling
+    entry points; ``params = {"unet", "image_proj", "ip_embeds"}``.
+
+    Under CFG the incoming batch is the doubled [cond | uncond] stack —
+    the conditional half gets the projected image tokens, the
+    unconditional half gets the projection of ZERO embeddings (the
+    diffusers negative-image convention) unless
+    ``uncond_zero_embeds=False`` (image tokens on both halves).
+    """
+
+    def unet_fn(params, x, t, ctx, mask, added):
+        embeds = params["ip_embeds"]
+        n = embeds.shape[0]
+        tokens = image_proj.apply({"params": params["image_proj"]}, embeds)
+        if x.shape[0] == 2 * n:  # CFG doubled batch: [cond | uncond]
+            if uncond_zero_embeds:
+                neg = image_proj.apply(
+                    {"params": params["image_proj"]},
+                    jnp.zeros_like(embeds),
+                )
+            else:
+                neg = tokens
+            tokens = jnp.concatenate([tokens, neg])
+        else:
+            assert x.shape[0] == n, (
+                f"ip_embeds batch {n} does not match model batch "
+                f"{x.shape[0]} (or its CFG double)"
+            )
+        return unet.apply(
+            {"params": params["unet"]},
+            x, t, ctx, mask, added,
+            ip_hidden_states=tokens,
+        )
+
+    return unet_fn

@@ -53,6 +53,12 @@ class Attention(nn.Module):
     # one HBM read of the activations. Param names become to_qkv / to_kv;
     # the torch importer concatenates the separate diffusers tensors.
     fused_qkv: bool = False
+    # IP-Adapter (Ye et al. 2023) decoupled cross-attention: when
+    # ``ip_hidden_states`` (image-prompt tokens) are passed to a
+    # cross-attention call, extra to_k_ip/to_v_ip projections attend the
+    # SAME query over them and the result adds (scaled) before to_out.
+    # to_v_ip is zero-init so the adapter is an exact no-op at init.
+    ip_scale: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -62,6 +68,7 @@ class Attention(nn.Module):
         encoder_hidden_states: jnp.ndarray | None = None,  # [B, Sk, Ck]
         attention_mask: jnp.ndarray | None = None,  # [B, Sk] key mask
         position_map: jnp.ndarray | None = None,  # [Sq, 2] axial positions
+        ip_hidden_states: jnp.ndarray | None = None,  # [B, n_ip, C_ip]
     ) -> jnp.ndarray:
         inner = self.num_heads * self.head_dim
         out_dim = self.out_dim or hidden_states.shape[-1]
@@ -113,6 +120,23 @@ class Attention(nn.Module):
 
         bias = attention_bias_from_mask(attention_mask, dtype=jnp.float32)
         out = dot_product_attention(q, k, v, bias=bias)
+
+        if ip_hidden_states is not None and not is_self:
+            # decoupled image-prompt attention, shared query
+            k_ip = nn.Dense(
+                inner, use_bias=False, dtype=self.dtype, name="to_k_ip"
+            )(ip_hidden_states)
+            v_ip = nn.Dense(
+                inner, use_bias=False, kernel_init=zero_init,
+                dtype=self.dtype, name="to_v_ip",
+            )(ip_hidden_states)
+            n_ip = k_ip.shape[1]
+            k_ip = k_ip.reshape(b, n_ip, self.num_heads, self.head_dim)
+            v_ip = v_ip.reshape(b, n_ip, self.num_heads, self.head_dim)
+            out = out + self.ip_scale * dot_product_attention(
+                q, k_ip, v_ip
+            )
+
         out = out.reshape(b, sq, inner)
         out = nn.Dense(
             out_dim,
@@ -161,6 +185,7 @@ class BasicTransformerBlock(nn.Module):
     only_cross_attention: bool = False
     out_init_stddev: float = -1.0
     fused_qkv: bool = False
+    ip_scale: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -170,6 +195,7 @@ class BasicTransformerBlock(nn.Module):
         encoder_hidden_states: jnp.ndarray | None = None,
         encoder_attention_mask: jnp.ndarray | None = None,
         position_map: jnp.ndarray | None = None,
+        ip_hidden_states: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         # 1. self-attention
         norm_hidden = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(hidden_states)
@@ -198,6 +224,7 @@ class BasicTransformerBlock(nn.Module):
                 use_rope=self.use_rope,
                 out_init_stddev=self.out_init_stddev,
                 fused_qkv=self.fused_qkv,
+                ip_scale=self.ip_scale,
                 dtype=self.dtype,
                 name="attn2",
             )(
@@ -205,6 +232,7 @@ class BasicTransformerBlock(nn.Module):
                 encoder_hidden_states,
                 attention_mask=encoder_attention_mask,
                 position_map=position_map,
+                ip_hidden_states=ip_hidden_states,
             )
             hidden_states = hidden_states + attn_out
 
@@ -261,6 +289,7 @@ class Transformer2DModel(nn.Module):
     remat_cell: bool = False
     remat_policy: str | None = None
     fused_qkv: bool = False
+    ip_scale: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -270,6 +299,7 @@ class Transformer2DModel(nn.Module):
         encoder_hidden_states: jnp.ndarray | None = None,
         encoder_attention_mask: jnp.ndarray | None = None,
         position_map: jnp.ndarray | None = None,
+        ip_hidden_states: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         b, h, w, c = hidden_states.shape
         inner = self.num_heads * self.head_dim
@@ -301,6 +331,7 @@ class Transformer2DModel(nn.Module):
             use_rope=self.use_rope,
             out_init_stddev=self.out_init_stddev,
             fused_qkv=self.fused_qkv,
+            ip_scale=self.ip_scale,
             dtype=self.dtype,
         )
         if self.scan_blocks and self.num_layers > 1:
@@ -322,13 +353,16 @@ class Transformer2DModel(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.num_layers,
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(
+                    nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
+                ),
             )(**block_kwargs, name="blocks")
             x, _ = scanned(
                 x,
                 encoder_hidden_states,
                 encoder_attention_mask,
                 position_map,
+                ip_hidden_states,
             )
         else:
             block_cls = BasicTransformerBlock
@@ -355,6 +389,7 @@ class Transformer2DModel(nn.Module):
                     encoder_hidden_states,
                     encoder_attention_mask,
                     position_map=position_map,
+                    ip_hidden_states=ip_hidden_states,
                 )
 
         if self.use_linear_projection:

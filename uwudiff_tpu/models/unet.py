@@ -92,6 +92,10 @@ class UNet2DConditionModel(nn.Module):
     controlnet_mode: bool = False
     # hint-encoder channel ramp (pixel-space hint -> conv_in width)
     conditioning_embedding_channels: Sequence[int] = (16, 32, 96, 256)
+    # IP-Adapter residual scale on every cross-attention (the decoupled
+    # image-prompt attention only activates when ip_hidden_states are
+    # passed at call time; see models/transformer.py::Attention)
+    ip_adapter_scale: float = 1.0
     dtype: Any = jnp.float32
 
     @classmethod
@@ -121,6 +125,7 @@ class UNet2DConditionModel(nn.Module):
         controlnet_cond: jnp.ndarray | None = None,  # [B, H*f, W*f, 3]
         down_block_additional_residuals: Sequence[jnp.ndarray] | None = None,
         mid_block_additional_residual: jnp.ndarray | None = None,
+        ip_hidden_states: jnp.ndarray | None = None,  # [B, n_ip, C_ctx]
     ) -> jnp.ndarray:
         n_blocks = len(self.block_out_channels)
         tf_layers = _per_block(self.transformer_layers_per_block, n_blocks)
@@ -266,6 +271,7 @@ class UNet2DConditionModel(nn.Module):
                         remat_cell=remat_cell,
                         remat_policy=self.remat_policy,
                         fused_qkv=self.fused_qkv,
+                        ip_scale=self.ip_adapter_scale,
                         dtype=self.dtype,
                         name=f"down_{i}_attn_{j}",
                     )(
@@ -273,6 +279,7 @@ class UNet2DConditionModel(nn.Module):
                         encoder_hidden_states,
                         encoder_attention_mask,
                         position_map,
+                        ip_hidden_states,
                     )
                 skips.append(h)
             if i < n_blocks - 1:
@@ -317,9 +324,16 @@ class UNet2DConditionModel(nn.Module):
                 remat_cell=remat_cell,
                 remat_policy=self.remat_policy,
                 fused_qkv=self.fused_qkv,
+                ip_scale=self.ip_adapter_scale,
                 dtype=self.dtype,
                 name="mid_attn",
-            )(h, encoder_hidden_states, encoder_attention_mask, position_map)
+            )(
+                h,
+                encoder_hidden_states,
+                encoder_attention_mask,
+                position_map,
+                ip_hidden_states,
+            )
         h = block_cls["resnet"](
             out_channels=mid_ch,
             groups=self.norm_num_groups,
@@ -381,6 +395,7 @@ class UNet2DConditionModel(nn.Module):
                         remat_cell=remat_cell,
                         remat_policy=self.remat_policy,
                         fused_qkv=self.fused_qkv,
+                        ip_scale=self.ip_adapter_scale,
                         dtype=self.dtype,
                         name=f"up_{i}_attn_{j}",
                     )(
@@ -388,6 +403,7 @@ class UNet2DConditionModel(nn.Module):
                         encoder_hidden_states,
                         encoder_attention_mask,
                         position_map,
+                        ip_hidden_states,
                     )
             if i < n_blocks - 1:
                 h = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)

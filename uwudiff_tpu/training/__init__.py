@@ -1,5 +1,6 @@
 from uwudiff_tpu.training.trainer import DMTrainer, TrainState
 from uwudiff_tpu.training.controlnet import ControlNetTrainer
+from uwudiff_tpu.training.ip_adapter import IPAdapterTrainer
 from uwudiff_tpu.training.textual_inversion import TextualInversionTrainer
 from uwudiff_tpu.training.distill import (
     ConsistencyDistillLoss,
@@ -18,6 +19,7 @@ __all__ = [
     "TrainState",
     "ControlNetTrainer",
     "TextualInversionTrainer",
+    "IPAdapterTrainer",
     "ConsistencyDistillLoss",
     "LCMDistillTrainer",
     "boundary_scalings",

@@ -277,9 +277,10 @@ class DMTrainer:
                 lat, t0, labels, train=True,
             )["params"]
         else:
-            unet_params = self.unet.init(r_unet, lat, t0, emb, mask, added)[
-                "params"
-            ]
+            unet_params = self.unet.init(
+                r_unet, lat, t0, emb, mask, added,
+                **self._extra_unet_inputs(lat, emb),
+            )["params"]
         unet_params = apply_load_config(
             unet_params, self._unet_load, self.unet
         )
@@ -319,6 +320,11 @@ class DMTrainer:
         # restore/resume sees consistent shardings
         self.state_sharding = fsdp_param_sharding(state, self.mesh)
         self.state = jax.device_put(state, self.state_sharding)
+
+    def _extra_unet_inputs(self, lat, emb) -> dict:
+        """Extra kwargs for the UNet init (hook: IPAdapterTrainer adds
+        ip_hidden_states so the adapter params get created)."""
+        return {}
 
     def _select_trainable_params(
         self, unet_params, frozen, batch, init_args, rng
