@@ -27,10 +27,10 @@ def test_shape_gate():
     # tiny sequences fall back to XLA
     q, k, v = _rand_qkv(sq=64, sk=64)
     assert not flash_shape_supported(q, k, v)
-    # short KV (cross-attention): XLA wins at EVERY measured shape
-    # (stage-4 re-measure, hw_logs/xattn4_*.log) — the kernel pads
-    # Sk=77 to a full block. Default is XLA for any query length;
-    # UWU_FLASH_XATTN=1 still forces the kernel for A/B runs.
+    # short KV (cross-attention): XLA wins isolated at every measured
+    # shape (stage-4, hw_logs/xattn4_*.log), BUT at >= 8192 queries the
+    # XLA logits materialization stops the full rematted step from
+    # compiling (bench5_sd15_1024) — flash takes over there.
     import os
 
     q, _, _ = _rand_qkv(sq=4096)
@@ -38,9 +38,16 @@ def test_shape_gate():
     assert not flash_shape_supported(q, k, v)
     q, _, _ = _rand_qkv(sq=1024)
     assert not flash_shape_supported(q, k, v)
+    q16, _, _ = _rand_qkv(sq=16384)
+    assert flash_shape_supported(q16, k, v)
     os.environ["UWU_FLASH_XATTN"] = "1"
     try:
         assert flash_shape_supported(q, k, v)
+    finally:
+        os.environ.pop("UWU_FLASH_XATTN")
+    os.environ["UWU_FLASH_XATTN"] = "0"
+    try:
+        assert not flash_shape_supported(q16, k, v)
     finally:
         os.environ.pop("UWU_FLASH_XATTN")
     # a short query (text-encoder self-attn) always falls back

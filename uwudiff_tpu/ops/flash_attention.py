@@ -83,21 +83,26 @@ def flash_shape_supported(q, k, v) -> bool:
         return False
     if k.shape[1] < 128:
         # Short keys with a long query: UNet cross-attention, Sk=77 text
-        # tokens vs image tokens. MEASURED verdict (round-3 stage-4
-        # re-run with the probe-validated chained timer,
-        # hw_logs/xattn4_*.log): XLA wins at EVERY shape — flash is
-        # 3-14x slower (e.g. sd15_lvl0 1024px fwd+bwd 1.75ms XLA vs
-        # 5.59ms flash; boundary sq2048 fwd 0.058 vs 0.811) because the
-        # kernel pads Sk=77 K/V to a full block and its grid spends MXU
-        # cycles on padding, while XLA's einsum handles the thin
-        # [*, 77] contraction near peak. The earlier Sq>=2048 default
-        # rested on the VOID pre-probe timings. XLA is the default
-        # everywhere; UWU_FLASH_XATTN=1 still forces the kernel for
-        # A/B re-measurement (scripts/xattn_bench.py).
+        # tokens vs image tokens. MEASURED verdict (round-3 stage-4/5,
+        # probe-validated chained timer, hw_logs/xattn4_*.log +
+        # bench5_sd15_1024):
+        # - SPEED: XLA wins isolated at every shape — flash is 3-14x
+        #   slower (the kernel pads Sk=77 to a full K block) because
+        #   XLA's thin [*, 77] einsum runs near peak.
+        # - MEMORY: at very long queries the XLA path materializes the
+        #   [B, H, Sq, 77] logits; inside the full rematted train step
+        #   the 16384-query SD1.5@1024px program stopped compiling
+        #   (remote-compile crash) once routed to XLA, while the flash
+        #   route compiles and trains (3.0 imgs/s measured round 3).
+        # Verdict: XLA default below 8192 queries, flash at >= 8192
+        # where the materialization dominates. UWU_FLASH_XATTN=1/0
+        # still force either path for A/B re-measurement.
         import os
 
         mode = os.environ.get("UWU_FLASH_XATTN", "")
-        if k.shape[1] < 32 or mode != "1":
+        if k.shape[1] < 32 or mode == "0":
+            return False
+        if mode != "1" and q.shape[1] < 8192:
             return False
     if q.dtype not in (jnp.float32, jnp.bfloat16):
         return False
