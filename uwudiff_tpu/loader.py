@@ -40,6 +40,10 @@ class ModelLoadConfig:
     importer: str | None = None
     param_dtype: str | None = None
     to_freeze: bool = False
+    # strict=False keeps initialized values for params absent from the
+    # checkpoint (IP-Adapter projections inside a pretrained UNet,
+    # enlarged TI vocabs, new heads) instead of raising
+    strict: bool = True
     # accepted for reference-config compatibility; handled elsewhere
     precision: str | None = None
     device: str | None = None
@@ -58,6 +62,12 @@ def load_any(node: Any) -> tuple[Any, ModelLoadConfig | None]:
 
 def _auto_importer(module) -> str:
     from uwudiff_tpu.models.clip import CLIPTextModel
+    from uwudiff_tpu.models.unet import UNet2DConditionModel as _UNet
+
+    if isinstance(module, _UNet) and getattr(
+        module, "controlnet_mode", False
+    ):
+        return "controlnet"
     from uwudiff_tpu.models.dit import DiT
     from uwudiff_tpu.models.unet import UNet2DConditionModel
     from uwudiff_tpu.models.vae import AutoencoderKL
@@ -93,7 +103,7 @@ def apply_load_config(
         elif path.endswith(".npz") and (cfg.importer or "npz") == "npz":
             from uwudiff_tpu.training.checkpoint import load_params_npz
 
-            params = load_params_npz(path, params)
+            params = load_params_npz(path, params, strict=cfg.strict)
         else:
             from uwudiff_tpu.models.import_torch import (
                 clip_text_key_map,
@@ -118,7 +128,7 @@ def apply_load_config(
                 "clip": clip_text_key_map,
                 "dit": dit_key_map,
             }[importer]
-            params = import_params(params, sd, key_map)
+            params = import_params(params, sd, key_map, strict=cfg.strict)
     dtype = cfg.param_dtype or cfg.precision
     if dtype:
         dtype = dtype.replace("torch.", "")

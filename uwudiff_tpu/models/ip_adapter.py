@@ -103,8 +103,12 @@ def build_ip_unet_fn(
     def unet_fn(params, x, t, ctx, mask, added):
         embeds = params["ip_embeds"]
         n = embeds.shape[0]
+        b = x.shape[0]
         tokens = image_proj.apply({"params": params["image_proj"]}, embeds)
-        if x.shape[0] == 2 * n:  # CFG doubled batch: [cond | uncond]
+        if b != n and b % (2 * n) == 0:
+            # CFG-doubled [cond | uncond] with k samples per embedding
+            # (one reference image, several samples): tile each half
+            k = b // (2 * n)
             if uncond_zero_embeds:
                 neg = image_proj.apply(
                     {"params": params["image_proj"]},
@@ -112,11 +116,14 @@ def build_ip_unet_fn(
                 )
             else:
                 neg = tokens
-            tokens = jnp.concatenate([tokens, neg])
+            tokens = jnp.concatenate(
+                [jnp.tile(tokens, (k, 1, 1)), jnp.tile(neg, (k, 1, 1))]
+            )
+        elif b % n == 0:  # no CFG (or the cfg==1 single-pass path)
+            tokens = jnp.tile(tokens, (b // n, 1, 1))
         else:
-            assert x.shape[0] == n, (
-                f"ip_embeds batch {n} does not match model batch "
-                f"{x.shape[0]} (or its CFG double)"
+            raise AssertionError(
+                f"ip_embeds batch {n} does not divide model batch {b}"
             )
         return unet.apply(
             {"params": params["unet"]},

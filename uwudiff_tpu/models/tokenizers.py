@@ -52,6 +52,22 @@ def _byte_to_unicode() -> dict[int, str]:
     return table
 
 
+def _split_on_added(text: str, added: dict[str, list[int]]):
+    """Yield ("ids", expansion) for placeholder hits (case-insensitive,
+    keys stored lowercase) and ("text", segment) for everything else —
+    the shared pre-pass both tokenizers run so placeholder semantics
+    stay identical across them."""
+    import re as _re
+
+    pattern = "(" + "|".join(_re.escape(k) for k in added) + ")"
+    for part in _re.split(pattern, text, flags=_re.IGNORECASE):
+        key = part.lower()
+        if key in added:
+            yield ("ids", added[key])
+        elif part.strip():
+            yield ("text", part)
+
+
 class CLIPBPETokenizer:
     """Self-contained CLIP byte-level BPE tokenizer.
 
@@ -140,24 +156,20 @@ class CLIPBPETokenizer:
         return parts
 
     def add_placeholder(self, token: str, ids: list[int]) -> None:
-        """Register a textual-inversion placeholder: every exact
-        occurrence of ``token`` expands to ``ids`` (bypassing BPE)."""
-        self.added_tokens[str(token)] = [int(i) for i in ids]
+        """Register a textual-inversion placeholder: every occurrence of
+        ``token`` (case-insensitive, punctuation-adjacent OK) expands to
+        ``ids``, bypassing BPE."""
+        self.added_tokens[str(token).lower()] = [int(i) for i in ids]
 
     def tokenize(self, text: str) -> list[int]:
         """Raw BPE ids for one string, no special tokens."""
         if self.added_tokens:
-            import re as _re
-
-            pattern = (
-                "(" + "|".join(map(_re.escape, self.added_tokens)) + ")"
-            )
             ids: list[int] = []
-            for part in _re.split(pattern, text):
-                if part in self.added_tokens:
-                    ids.extend(self.added_tokens[part])
-                elif part.strip():
-                    ids.extend(self._tokenize_plain(part))
+            for kind, val in _split_on_added(text, self.added_tokens):
+                if kind == "ids":
+                    ids.extend(val)
+                else:
+                    ids.extend(self._tokenize_plain(val))
             return ids
         return self._tokenize_plain(text)
 
@@ -232,19 +244,24 @@ class SimpleTokenizer:
         self.added_tokens: dict[str, list[int]] = {}
 
     def add_placeholder(self, token: str, ids: list[int]) -> None:
-        """Register a textual-inversion placeholder word."""
-        self.added_tokens[str(token)] = [int(i) for i in ids]
+        """Register a textual-inversion placeholder (case-insensitive,
+        punctuation-adjacent OK — same semantics as the BPE tokenizer)."""
+        self.added_tokens[str(token).lower()] = [int(i) for i in ids]
 
     def tokenize(self, text: str) -> list[int]:
         """Raw word ids, no special tokens (API parity with the BPE
         tokenizer)."""
-        ids: list[int] = []
-        for w in text.lower().split():
-            if w in self.added_tokens:
-                ids.extend(self.added_tokens[w])
-            else:
-                ids.append(self._word_id(w))
-        return ids
+        if self.added_tokens:
+            ids: list[int] = []
+            for kind, val in _split_on_added(text, self.added_tokens):
+                if kind == "ids":
+                    ids.extend(val)
+                else:
+                    ids.extend(
+                        self._word_id(w) for w in val.lower().split()
+                    )
+            return ids
+        return [self._word_id(w) for w in text.lower().split()]
 
     def _word_id(self, word: str) -> int:
         h = int.from_bytes(
@@ -265,12 +282,7 @@ class SimpleTokenizer:
         max_length = max_length or self.model_max_length
         ids_batch, mask_batch = [], []
         for t in text:
-            ids = [self.bos_token_id]
-            for w in t.lower().split():
-                if w in self.added_tokens:
-                    ids.extend(self.added_tokens[w])
-                else:
-                    ids.append(self._word_id(w))
+            ids = [self.bos_token_id] + self.tokenize(t)
             ids.append(self.eos_token_id)
             if truncation and len(ids) > max_length:
                 ids = ids[: max_length - 1] + [self.eos_token_id]

@@ -97,8 +97,10 @@ def save_params_npz(path: str, params: Any):
     np.savez(path, **arrays)
 
 
-def load_params_npz(path: str, target: Any) -> Any:
-    """Load a flat .npz export back into the structure of ``target``."""
+def load_params_npz(path: str, target: Any, strict: bool = True) -> Any:
+    """Load a flat .npz export back into the structure of ``target``.
+    ``strict=False`` keeps the target's value for missing keys (new
+    heads/adapters inside a pretrained tree)."""
     import numpy as np
 
     data = np.load(path)
@@ -107,6 +109,9 @@ def load_params_npz(path: str, target: Any) -> Any:
     for p, v in flat:
         key = jax.tree_util.keystr(p)
         if key not in data:
+            if not strict:
+                leaves.append(v)
+                continue
             raise KeyError(f"missing param {key} in {path}")
         arr = data[key]
         tgt_dtype = np.asarray(v).dtype

@@ -47,8 +47,7 @@ class ControlNetTrainer(DMTrainer):
     conditioning_scale: float = 1.0
 
     def __post_init__(self):
-        mc = dict(self.model_config)
-        cn_cfg = mc.pop("controlnet", None)
+        cn_cfg = self.model_config.get("controlnet")
         super().__post_init__()
         if self.lycoris_config is not None:
             raise ValueError(
@@ -122,15 +121,11 @@ class ControlNetTrainer(DMTrainer):
                 mid_block_additional_residual=mid_res,
             )
 
-        return self.loss(rng_loss, x, model_fn)
+        return self.loss(
+            rng_loss, x, model_fn,
+            sample_weight=batch.get("loss_weight"),
+        )
 
     def export_controlnet(self, path: str):
         """Flat .npz export of the trained controlnet params."""
-        import os
-
-        from uwudiff_tpu.training.checkpoint import save_params_npz
-
-        d = os.path.dirname(path)
-        if d:
-            os.makedirs(d, exist_ok=True)
-        save_params_npz(path, self.state.params)
+        self.export_params(path)

@@ -54,6 +54,13 @@ class IPAdapterTrainer(DMTrainer):
             num_tokens=self.ip_num_tokens,
             dtype=self.unet.dtype,
         )
+        # pretrained-UNet loading: the init tree contains to_k_ip /
+        # to_v_ip leaves no UNet checkpoint has — keep them initialized
+        # instead of failing the strict import
+        if self._unet_load is not None:
+            import dataclasses as _dc
+
+            self._unet_load = _dc.replace(self._unet_load, strict=False)
 
     def _extra_unet_inputs(self, lat, emb):
         # init the UNet WITH image tokens so the to_k_ip/to_v_ip params
@@ -120,15 +127,11 @@ class IPAdapterTrainer(DMTrainer):
                 ip_hidden_states=tokens,
             )
 
-        return self.loss(rng_loss, x, model_fn)
+        return self.loss(
+            rng_loss, x, model_fn,
+            sample_weight=batch.get("loss_weight"),
+        )
 
     def export_ip_adapter(self, path: str):
         """Flat .npz export of the adapter (projections + image proj)."""
-        import os
-
-        from uwudiff_tpu.training.checkpoint import save_params_npz
-
-        d = os.path.dirname(path)
-        if d:
-            os.makedirs(d, exist_ok=True)
-        save_params_npz(path, self.state.params)
+        self.export_params(path)

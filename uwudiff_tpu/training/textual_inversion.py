@@ -121,6 +121,33 @@ class TextualInversionTrainer(DMTrainer):
             frozen["te"] = loaded
             sh = fsdp_param_sharding(frozen, self.mesh)
             self.frozen = jax.device_put(frozen, sh)
+            if self.initializer_token is not None:
+                # re-seed the trainable rows from the LOADED table —
+                # _select_trainable_params ran before the deferred TE
+                # load, so it warm-started from the random init
+                rows = {}
+                for i, (vocab, tok) in enumerate(
+                    zip(self._base_vocabs, self.tokenizers)
+                ):
+                    table = self._te_embedding_leaf(self.frozen["te"], i)
+                    init_ids = tok.tokenize(self.initializer_token)
+                    rows[self._emb_key(i)] = jnp.tile(
+                        table[init_ids[0]][None], (self.num_vectors, 1)
+                    )
+                rows = jax.device_put(
+                    rows,
+                    jax.tree_util.tree_map(
+                        lambda x: x.sharding, self.state.params
+                    ),
+                )
+                self.state = self.state.replace(
+                    params=rows,
+                    ema_params=(
+                        jax.tree_util.tree_map(jnp.copy, rows)
+                        if self.state.ema_params is not None
+                        else None
+                    ),
+                )
 
     # -- param plumbing -------------------------------------------------
 
@@ -215,7 +242,10 @@ class TextualInversionTrainer(DMTrainer):
                 {"params": frozen["unet"]}, noisy, t, ctx, mask, added_cond
             )
 
-        return self.loss(rng_loss, x, model_fn)
+        return self.loss(
+            rng_loss, x, model_fn,
+            sample_weight=batch.get("loss_weight"),
+        )
 
     # -- export / inference ----------------------------------------------
 
@@ -229,16 +259,6 @@ class TextualInversionTrainer(DMTrainer):
         )
 
     def export_embeddings(self, path: str):
-        """npz of the learned rows, one array per text model."""
-        import os
-
-        d = os.path.dirname(path)
-        if d:
-            os.makedirs(d, exist_ok=True)
-        np.savez(
-            path,
-            **{
-                k: np.asarray(v)
-                for k, v in self.state.params.items()
-            },
-        )
+        """npz of the learned rows (``export_params`` handles the
+        non-native-dtype cast for bf16 storage)."""
+        self.export_params(path)
