@@ -15,6 +15,7 @@ from uwudiff_tpu.data.aspect_buckets import (
     BucketBatchLoader,
     make_buckets,
 )
+from uwudiff_tpu.data.dreambooth import PriorPreservationDataset
 
 __all__ = [
     "UwUBaseDataset",
@@ -28,4 +29,5 @@ __all__ = [
     "AspectBucketDataset",
     "BucketBatchLoader",
     "make_buckets",
+    "PriorPreservationDataset",
 ]

@@ -186,7 +186,9 @@ class DataLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
-        self.collate_fn = collate_fn or type(dataset).collate
+        # attribute lookup (not type lookup) so datasets may override
+        # collate as a bound instance method (PriorPreservationDataset)
+        self.collate_fn = collate_fn or dataset.collate
         if (shard_id is None) != (num_shards is None):
             raise ValueError("shard_id and num_shards must be set together")
         self.shard_id = shard_id

@@ -63,6 +63,18 @@ def _huber(pred, target, delta: float = 1.0):
 _LOSS_FNS = {"mse": _mse, "l2": _mse, "l1": _l1, "huber": _huber}
 
 
+def _weighted_mean(losses, sample_weight):
+    """Reduce per-sample losses, optionally weighted: ``(Σ wₛ·lₛ)/B``.
+
+    With instance rows at weight 1 and class-prior rows at weight w
+    this is the DreamBooth prior-preservation objective
+    (Ruiz et al. 2023, L = E_inst + w·E_prior) up to the constant 1/2
+    from the doubled batch; weights are relative, not normalized."""
+    if sample_weight is None:
+        return losses.mean()
+    return (losses * sample_weight.astype(losses.dtype)).mean()
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionLoss:
     """DDPM/EDM-sigma diffusion loss (``loss/diffusion.py:18-193``).
@@ -205,7 +217,12 @@ class DiffusionLoss:
         return noise
 
     def __call__(
-        self, rng, x: jnp.ndarray, model_fn: ModelFn, **model_kwargs: Any
+        self,
+        rng,
+        x: jnp.ndarray,
+        model_fn: ModelFn,
+        sample_weight: jnp.ndarray | None = None,
+        **model_kwargs: Any,
     ) -> tuple[jnp.ndarray, DiffusionLossAux]:
         rng_t, rng_n = jax.random.split(rng)
         noise = self.sample_noise(rng_n, x)
@@ -236,7 +253,7 @@ class DiffusionLoss:
             target=target,
             noisy_latent=noisy_latent,
         )
-        return losses.mean(), aux
+        return _weighted_mean(losses, sample_weight), aux
 
 
 @dataclasses.dataclass(frozen=True)
@@ -251,25 +268,41 @@ class RectifiedFlowLoss(DiffusionLoss):
     time_sampling_type: str = "uniform_time"
     rescale_image: bool = False
     rescale_noise: bool = False
+    # logit_normal params (SD3, Esser et al. 2024 "ln(0, 1)" default):
+    # t = sigmoid(m + s·z) concentrates training on mid-noise levels
+    logit_normal_mean: float = 0.0
+    logit_normal_std: float = 1.0
 
     def __post_init__(self):
         super().__post_init__()
         object.__setattr__(self, "target_type", "rectified_flow")
 
     def sample_timesteps_and_sigmas(self, rng, batch_size: int):
-        """``loss/rectified_flow.py:26-47``."""
+        """``loss/rectified_flow.py:26-47`` (+ SD3 logit-normal — no
+        reference counterpart; Esser et al. 2024 report it beats
+        uniform for MMDiT-class rectified flow)."""
         if self.time_sampling_type == "uniform_timestep":
             return super().sample_timesteps_and_sigmas(rng, batch_size)
+        sigma_max = self.schedule.sigma_max
+        max_time = sigma_max / (1 + sigma_max)
         if self.time_sampling_type == "uniform_time":
-            sigma_max = self.schedule.sigma_max
-            max_time = sigma_max / (1 + sigma_max)
             time = jax.random.uniform(rng, (batch_size,)) * max_time
-            sigmas = time / (1 - time)
-            timesteps = self.schedule.sigma_to_t(sigmas)
-            return timesteps, sigmas
-        raise ValueError(
-            f"Unsupported time sampling type: {self.time_sampling_type}"
-        )
+        elif self.time_sampling_type == "logit_normal":
+            z = jax.random.normal(rng, (batch_size,))
+            time = jax.nn.sigmoid(
+                self.logit_normal_mean + self.logit_normal_std * z
+            )
+            # clamp into the schedule's representable range (sigmoid is
+            # (0,1)-open so only the top end needs the cap)
+            time = jnp.minimum(time, max_time)
+        else:
+            raise ValueError(
+                f"Unsupported time sampling type: "
+                f"{self.time_sampling_type}"
+            )
+        sigmas = time / (1 - time)
+        timesteps = self.schedule.sigma_to_t(sigmas)
+        return timesteps, sigmas
 
     def get_x0_and_noises(self, rng, x):
         """``loss/rectified_flow.py:49-61``. A 5D input ``[B, 2, C, H, W]``
@@ -288,7 +321,12 @@ class RectifiedFlowLoss(DiffusionLoss):
         return x, noise
 
     def __call__(
-        self, rng, x: jnp.ndarray, model_fn: ModelFn, **model_kwargs: Any
+        self,
+        rng,
+        x: jnp.ndarray,
+        model_fn: ModelFn,
+        sample_weight: jnp.ndarray | None = None,
+        **model_kwargs: Any,
     ) -> tuple[jnp.ndarray, DiffusionLossAux]:
         rng_t, rng_n = jax.random.split(rng)
         x, noise = self.get_x0_and_noises(rng_n, x)
@@ -310,7 +348,7 @@ class RectifiedFlowLoss(DiffusionLoss):
             target=target,
             noisy_latent=noisy_latent,
         )
-        return losses.mean(), aux
+        return _weighted_mean(losses, sample_weight), aux
 
 
 class NNWeightedRFLossAux(NamedTuple):
@@ -343,6 +381,7 @@ class NNWeightedRFLoss(RectifiedFlowLoss):
         x: jnp.ndarray,
         model_fn: ModelFn,
         loss_pred_fn: ModelFn | None = None,
+        sample_weight: jnp.ndarray | None = None,
         **model_kwargs: Any,
     ) -> tuple[jnp.ndarray, NNWeightedRFLossAux]:
         assert loss_pred_fn is not None, "NNWeightedRFLoss needs loss_pred_fn"
@@ -383,4 +422,4 @@ class NNWeightedRFLoss(RectifiedFlowLoss):
             target=target,
             noisy_latent=noisy_latent,
         )
-        return losses.mean(), aux
+        return _weighted_mean(losses, sample_weight), aux

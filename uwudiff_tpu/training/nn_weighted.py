@@ -119,7 +119,10 @@ class NNWeightedLossTrainer(DMTrainer):
                 {"params": params["loss_pred"]}, noisy, sigmas
             )
 
-        loss, aux = self.loss(rng_loss, x, model_fn, loss_pred_fn=loss_pred_fn)
+        loss, aux = self.loss(
+            rng_loss, x, model_fn, loss_pred_fn=loss_pred_fn,
+            sample_weight=batch.get("loss_weight"),
+        )
         if moe_cell:  # MoE routing regularizers (scaled in MoEMlp)
             loss = loss + moe_cell[0]
         return loss, aux

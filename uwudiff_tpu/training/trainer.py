@@ -529,7 +529,13 @@ class DMTrainer:
                 def model_fn(noisy, t):
                     return unet_fn(noisy, t, ctx, mask, added_cond)
 
-        loss, aux = self.loss(rng_loss, x, model_fn)
+        loss, aux = self.loss(
+            rng_loss, x, model_fn,
+            # DreamBooth prior preservation: per-sample weights emitted
+            # by PriorPreservationDataset (1 on instance rows, w on
+            # class-prior rows) — weighted mean inside the loss
+            sample_weight=batch.get("loss_weight"),
+        )
         if moe_cell:
             # MoE routing regularizers (coefficient-scaled in MoEMlp)
             loss = loss + moe_cell[0]
