@@ -223,13 +223,25 @@ class TextEncodingPipeline:
         text,
         nested: bool = False,
         pad_to_n_elements: int | None = None,
+        prompt_weighting: bool = False,
         **kwargs,
     ):
         """str | list[str] | (nested) list[list[str]] -> conditioning.
 
         Nested mode flattens per-image caption lists, encodes, and packs
         ragged results with the fixed-shape aggregation ops
-        (``text_encoders.py:101-137``)."""
+        (``text_encoders.py:101-137``). ``prompt_weighting=True`` parses
+        A1111-style ``(emphasis:1.3)`` syntax and scales token
+        embeddings (``models/prompt_weights.py``)."""
+        if prompt_weighting:
+            if nested:
+                raise NotImplementedError(
+                    "prompt_weighting with nested caption lists is "
+                    "not supported"
+                )
+            from uwudiff_tpu.models.prompt_weights import encode_weighted
+
+            return encode_weighted(self, text)
         if not nested:
             return self.forward(self.tokenize(text, **kwargs))
         n_captions = [len(t) for t in text]

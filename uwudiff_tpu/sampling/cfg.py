@@ -81,12 +81,19 @@ def encode_cfg_inputs(
     height: int,
     te,  # TextEncodingPipeline
     time_ids: jnp.ndarray | None = None,
+    prompt_weighting: bool = False,
 ) -> dict:
     """Host-side half of CFG: encode cond/uncond prompts and assemble the
-    doubled-batch conditioning tensors (``cfg.py:68-111``)."""
-    emb, normed_emb, pool, mask = te.encode(prompt, padding=True, truncation=True)
+    doubled-batch conditioning tensors (``cfg.py:68-111``).
+    ``prompt_weighting=True`` parses ``(emphasis:1.3)`` syntax in BOTH
+    prompts (``models/prompt_weights.py``)."""
+    emb, normed_emb, pool, mask = te.encode(
+        prompt, padding=True, truncation=True,
+        prompt_weighting=prompt_weighting,
+    )
     neg_emb, normed_neg_emb, neg_pool, neg_mask = te.encode(
-        neg_prompt, padding=True, truncation=True
+        neg_prompt, padding=True, truncation=True,
+        prompt_weighting=prompt_weighting,
     )
     if te.use_normed_ctx:
         emb = normed_emb

@@ -111,6 +111,7 @@ def image_to_image_sampling(
     jit_compile: bool = True,
     unet_params=None,
     denoiser_cls: type = KDiffusionDenoiser,
+    prompt_weighting: bool = False,
 ):
     """SDEdit img2img / inpainting (contract mirrors
     ``sampling.py::diffusion_sampling``; latents work in the unscaled
@@ -151,7 +152,8 @@ def image_to_image_sampling(
 
     h_lat, w_lat = init_latent.shape[1:3]
     enc = encode_cfg_inputs(
-        prompt, neg_prompt, w_lat * vae_downscale, h_lat * vae_downscale, te
+        prompt, neg_prompt, w_lat * vae_downscale, h_lat * vae_downscale, te,
+        prompt_weighting=prompt_weighting,
     )
 
     sigmas = img2img_sigmas(

@@ -57,6 +57,8 @@ def diffusion_sampling(
     # (with cfg_scale=1 and internal_sampling_func=sample_lcm) to drive
     # a consistency-distilled student
     denoiser_cls: type = KDiffusionDenoiser,
+    # A1111-style (emphasis:1.3) syntax in prompt/neg_prompt
+    prompt_weighting: bool = False,
 ):
     rng = jax.random.PRNGKey(seed)
     internal_sampling_func = internal_sampling_func or sample_euler_ancestral
@@ -77,7 +79,10 @@ def diffusion_sampling(
 
     from uwudiff_tpu.sampling.cfg import build_cfg_fn, encode_cfg_inputs
 
-    enc = encode_cfg_inputs(prompt, neg_prompt, width, height, te)
+    enc = encode_cfg_inputs(
+        prompt, neg_prompt, width, height, te,
+        prompt_weighting=prompt_weighting,
+    )
 
     def make_cfg_fn(params):
         def eps_fn(x, t, **kwargs):
