@@ -259,6 +259,14 @@ def bench_sampler():
             )["params"]
     # commit params to the accelerator ONCE (host-committed args would
     # re-upload 3.4GB per call)
+    # BENCH_QUANT=1: int8 weight-only serving A/B (ops/quantize.py) —
+    # measures whether XLA hoists the in-loop dequant (footprint-only
+    # win) or keeps int8 as the streamed form (bandwidth win too)
+    QUANT = os.environ.get("BENCH_QUANT", "0") == "1"
+    if QUANT:
+        from uwudiff_tpu.ops.quantize import dequantize_tree, quantize_tree
+
+        params = quantize_tree(params)
     params = jax.device_put(params, jax.devices()[0])
 
     n_steps = 16
@@ -305,8 +313,9 @@ def bench_sampler():
                 # params are jit ARGUMENTS (closure capture would bake
                 # 3.4GB of weights into the program as constants)
                 def cfg_model(xx, sigma, sigma_cond=None):
+                    p = dequantize_tree(params) if QUANT else params
                     den = KDiffusionDenoiser(
-                        model_fn=model_fn_for(params),
+                        model_fn=model_fn_for(p),
                         schedule=sched,
                     )
                     out = den(
@@ -341,7 +350,8 @@ def bench_sampler():
                 first = {
                     "metric": (
                         f"{MODEL}-class {name} CFG sampler steps/sec "
-                        f"(bs={bs}, {LATENT}x{LATENT} latents, bf16, "
+                        f"(bs={bs}, {LATENT}x{LATENT} latents, "
+                        f"{'int8-weight ' if QUANT else ''}bf16, "
                         f"jitted loop)"
                     ),
                     "value": round(steps_per_sec, 3),

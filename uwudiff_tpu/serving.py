@@ -39,7 +39,28 @@ class Txt2ImgPipeline:
         # pass sampling.lcm.LCMDenoiser (+ sampler=sample_lcm, cfg 1)
         # to serve a consistency-distilled student in ~4 steps
         denoiser_cls: type | None = None,
+        # int8 weight-only storage (ops/quantize.py): halves the HBM
+        # weight traffic of the (bandwidth-bound) small-batch sampler;
+        # requires unet_params (params-as-argument mode)
+        quantize_weights: bool = False,
     ):
+        if quantize_weights:
+            if unet_params is None:
+                raise ValueError(
+                    "quantize_weights=True needs unet_params (the "
+                    "params-as-jit-argument mode)"
+                )
+            from uwudiff_tpu.ops.quantize import (
+                dequantize_tree,
+                quantize_tree,
+            )
+
+            unet_params = quantize_tree(unet_params)
+            base_fn = unet_fn
+
+            def unet_fn(params, *args):  # dequant INSIDE the jit
+                return base_fn(dequantize_tree(params), *args)
+
         self.unet_fn = unet_fn
         self.unet_params = unet_params
         self.te = te_pipeline
