@@ -112,6 +112,36 @@ def test_rf_loss_target_and_uniform_time(sched):
     assert sig.shape == (8,)
 
 
+def test_rf_logit_normal_time_sampling(sched):
+    """SD3 logit-normal t-sampling: t = sigmoid(m + s*z), concentrated
+    mid-schedule, statistics match the analytic distribution."""
+    loss_obj = RectifiedFlowLoss(
+        schedule=sched, time_sampling_type="logit_normal"
+    )
+    rng = jax.random.PRNGKey(7)
+    t, sig = loss_obj.sample_timesteps_and_sigmas(rng, 4096)
+    time = np.asarray(sig) / (1 + np.asarray(sig))
+    assert (time > 0).all() and (time < 1).all()
+    # sigmoid(z), z~N(0,1): median 0.5, P(0.27<t<0.73) ~= 68%
+    assert abs(np.median(time) - 0.5) < 0.03
+    frac_mid = ((time > 0.269) & (time < 0.731)).mean()
+    assert 0.62 < frac_mid < 0.74, frac_mid
+    # shifted mean moves the mass (m=1 -> median sigmoid(1)=0.731)
+    shifted = RectifiedFlowLoss(
+        schedule=sched,
+        time_sampling_type="logit_normal",
+        logit_normal_mean=1.0,
+    )
+    _, sig_s = shifted.sample_timesteps_and_sigmas(rng, 4096)
+    time_s = np.asarray(sig_s) / (1 + np.asarray(sig_s))
+    assert abs(np.median(time_s) - 0.731) < 0.03
+    # the full loss path runs with it
+    loss, aux = loss_obj(
+        jax.random.PRNGKey(0), jnp.ones((4, 4, 8, 8)) * 0.1, _zero_model
+    )
+    assert np.isfinite(float(loss))
+
+
 def test_rf_paired_noise_input(sched):
     """5D input [B, 2, C, H, W] carries (sample, noise) pairs."""
     loss_obj = RectifiedFlowLoss(schedule=sched)
