@@ -61,7 +61,15 @@ BLOCK_TABLE: dict[tuple[int, int], tuple[int, int]] = {
 
 def _pick_blocks(sq: int, sk: int) -> tuple[int, int]:
     """Best measured (block_q, block_k) for this shape; defaults when
-    the sweep has no data point."""
+    the sweep has no data point. ``UWU_FLASH_BLOCKS=bq,bk`` overrides
+    everything — the in-step A/B lever (isolated-op wins don't always
+    survive remat/VMEM pressure inside the full train step)."""
+    import os
+
+    override = os.environ.get("UWU_FLASH_BLOCKS", "")
+    if override:
+        bq, bk = override.split(",")
+        return int(bq), int(bk)
     for (tsq, tsk), blocks in sorted(BLOCK_TABLE.items()):
         if sq <= tsq and sk <= tsk:
             return blocks
