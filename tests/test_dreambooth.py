@@ -109,6 +109,40 @@ def test_dreambooth_end_to_end_train_step():
     assert float(mfull) != float(m0)
 
 
+def test_loss_weight_sharded_under_data_parallel_mesh():
+    """The [B] loss_weight vector must shard with the batch: meshed
+    validation loss == unmeshed on the identical doubled batch."""
+
+    def make(**kw):
+        te = ConcatTextEncoders.from_config(
+            [({"model_type": "clip", "preset": "tiny"},
+              {"use_pooled": False, "layer_idx": -2})]
+        )
+        return DMTrainer(
+            model_config={
+                "unet": UNet2DConditionModel.from_config("tiny"),
+                "te": te,
+                "vae": None,
+            },
+            lr=1e-3,
+            use_warm_up=False,
+            seed=0,
+            **kw,
+        )
+
+    ds = _paired_dataset(bs_instance=4, w=0.3)
+    plain = make()
+    meshed = make(mesh_axes={"data": 2})
+    ds.set_tokenizers(plain.tokenizers)
+    batch = ds.collate([ds[i] for i in range(4)])  # 8 rows on device
+    rng = jax.random.PRNGKey(5)
+    l_plain = plain.validation_step(batch, rng)[0]
+    l_mesh = meshed.validation_step(batch, rng)[0]
+    np.testing.assert_allclose(
+        float(l_plain), float(l_mesh), rtol=2e-5
+    )
+
+
 def test_dreambooth_config_instantiates():
     from uwudiff_tpu.config import instantiate_any, load_config_file
 
