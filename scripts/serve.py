@@ -34,12 +34,15 @@ apply_platform_env()
 
 
 def _to_png_b64(img) -> str:
-    """[-1, 1] float HWC image -> base64 PNG."""
+    """HWC image -> base64 PNG. The VAE-backed pipeline already returns
+    uint8 PIL images ([0,255] via vae_image_postprocess) — pass those
+    through untouched; only float [-1,1] arrays get the conversion."""
     import numpy as np
     from PIL import Image
 
     arr = np.asarray(img)
-    arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    if arr.dtype != np.uint8:
+        arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode("ascii")
@@ -132,7 +135,8 @@ def main():
     trainer.setup(ds.collate([ds[0]]))
 
     srv_cfg = dict(config.get("server", {}))
-    port = args.port if args.port is not None else srv_cfg.pop("port", 8000)
+    cfg_port = srv_cfg.pop("port", 8000)  # pop unconditionally
+    port = args.port if args.port is not None else cfg_port
     warmup_steps = srv_cfg.pop("warmup_steps", None)
     pipe_kwargs = srv_cfg.pop("pipeline", {}) or {}
     pipeline = Txt2ImgPipeline.from_trainer(trainer, **pipe_kwargs)

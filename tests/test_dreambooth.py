@@ -152,3 +152,35 @@ def test_dreambooth_config_instantiates():
     ds = dm.dataset
     assert isinstance(ds, PriorPreservationDataset)
     assert len(ds) == 5
+
+
+def test_collate_dispatches_to_wrapped_dataset():
+    """Latent-cache-style wrapped datasets (different item schema +
+    their own collate) must work through the pairing wrapper."""
+
+    class LatentStyle(DummyDataset):
+        def __getitem__(self, index):
+            item = super().__getitem__(index)
+            return {"latent": item["sample"],
+                    "add_time_ids": item["add_time_ids"]}
+
+        @staticmethod
+        def collate(batch):
+            return {
+                "latent": np.stack([x["latent"] for x in batch]),
+                "added_cond": {
+                    "time_ids": np.stack(
+                        [x["add_time_ids"] for x in batch]
+                    )
+                },
+                "tokenizer_outputs": [],
+            }
+
+    ds = PriorPreservationDataset(
+        instance=LatentStyle(sample_size=(8, 8, 4), n_samples=2),
+        prior=LatentStyle(sample_size=(8, 8, 4), n_samples=3, seed=5),
+        prior_weight=0.5,
+    )
+    batch = ds.collate([ds[0], ds[1]])
+    assert batch["latent"].shape[0] == 4
+    np.testing.assert_allclose(batch["loss_weight"], [1, 1, 0.5, 0.5])

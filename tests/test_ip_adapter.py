@@ -198,3 +198,51 @@ def test_ip_sampling_end_to_end_with_cfg():
         unet_params=all_params2,
     )
     assert float(jnp.abs(latents2 - latents).max()) > 1e-5
+
+
+def test_ip_unet_fn_batch_routing():
+    """Ambiguous batch sizes raise; explicit cfg=False tiles the COND
+    tokens over the whole batch (no silent zero-image back half)."""
+    unet, params, (x, t, ctx, ip_tokens) = _ip_setup()
+    proj = ImageProjection(cross_attention_dim=32, num_tokens=4)
+    proj_params = proj.init(jax.random.PRNGKey(3), jnp.zeros((1, 16)))[
+        "params"
+    ]
+    embeds = jax.random.normal(jax.random.PRNGKey(5), (1, 16))
+    all_params = {
+        "unet": params, "image_proj": proj_params, "ip_embeds": embeds
+    }
+    x4 = jnp.tile(x, (2, 1, 1, 1))
+    t4 = jnp.tile(t, (2,))
+    ctx4 = jnp.tile(ctx, (2, 1, 1))
+
+    # b=4, n=1 is ambiguous (k=4 single-pass or k=2 CFG): must raise
+    import pytest
+
+    with pytest.raises(AssertionError, match="ambiguous"):
+        build_ip_unet_fn(unet, proj)(all_params, x4, t4, ctx4, None, None)
+
+    # explicit single-pass: equals per-sample application with the
+    # SAME (conditional) image tokens everywhere
+    out = build_ip_unet_fn(unet, proj, cfg=False)(
+        all_params, x4, t4, ctx4, None, None
+    )
+    tokens = proj.apply({"params": proj_params}, embeds)
+    ref = unet.apply(
+        {"params": params}, x4, t4, ctx4, None, None,
+        ip_hidden_states=jnp.tile(tokens, (4, 1, 1)),
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # explicit CFG on b=4: back half gets the zero-embedding projection
+    out_cfg = build_ip_unet_fn(unet, proj, cfg=True)(
+        all_params, x4, t4, ctx4, None, None
+    )
+    neg = proj.apply({"params": proj_params}, jnp.zeros_like(embeds))
+    ref_cfg = unet.apply(
+        {"params": params}, x4, t4, ctx4, None, None,
+        ip_hidden_states=jnp.concatenate(
+            [jnp.tile(tokens, (2, 1, 1)), jnp.tile(neg, (2, 1, 1))]
+        ),
+    )
+    np.testing.assert_array_equal(np.asarray(out_cfg), np.asarray(ref_cfg))

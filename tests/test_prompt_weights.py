@@ -131,3 +131,34 @@ def test_encode_weighted_sampling_entry(tmp_path):
         prompt_weighting=True,
     )
     assert enc["ctx"].shape[0] == 2  # cond + uncond
+
+
+def test_parse_lone_backslash_preserved():
+    assert parse_weighted_prompt(r"C:\data photo") == [
+        ("C:\\data photo", 1.0)
+    ]
+
+
+def test_tokenize_with_weights_hf_style_tokenizer():
+    """HF tokenizers' .tokenize returns token STRINGS; the weighted
+    path must route them through convert_tokens_to_ids."""
+
+    class HFStyle:
+        model_max_length = 16
+        bos_token_id = 1
+        eos_token_id = 2
+        pad_token_id = 0
+
+        def tokenize(self, text):
+            return [w + "</w>" for w in text.split()]
+
+        def convert_tokens_to_ids(self, toks):
+            return [10 + len(t) for t in toks]
+
+    out, w = tokenize_with_weights(HFStyle(), ["a (red:2.0) car"])
+    ids = out["input_ids"][0]
+    assert ids[0] == 1 and 2 in ids
+    assert (w[0] == 2.0).sum() == 1
+    # the weighted id is "red</w>" -> 10 + 7
+    pos = int(np.where(w[0] == 2.0)[0][0])
+    assert ids[pos] == 17

@@ -103,3 +103,22 @@ def test_model_error_becomes_500():
         assert code == 500 and "boom" in out["error"]
     finally:
         httpd.shutdown()
+
+
+def test_generate_uint8_pipeline_images_pass_through():
+    """VAE-backed pipelines return uint8 [0,255] images — the handler
+    must NOT re-apply the [-1,1] conversion (all-white bug)."""
+    img = np.full((1, 8, 8, 3), 128, np.uint8)
+    httpd, port = _boot(_StubServer(img))
+    try:
+        code, out = _post(port, "/generate", {"prompt": "x"})
+        assert code == 200
+        png = base64.b64decode(out["images"][0])
+        # decode the PNG back: pixels must still be 128, not 255
+        import io
+        from PIL import Image
+
+        arr = np.asarray(Image.open(io.BytesIO(png)))
+        assert arr.min() == 128 and arr.max() == 128
+    finally:
+        httpd.shutdown()

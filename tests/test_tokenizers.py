@@ -130,3 +130,19 @@ def test_custom_pad_token(vocab_files):
     tok = CLIPBPETokenizer(vf, mf, pad_token="!")
     out = tok("cat", padding="max_length", max_length=10)
     assert out["input_ids"][0][-1] == tok.encoder["!"]
+
+
+def test_placeholder_word_boundaries():
+    """Alphanumeric placeholders ('sks') must not fire inside host
+    words ('tasks'); bracketed ones stay punctuation-adjacent."""
+    from uwudiff_tpu.models.tokenizers import SimpleTokenizer
+
+    tok = SimpleTokenizer()
+    tok.add_placeholder("sks", [900])
+    tok.add_placeholder("<concept>", [901])
+    ids = tok.tokenize("my tasks include sks, (<concept>) art")
+    assert 900 in ids and 901 in ids
+    assert ids.count(900) == 1  # not expanded inside "tasks"
+    # BPE tokenizer shares the semantics via the same pre-pass
+    plain = tok.tokenize("my tasks include whisks art")
+    assert 900 not in plain

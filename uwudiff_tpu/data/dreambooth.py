@@ -78,9 +78,11 @@ class PriorPreservationDataset(UwUBaseDataset):
 
     def collate(self, batch: list[dict]) -> dict[str, Any]:
         """One doubled batch: instance rows first, then their paired
-        prior rows, plus the ``loss_weight`` vector the loss consumes."""
+        prior rows, plus the ``loss_weight`` vector the loss consumes.
+        Dispatches to the instance dataset's own collate so wrapped
+        datasets with different item schemas (latent caches) work."""
         items = [x["instance"] for x in batch] + [x["prior"] for x in batch]
-        out = UwUBaseDataset.collate(items)
+        out = self.instance.collate(items)
         b = len(batch)
         out["loss_weight"] = np.asarray(
             [1.0] * b + [self.prior_weight] * b, np.float32

@@ -89,6 +89,7 @@ def build_ip_unet_fn(
     unet,
     image_proj: ImageProjection,
     uncond_zero_embeds: bool = True,
+    cfg: bool | None = None,
 ) -> Callable:
     """A ``unet_fn(params, x, t, ctx, mask, added)`` for the sampling
     entry points; ``params = {"unet", "image_proj", "ip_embeds"}``.
@@ -98,16 +99,40 @@ def build_ip_unet_fn(
     unconditional half gets the projection of ZERO embeddings (the
     diffusers negative-image convention) unless
     ``uncond_zero_embeds=False`` (image tokens on both halves).
+
+    ``cfg`` declares the batch layout: True = [cond | uncond] doubled,
+    False = single-pass (tiled tokens). The default (None) infers it
+    only for the unambiguous sizes b == n (single) and b == 2n (CFG);
+    any other multiple of n raises — with k samples per embedding,
+    b = k·n and b = 2k·n are indistinguishable from shape alone, and
+    guessing CFG would silently zero the image conditioning on the
+    back half of a cfg=1 batch.
     """
 
     def unet_fn(params, x, t, ctx, mask, added):
         embeds = params["ip_embeds"]
         n = embeds.shape[0]
         b = x.shape[0]
+        is_cfg = cfg
+        if is_cfg is None:
+            if b == n:
+                is_cfg = False
+            elif b == 2 * n:
+                is_cfg = True
+            else:
+                raise AssertionError(
+                    f"ambiguous batch {b} for {n} ip_embeds: pass "
+                    f"cfg=True/False to build_ip_unet_fn"
+                )
         tokens = image_proj.apply({"params": params["image_proj"]}, embeds)
-        if b != n and b % (2 * n) == 0:
+        if is_cfg:
             # CFG-doubled [cond | uncond] with k samples per embedding
             # (one reference image, several samples): tile each half
+            if b % (2 * n):
+                raise AssertionError(
+                    f"CFG batch {b} is not a doubled multiple of {n} "
+                    f"ip_embeds"
+                )
             k = b // (2 * n)
             if uncond_zero_embeds:
                 neg = image_proj.apply(

@@ -44,6 +44,7 @@ _TOKEN_RE = re.compile(
     | \]
     | [^\\()\[\]:]+        # plain text run
     | :                    # bare colon is literal
+    | \\                   # lone backslash is literal too
     """,
     re.X,
 )
@@ -64,7 +65,8 @@ def parse_weighted_prompt(text: str) -> list[tuple[str, float]]:
         tok = m.group(0)
         explicit = m.group(1)
         if tok.startswith("\\"):
-            res.append([tok[1:], 1.0])
+            # "\(" -> "("; a lone "\" stays itself (windows paths etc.)
+            res.append([tok[1:] or "\\", 1.0])
         elif tok == "(":
             round_stack.append(len(res))
         elif tok == "[":
@@ -111,12 +113,20 @@ def tokenize_with_weights(
     """
     max_length = max_length or tok.model_max_length
     bos = getattr(tok, "bos_token_id", None)  # T5-style has none
+
+    def _frag_ids(frag: str) -> list[int]:
+        out = tok.tokenize(frag)
+        if out and not isinstance(out[0], (int, np.integer)):
+            # HF tokenizers' .tokenize returns token STRINGS
+            out = tok.convert_tokens_to_ids(out)
+        return [int(i) for i in out]
+
     ids_batch, mask_batch, w_batch = [], [], []
     for text in texts:
         ids: list[int] = [] if bos is None else [bos]
         wts: list[float] = [] if bos is None else [1.0]
         for frag, w in parse_weighted_prompt(text):
-            frag_ids = tok.tokenize(frag)
+            frag_ids = _frag_ids(frag)
             ids.extend(frag_ids)
             wts.extend([w] * len(frag_ids))
         ids.append(tok.eos_token_id)

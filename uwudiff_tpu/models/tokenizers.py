@@ -56,11 +56,25 @@ def _split_on_added(text: str, added: dict[str, list[int]]):
     """Yield ("ids", expansion) for placeholder hits (case-insensitive,
     keys stored lowercase) and ("text", segment) for everything else —
     the shared pre-pass both tokenizers run so placeholder semantics
-    stay identical across them."""
+    stay identical across them.
+
+    Placeholders whose edges are alphanumeric only match at word
+    boundaries ("sks" must not fire inside "tasks"); non-word edges
+    like "<concept>" stay punctuation-adjacent-matchable."""
     import re as _re
 
-    pattern = "(" + "|".join(_re.escape(k) for k in added) + ")"
+    parts = []
+    for k in added:
+        p = _re.escape(k)
+        if k[0].isalnum():
+            p = r"(?<![a-z0-9])" + p
+        if k[-1].isalnum():
+            p = p + r"(?![a-z0-9])"
+        parts.append(p)
+    pattern = "(" + "|".join(parts) + ")"
     for part in _re.split(pattern, text, flags=_re.IGNORECASE):
+        if part is None:
+            continue
         key = part.lower()
         if key in added:
             yield ("ids", added[key])

@@ -191,6 +191,10 @@ class Request:
     cfg_scale: float = 3.0
     seed: int = 0
     return_latents: bool = False
+    # A1111-style (word:1.3) emphasis in prompt/neg_prompt; host-side
+    # only (shape-identical program) but part of the group key so one
+    # batch's encode applies one setting
+    prompt_weighting: bool = False
 
 
 class BatchingServer:
@@ -273,7 +277,10 @@ class BatchingServer:
         w, h = self.nearest_bucket(r.width, r.height)
         # seed is part of the key: one batch shares one rng stream, so
         # grouping different seeds would silently ignore them
-        return (w, h, r.num_steps, r.cfg_scale, r.return_latents, r.seed)
+        return (
+            w, h, r.num_steps, r.cfg_scale, r.return_latents, r.seed,
+            r.prompt_weighting,
+        )
 
     def _loop(self):
         import time as _time
@@ -323,7 +330,7 @@ class BatchingServer:
                 fut.set_exception(RuntimeError("BatchingServer stopped"))
 
     def _run_group(self, key, group):
-        (w, h, steps, cfg, return_latents, seed) = key
+        (w, h, steps, cfg, return_latents, seed, prompt_weighting) = key
         reqs = [r for r, _ in group]
         futs = [f for _, f in group]
         # pad to the warmed batch size so partial groups reuse the
@@ -344,6 +351,7 @@ class BatchingServer:
                 height=h,
                 seed=seed,
                 return_latents=return_latents,
+                prompt_weighting=prompt_weighting,
             )
             for i, fut in enumerate(futs):
                 fut.set_result(out[i])
