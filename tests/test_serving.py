@@ -120,7 +120,8 @@ def test_batching_server_seed_isolation_and_stop_drains():
 
     class FakePipeline:
         def __call__(self, prompt, neg_prompt, num_steps, num_samples,
-                     cfg_scale, width, height, seed, return_latents):
+                     cfg_scale, width, height, seed, return_latents,
+                     **kwargs):
             calls.append({"n": num_samples, "seed": seed,
                           "prompts": list(prompt)})
             time.sleep(0.05)

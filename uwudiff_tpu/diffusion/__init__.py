@@ -2,6 +2,7 @@ from uwudiff_tpu.diffusion.schedules import NoiseSchedule
 from uwudiff_tpu.diffusion.losses import (
     DiffusionLoss,
     DiffusionLossAux,
+    EDMLoss,
     RectifiedFlowLoss,
     NNWeightedRFLoss,
     NNWeightedRFLossAux,
@@ -11,6 +12,7 @@ __all__ = [
     "NoiseSchedule",
     "DiffusionLoss",
     "DiffusionLossAux",
+    "EDMLoss",
     "RectifiedFlowLoss",
     "NNWeightedRFLoss",
     "NNWeightedRFLossAux",

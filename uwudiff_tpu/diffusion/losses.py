@@ -29,6 +29,7 @@ __all__ = [
     "RectifiedFlowLoss",
     "NNWeightedRFLossAux",
     "NNWeightedRFLoss",
+    "EDMLoss",
 ]
 
 ModelFn = Callable[..., jnp.ndarray]
@@ -421,5 +422,93 @@ class NNWeightedRFLoss(RectifiedFlowLoss):
             pred=pred,
             target=target,
             noisy_latent=noisy_latent,
+        )
+        return _weighted_mean(losses, sample_weight), aux
+
+
+@dataclasses.dataclass(frozen=True)
+class EDMLoss:
+    """Karras et al. 2022 ("EDM") training objective — no reference
+    counterpart (UwUDiff trains DDPM/RF only); modern continuous-sigma
+    recipe, drop-in for ``DMTrainer(loss_config=...)``.
+
+    sigma ~ exp(N(p_mean, p_std)); the raw network F is conditioned as
+    ``F(c_in * (x + sigma n), c_noise)`` and the denoised prediction is
+    ``D = c_skip * x_noisy + c_out * F`` with
+
+        c_skip = sd^2/(sigma^2+sd^2)      c_out = sigma sd/sqrt(sigma^2+sd^2)
+        c_in   = 1/sqrt(sigma^2+sd^2)     c_noise = ln(sigma)/4
+
+    loss = lambda(sigma) ||D - x0||^2, lambda = (sigma^2+sd^2)/(sigma sd)^2
+    (so lambda c_out^2 == 1: unit effective weight per sigma). Sampling
+    uses ``sampling.wrapper.EDMDenoiser`` + ``karras_sigmas``.
+
+    ``aux.timesteps`` reports 1000*Phi((ln sigma - p_mean)/p_std) — the
+    lognormal CDF mapped onto the usual [0, 1000) axis so the
+    per-timestep validation-loss plot bins uniformly.
+    """
+
+    sigma_data: float = 0.5
+    p_mean: float = -1.2
+    p_std: float = 1.2
+    loss_type: str = "mse"
+    # trainer-compat nominal axis (callbacks bin aux.timesteps over it)
+    num_train_timesteps: int = 1000
+    schedule: Any = None  # serving pulls trainer.loss.schedule; EDM has none
+
+    @property
+    def n_diffusion_time_steps(self) -> int:
+        return self.num_train_timesteps
+
+    @property
+    def loss_fn(self):
+        return _LOSS_FNS[self.loss_type]
+
+    def scalings(self, sigma):
+        sd = self.sigma_data
+        denom = sigma**2 + sd**2
+        c_skip = sd**2 / denom
+        c_out = sigma * sd / jnp.sqrt(denom)
+        c_in = 1.0 / jnp.sqrt(denom)
+        c_noise = jnp.log(sigma) / 4.0
+        return c_skip, c_out, c_in, c_noise
+
+    def sample_sigmas(self, rng, batch_size: int):
+        z = jax.random.normal(rng, (batch_size,))
+        return jnp.exp(self.p_mean + self.p_std * z)
+
+    def __call__(
+        self,
+        rng,
+        x: jnp.ndarray,
+        model_fn: ModelFn,
+        sample_weight: jnp.ndarray | None = None,
+        **model_kwargs: Any,
+    ) -> tuple[jnp.ndarray, DiffusionLossAux]:
+        rng_t, rng_n = jax.random.split(rng)
+        noise = jax.random.normal(rng_n, x.shape, x.dtype)
+        sigmas = self.sample_sigmas(rng_t, x.shape[0])
+        sig = append_dims(sigmas, x.ndim)
+        c_skip, c_out, c_in, c_noise = self.scalings(sig)
+
+        x_noisy = x + sig * noise
+        f_out = model_fn(c_in * x_noisy, c_noise.reshape(-1), **model_kwargs)
+        denoised = c_skip * x_noisy + c_out * f_out
+
+        weight = (sig**2 + self.sigma_data**2) / (sig * self.sigma_data) ** 2
+        losses = (
+            (weight * self.loss_fn(denoised, x))
+            .reshape(x.shape[0], -1)
+            .mean(axis=1)
+        )
+        # lognormal CDF -> uniform [0, 1000) axis for the val-loss plot
+        z = (jnp.log(sigmas) - self.p_mean) / self.p_std
+        timesteps = self.num_train_timesteps * jax.scipy.stats.norm.cdf(z)
+        aux = DiffusionLossAux(
+            losses=losses,
+            timesteps=timesteps,
+            pred=denoised,
+            target=x,
+            noisy_latent=x_noisy,
         )
         return _weighted_mean(losses, sample_weight), aux

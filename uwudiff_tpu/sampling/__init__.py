@@ -1,6 +1,11 @@
-from uwudiff_tpu.sampling.wrapper import KDiffusionDenoiser, append_dims
+from uwudiff_tpu.sampling.wrapper import (
+    EDMDenoiser,
+    KDiffusionDenoiser,
+    append_dims,
+)
 from uwudiff_tpu.sampling.get_sigmas import (
     get_sigmas_for_rf,
+    karras_sigmas,
     uniform_time,
     sigmoid_time,
     sigmoid_time_scale,
@@ -32,8 +37,10 @@ from uwudiff_tpu.sampling.img2img import (
 
 __all__ = [
     "KDiffusionDenoiser",
+    "EDMDenoiser",
     "append_dims",
     "get_sigmas_for_rf",
+    "karras_sigmas",
     "uniform_time",
     "sigmoid_time",
     "sigmoid_time_scale",

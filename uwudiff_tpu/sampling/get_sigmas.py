@@ -19,6 +19,7 @@ __all__ = [
     "uniform_time",
     "sigmoid_time",
     "sigmoid_time_scale",
+    "karras_sigmas",
 ]
 
 # The RF forward process x_t = (1 - t) x0 + t n identifies t with the
@@ -86,3 +87,19 @@ def sigmoid_time_scale(
     ramp = _expit(rho * np.linspace(-0.5, 0.5, num_steps + 1))
     ramp = (ramp - ramp[0]) / (ramp[-1] - ramp[0])
     return min_time + (max_time - min_time) * ramp
+
+
+def karras_sigmas(
+    num_steps: int,
+    sigma_min: float = 0.002,
+    sigma_max: float = 80.0,
+    rho: float = 7.0,
+) -> np.ndarray:
+    """Karras et al. 2022 sampling grid: sigma_i^(1/rho) linear between
+    the endpoints, descending, terminal 0 appended — the canonical
+    schedule for EDM-trained models (pairs with ``EDMDenoiser``)."""
+    ramp = np.linspace(0, 1, num_steps)
+    inv_rho_min = sigma_min ** (1 / rho)
+    inv_rho_max = sigma_max ** (1 / rho)
+    sigmas = (inv_rho_max + ramp * (inv_rho_min - inv_rho_max)) ** rho
+    return np.concatenate([sigmas, [0.0]]).astype(np.float32)

@@ -97,3 +97,41 @@ class KDiffusionDenoiser:
         t = self.sigma_to_t(sigma_cond)
         eps = self.get_eps(x * append_dims(c_in, x.ndim), t, **kwargs)
         return x + eps * append_dims(c_out, x.ndim)
+
+
+@dataclasses.dataclass(frozen=True)
+class EDMDenoiser:
+    """Sigma-space wrapper for EDM-trained networks (Karras et al.
+    2022) — the sampling-side counterpart of ``diffusion.EDMLoss`` (no
+    reference counterpart). ``model_fn(x_scaled, c_noise, **kw) -> F``;
+    ``__call__`` returns the denoised prediction
+    ``c_skip x + c_out F(c_in x, ln(sigma)/4)`` directly, so every
+    sampler in this package drives it unchanged (they consume
+    ``denoiser(x, sigma)`` = denoised).
+    """
+
+    model_fn: Callable[..., jnp.ndarray]
+    sigma_data: float = 0.5
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+
+    def get_scalings(self, sigma):
+        sd = self.sigma_data
+        denom = sigma**2 + sd**2
+        c_skip = sd**2 / denom
+        c_out = sigma * sd / jnp.sqrt(denom)
+        c_in = 1.0 / jnp.sqrt(denom)
+        return c_skip, c_out, c_in
+
+    def __call__(self, x, sigma, sigma_cond=None, **kwargs):
+        sigma = jnp.asarray(sigma)
+        if sigma.ndim == 0:
+            sigma = jnp.full((x.shape[0],), sigma)
+        c_skip, c_out, c_in = self.get_scalings(sigma)
+        c_noise = jnp.log(sigma) / 4.0
+        f_out = self.model_fn(
+            x * append_dims(c_in, x.ndim), c_noise, **kwargs
+        )
+        return append_dims(c_skip, x.ndim) * x + append_dims(
+            c_out, x.ndim
+        ) * f_out
