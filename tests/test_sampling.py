@@ -557,3 +557,36 @@ def test_text_cfg_scale_one_single_pass(sched):
     fn2 = build_cfg_fn(unet, enc, cfg=3.0)
     fn2(x, jnp.ones((2,)))
     assert seen["bs"] == 4  # doubled batch when cfg != 1
+
+
+def test_cfg_interval_limits_guidance_window(sched):
+    """cfg_interval=(lo, hi): guided inside the window, plain
+    conditional outside (Kynkaanniemi et al. 2024) — branchless."""
+    from uwudiff_tpu.sampling.cfg import build_cfg_fn
+
+    def unet(x, sigma, sigma_cond=None, encoder_hidden_states=None,
+             encoder_attention_mask=None, added_cond=None):
+        # cond half -> 2.0, uncond half -> 1.0 (split on batch)
+        n = x.shape[0] // 2
+        return jnp.concatenate(
+            [jnp.full_like(x[:n], 2.0), jnp.full_like(x[n:], 1.0)]
+        )
+
+    enc = {"ctx": jnp.ones((4, 7, 8)), "mask": None, "added_cond": None}
+    fn = build_cfg_fn(unet, enc, cfg=5.0, cfg_interval=(0.5, 2.0))
+    x = jnp.zeros((2, 4, 4, 1))
+
+    # inside the window: uncond + (cond - uncond) * 5 = 1 + 1*5 = 6
+    out, _ = fn(x, jnp.asarray([1.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(out), 6.0)
+    # outside: plain conditional (scale 1) = 2
+    out, _ = fn(x, jnp.asarray([10.0, 10.0]))
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+    # mixed batch: per-sample windowing
+    out, _ = fn(x, jnp.asarray([1.0, 10.0]))
+    np.testing.assert_allclose(np.asarray(out[0]), 6.0)
+    np.testing.assert_allclose(np.asarray(out[1]), 2.0)
+    # no interval: uniform guidance everywhere
+    fn_all = build_cfg_fn(unet, enc, cfg=5.0)
+    out, _ = fn_all(x, jnp.asarray([10.0, 10.0]))
+    np.testing.assert_allclose(np.asarray(out), 6.0)

@@ -13,6 +13,8 @@ from typing import Callable
 
 import jax.numpy as jnp
 
+from uwudiff_tpu.utils import append_dims
+
 __all__ = [
     "cond_text_wrapper",
     "cfg_wrapper",
@@ -145,14 +147,25 @@ def apply_cfg_rescale(cfg_output, cond, rescale: float):
 
 
 def build_cfg_fn(
-    unet: Callable, enc: dict, cfg: float, cfg_rescale: float = 0.0
+    unet: Callable,
+    enc: dict,
+    cfg: float,
+    cfg_rescale: float = 0.0,
+    cfg_interval: tuple[float, float] | None = None,
 ) -> Callable:
     """Device-side half: the doubled-batch model fn (``cfg.py:113-126``).
     Safe to call inside jit (``enc`` tensors may be traced arguments —
     this is how large params avoid being baked into the program as
     constants). ``cfg == 1`` short-circuits to a single conditional
     pass (no doubled batch) — the few-step consistency-student path
-    (guidance baked in at distillation) runs at half the model cost."""
+    (guidance baked in at distillation) runs at half the model cost.
+
+    ``cfg_interval=(lo, hi)`` applies guidance only at sigma in
+    [lo, hi] (Kynkäänniemi et al. 2024: limiting guidance to the
+    middle noise levels improves FID at high scales); outside the
+    window the output is the plain conditional prediction. Branchless
+    (per-sample jnp.where on the scale) so the compiled loop is
+    unchanged — no reference counterpart."""
     if cfg == 1.0:
         n = enc["ctx"].shape[0] // 2
 
@@ -187,7 +200,13 @@ def build_cfg_fn(
             added_cond=enc["added_cond"],
         )
         cond, uncond = jnp.split(out, 2)
-        cfg_output = uncond + (cond - uncond) * cfg
+        scale = jnp.asarray(cfg, x.dtype)
+        if cfg_interval is not None:
+            lo, hi = cfg_interval
+            in_window = (sigma >= lo) & (sigma <= hi)
+            scale = jnp.where(in_window, cfg, 1.0)
+            scale = append_dims(scale, x.ndim)
+        cfg_output = uncond + (cond - uncond) * scale
         cfg_output = apply_cfg_rescale(cfg_output, cond, cfg_rescale)
         return cfg_output, uncond
 

@@ -112,6 +112,7 @@ def image_to_image_sampling(
     unet_params=None,
     denoiser_cls: type = KDiffusionDenoiser,
     prompt_weighting: bool = False,
+    cfg_interval: tuple[float, float] | None = None,
 ):
     """SDEdit img2img / inpainting (contract mirrors
     ``sampling.py::diffusion_sampling``; latents work in the unscaled
@@ -174,7 +175,9 @@ def image_to_image_sampling(
         wrapper = denoiser_cls(
             model_fn=eps_fn, schedule=train_schedule, quantize=False
         )
-        model = build_cfg_fn(wrapper, enc, cfg_scale)
+        model = build_cfg_fn(
+            wrapper, enc, cfg_scale, cfg_interval=cfg_interval
+        )
         if inpaint_mask is not None:
             model = masked_model_wrapper(model, init_latent, inpaint_mask)
         return model

@@ -59,6 +59,8 @@ def diffusion_sampling(
     denoiser_cls: type = KDiffusionDenoiser,
     # A1111-style (emphasis:1.3) syntax in prompt/neg_prompt
     prompt_weighting: bool = False,
+    # guidance only at sigma in [lo, hi] (Kynkaanniemi et al. 2024)
+    cfg_interval: tuple[float, float] | None = None,
 ):
     rng = jax.random.PRNGKey(seed)
     internal_sampling_func = internal_sampling_func or sample_euler_ancestral
@@ -98,7 +100,10 @@ def diffusion_sampling(
         model_wrapper = denoiser_cls(
             model_fn=eps_fn, schedule=train_schedule, quantize=False
         )
-        return build_cfg_fn(model_wrapper, enc, cfg_scale, cfg_rescale)
+        return build_cfg_fn(
+            model_wrapper, enc, cfg_scale, cfg_rescale,
+            cfg_interval=cfg_interval,
+        )
 
     sample_schedule = sample_schedule or train_schedule
     if get_sigma_func is None:
