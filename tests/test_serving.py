@@ -198,3 +198,50 @@ def test_pipeline_lcm_few_step_serving():
     )
     assert latents.shape == (1, 4, 4, 4)
     assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_meshed_trainer_serving_matches_unmeshed():
+    """from_trainer on a data x fsdp meshed trainer: the compiled
+    sampler keeps FSDP param shardings + shards the latent batch over
+    the data-like axes, and produces the SAME latents as the unmeshed
+    pipeline with identical params/seed."""
+    import jax
+
+    from uwudiff_tpu.data import DummyDataset
+    from uwudiff_tpu.models.text_encoders import ConcatTextEncoders
+    from uwudiff_tpu.models.unet import UNet2DConditionModel
+
+    def build(mesh_axes):
+        te = ConcatTextEncoders.from_config(
+            [({"model_type": "clip", "preset": "tiny"},
+              {"use_pooled": False, "layer_idx": -2})]
+        )
+        tr = DMTrainer(
+            model_config={
+                "unet": UNet2DConditionModel.from_config("tiny"),
+                "te": te,
+                "vae": None,
+            },
+            lr=1e-3, use_warm_up=False, seed=0, mesh_axes=mesh_axes,
+        )
+        ds = DummyDataset(sample_size=(16, 16, 4), n_samples=4)
+        ds.set_tokenizers(tr.tokenizers)
+        tr.setup(ds.collate([ds[i] for i in range(2)]))
+        return tr
+
+    plain = Txt2ImgPipeline.from_trainer(build(None))
+    meshed_tr = build({"data": 2, "fsdp": 4})
+    meshed = Txt2ImgPipeline.from_trainer(meshed_tr)
+    assert meshed.latent_sharding is not None
+    kw = dict(prompt="a cat", num_samples=4, width=128, height=128,
+              num_steps=3, seed=11, return_latents=True)
+    lat_p = np.asarray(plain(**kw))
+    lat_m = np.asarray(meshed(**kw))
+    np.testing.assert_allclose(lat_p, lat_m, rtol=2e-4, atol=2e-5)
+    # some param leaf really is FSDP-sharded in the serving tree
+    specs = [
+        str(l.sharding.spec)
+        for l in jax.tree_util.tree_leaves(meshed.unet_params)
+        if hasattr(l, "sharding") and hasattr(l.sharding, "spec")
+    ]
+    assert any("fsdp" in s for s in specs), specs[:5]

@@ -61,6 +61,10 @@ def diffusion_sampling(
     prompt_weighting: bool = False,
     # guidance only at sigma in [lo, hi] (Kynkaanniemi et al. 2024)
     cfg_interval: tuple[float, float] | None = None,
+    # multi-chip serving: a NamedSharding for the latent batch (e.g.
+    # parallel.mesh.batch_sharding(mesh)) — params keep whatever
+    # sharding they carry (FSDP/TP), GSPMD emits the collectives
+    latent_sharding=None,
 ):
     rng = jax.random.PRNGKey(seed)
     internal_sampling_func = internal_sampling_func or sample_euler_ancestral
@@ -126,6 +130,10 @@ def diffusion_sampling(
                 latent_channels,
             ),
         ) * jnp.sqrt(1 + sigmas[0] ** 2)
+        if latent_sharding is not None:
+            init_x = jax.lax.with_sharding_constraint(
+                init_x, latent_sharding
+            )
         latents = internal_sampling_func(cfg_fn, init_x, sigmas, rng=rng_samp)
         if rescale:
             std = latents.reshape(latents.shape[0], -1).std(axis=1)
@@ -212,6 +220,10 @@ def class_conditional_sampling(
                 latent_channels,
             ),
         ) * jnp.sqrt(1 + sigmas[0] ** 2)
+        if latent_sharding is not None:
+            init_x = jax.lax.with_sharding_constraint(
+                init_x, latent_sharding
+            )
         latents = internal_sampling_func(cfg_fn, init_x, sigmas, rng=rng_samp)
         if rescale:
             std = latents.reshape(latents.shape[0], -1).std(axis=1)

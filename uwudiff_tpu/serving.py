@@ -36,6 +36,8 @@ class Txt2ImgPipeline:
         latent_channels: int = 4,
         sampler: Callable = sample_euler_ancestral,
         unet_params=None,
+        # multi-chip serving: NamedSharding for the latent batch
+        latent_sharding=None,
         # pass sampling.lcm.LCMDenoiser (+ sampler=sample_lcm, cfg 1)
         # to serve a consistency-distilled student in ~4 steps
         denoiser_cls: type | None = None,
@@ -74,13 +76,21 @@ class Txt2ImgPipeline:
         self.latent_channels = latent_channels
         self.sampler = sampler
         self.denoiser_cls = denoiser_cls
+        self.latent_sharding = latent_sharding
 
     @classmethod
     def from_trainer(cls, trainer, **kwargs) -> "Txt2ImgPipeline":
-        """Build from a (possibly adapter-)trained DMTrainer."""
+        """Build from a (possibly adapter-)trained DMTrainer. On a
+        meshed trainer the params keep their FSDP/TP shardings and the
+        latent batch is constrained over the data-like axes — the
+        compiled sampler is a multi-chip GSPMD program."""
         from uwudiff_tpu.models.text_encoders import TextEncodingPipeline
 
         unet_params = trainer.merged_unet_params()
+        if trainer.mesh is not None and "latent_sharding" not in kwargs:
+            from uwudiff_tpu.parallel.mesh import batch_sharding
+
+            kwargs["latent_sharding"] = batch_sharding(trainer.mesh)
 
         def unet_fn(params, x, t, ctx, mask, added):
             return trainer.unet.apply({"params": params}, x, t, ctx, mask, added)
@@ -148,6 +158,7 @@ class Txt2ImgPipeline:
             internal_sampling_func=self.sampler,
             return_latents=return_latents,
             unet_params=self.unet_params,
+            latent_sharding=self.latent_sharding,
             **(
                 {"denoiser_cls": self.denoiser_cls}
                 if self.denoiser_cls is not None
