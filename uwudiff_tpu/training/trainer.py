@@ -120,6 +120,13 @@ class DMTrainer:
     # extra params copy in HBM; EMA params ride the checkpoint and are
     # exported via export_params(ema=True).
     ema_weights_decay: float | None = None
+    # CFG-enabling caption dropout: with this per-sample probability
+    # the text conditioning is swapped for the EMPTY-prompt encoding
+    # (precached-ctx batches without a TE fall back to zeroed rows) —
+    # the standard recipe for training the unconditional branch that
+    # classifier-free guidance samples against. Device-side (branchless
+    # where over the encoded rows) so the step stays one program.
+    caption_dropout: float = 0.0
 
     def __post_init__(self):
         mc = dict(self.model_config)
@@ -361,6 +368,43 @@ class DMTrainer:
         assert pooled is not None, "text_time addition embedding needs pooled"
         return {"time_ids": time_ids, "text_embeds": pooled}
 
+    def _apply_caption_dropout(self, frozen, rng, batch_size, ctx, mask,
+                               pooled):
+        """Per-sample swap of the conditioning for the empty-prompt
+        encoding (or zeros when the batch carries precached ctx with no
+        TE) — trains the unconditional branch CFG samples against.
+        Branchless where, traced into the one train-step program."""
+        drop = jax.random.bernoulli(
+            rng, self.caption_dropout, (batch_size,)
+        )
+        empty = None
+        if self.te is not None and self.tokenizers:
+            if not hasattr(self, "_empty_tok"):
+                self._empty_tok = [
+                    {k: jnp.asarray(v) for k, v in tok(
+                        [""], padding="max_length", truncation=True
+                    ).items()}
+                    for tok in self.tokenizers
+                ]
+            e_emb, e_normed, e_pooled, e_mask = self.te.apply(
+                {"params": frozen["te"]}, self._empty_tok
+            )
+            e_ctx = e_normed if self.te_use_normed_ctx else e_emb
+            if e_ctx.shape[1:] == ctx.shape[1:]:
+                empty = (e_ctx, e_mask, e_pooled)
+        if empty is not None:
+            e_ctx, e_mask, e_pooled = empty
+            ctx = jnp.where(drop[:, None, None], e_ctx, ctx)
+            if mask is not None and e_mask is not None:
+                mask = jnp.where(drop[:, None], e_mask, mask)
+            if pooled is not None and e_pooled is not None:
+                pooled = jnp.where(drop[:, None], e_pooled, pooled)
+        else:  # precached ctx without a TE: zero the dropped rows
+            ctx = jnp.where(drop[:, None, None], 0.0, ctx)
+            if pooled is not None:
+                pooled = jnp.where(drop[:, None], 0.0, pooled)
+        return ctx, mask, pooled
+
     # ------------------------------------------------------------------
     # the hot loop
     # ------------------------------------------------------------------
@@ -368,6 +412,7 @@ class DMTrainer:
     def _encode_batch(self, frozen, batch, rng):
         """Frozen VAE/TE encodes (``trainer.py:233-261``), skipped for
         cached inputs."""
+        rng, rng_cdrop = jax.random.split(rng)
         if "latent" in batch:
             x = batch["latent"]
         else:
@@ -389,6 +434,10 @@ class DMTrainer:
                 {"params": frozen["te"]}, batch["tokenizer_outputs"]
             )
             ctx = normed if self.te_use_normed_ctx else emb
+        if self.caption_dropout and ctx is not None:
+            ctx, mask, pooled = self._apply_caption_dropout(
+                frozen, rng_cdrop, x.shape[0], ctx, mask, pooled
+            )
         added_cond = self._added_cond(batch, pooled)
         x = jax.lax.stop_gradient(x)
         if ctx is not None:
