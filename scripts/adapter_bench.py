@@ -31,6 +31,11 @@ from uwudiff_tpu.utils import apply_platform_env
 
 apply_platform_env()
 
+# These modes all train SD-class no-remat, where the fused-GN
+# custom_vjp pins ~2.5GB of residuals (bench.py sets the same default
+# for sd15; the stage-13 full-mode leg OOMed without it).
+os.environ.setdefault("UWU_FUSED_GN", os.environ.get("AB_FUSED_GN", "0"))
+
 MODEL = os.environ.get("AB_MODEL", "sd15")
 BATCH = int(os.environ.get("AB_BATCH", "16"))
 LATENT = int(os.environ.get("AB_LATENT", "64"))

@@ -115,6 +115,48 @@ def test_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_wide_channel_scoped_vmem_accounting():
+    """Regression: the [16,1024,1920] concat GN overflowed the 16MB
+    scoped-VMEM limit by 44KB on hardware at chunk=512 because the gate
+    only counted the bf16 in/out tiles. The chunk shrink must cut the
+    fp32 temps so the single-pass kernel's full footprint fits, and
+    wider tiles must route to the chunked-stats path."""
+    import uwudiff_tpu.ops.groupnorm_silu as gns
+
+    x = jnp.zeros((16, 32, 32, 1920), jnp.bfloat16)
+    assert fused_supported(x, 32)
+    # chunk shrinks for wide channels so fp32 temps stay bounded
+    chunk = gns._chunk_for(1024, 1920)
+    assert chunk is not None and 2 * chunk * 1920 * 4 <= gns._CHUNK_TEMP_BYTES
+    assert 1024 % chunk == 0  # halving preserves divisibility into hw
+    # with the shrunk chunk the full footprint fits -> single-pass kept
+    assert gns._tile_fits_vmem(x)
+    # the old accounting (in/out only, 7.5MB <= 8MB) admitted it at
+    # chunk=512 for a true 16.3MB footprint; the new gate would reject
+    # that combination
+    io = 2 * 1024 * 1920 * 2
+    assert io + 2 * 512 * 1920 * 4 + 1920 * 128 * 4 > gns._VMEM_TILE_BYTES
+    # wider tiles (1024px concat levels) still route to chunked stats
+    big = jnp.zeros((4, 64, 64, 1920), jnp.bfloat16)
+    assert fused_supported(big, 32)
+    assert not gns._tile_fits_vmem(big)
+    # narrow channels keep the full 512 chunk
+    assert gns._chunk_for(4096, 320) == 512
+
+
+def test_wide_channel_chunk_shrink_numerics(monkeypatch):
+    """The shrunk-chunk single-pass kernel stays exact (interpret)."""
+    import uwudiff_tpu.ops.groupnorm_silu as gns
+
+    monkeypatch.setattr(gns, "_CHUNK_TEMP_BYTES", 64 * 1024)
+    x, gamma, beta = _data(1, 16, 16, 64)
+    chunk = gns._chunk_for(256, 64)
+    assert chunk is not None and chunk < 256  # shrink actually engaged
+    out = _gn_silu(x, gamma, beta, 8, 1e-5, True)
+    ref = group_norm_silu_reference(x, gamma, beta, 8, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_dispatch_gates():
     x, gamma, beta = _data(c=64)
     assert fused_supported(x, 32)

@@ -34,7 +34,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["group_norm_silu", "group_norm_silu_reference", "fused_supported"]
 
-_VMEM_TILE_BYTES = 8 * 1024 * 1024
+# Scoped-VMEM budget for the single-pass kernel, counting EVERYTHING it
+# allocates (in+out tiles, fp32 row-chunk temps, lane-padded onehot) —
+# the hardware limit is 16MB and the margin absorbs co-scheduled-op
+# stack slack (scoped VMEM is shared with neighbors, so per-kernel
+# accounting can't be exact). Measured: a [16,1024,1920] concat GN
+# overflowed the 16MB limit by 44KB at chunk=512 when only the bf16
+# in/out tiles were counted (hw_logs/adapter13_bench.log); the chunk
+# shrink below cuts that kernel's temps by 3.9MB, keeping the
+# single-pass (1 HBM read) form for the hot SDXL up-block shapes.
+_VMEM_TILE_BYTES = 13 * 1024 * 1024
+# Cap on the in-kernel fp32 row-chunk temporaries (2 x chunk x C x 4B);
+# the chunk size halves until under this.
+_CHUNK_TEMP_BYTES = 4 * 1024 * 1024
 
 
 def group_norm_silu_reference(x, gamma, beta, groups: int, eps: float):
@@ -55,23 +67,35 @@ def group_norm_silu_reference(x, gamma, beta, groups: int, eps: float):
 _STAT_CHUNK = 512  # max rows per stats-accumulation step
 
 
-def _chunk_for(hw: int) -> int | None:
-    """Row-chunk size: full tile when small, 512 when it divides evenly
-    (every UNet/VAE spatial size is a power of two, so this covers all
-    real shapes); None -> XLA fallback."""
-    if hw <= _STAT_CHUNK:
-        return hw
-    if hw % _STAT_CHUNK == 0:
-        return _STAT_CHUNK
-    return None
+def _chunk_for(hw: int, c: int = 1) -> int | None:
+    """Row-chunk size: starts at min(512, hw) and halves while the fp32
+    chunk temporaries (2 x chunk x C x 4B) exceed their budget — wide-
+    channel tiles (concat GNs, C=1920/2560) need smaller chunks to stay
+    inside scoped VMEM. Halving preserves divisibility, so any returned
+    chunk divides hw; None -> XLA fallback (hw not a multiple of 512)."""
+    chunk = min(_STAT_CHUNK, hw)
+    if hw % chunk:
+        return None
+    while chunk > 8 and chunk % 2 == 0 and 2 * chunk * c * 4 > _CHUNK_TEMP_BYTES:
+        chunk //= 2
+    return chunk
 
 
 def _tile_fits_vmem(x) -> bool:
+    """True when the single-pass kernel's FULL scoped-VMEM footprint
+    (in+out tiles + fp32 chunk temps + lane-padded onehot) fits the
+    budget; bigger tiles take the chunked-stats kernel."""
     c = x.shape[-1]
     hw = 1
     for d in x.shape[1:-1]:
         hw *= d
-    return hw * c * x.dtype.itemsize * 2 <= _VMEM_TILE_BYTES
+    chunk = _chunk_for(hw, c)
+    if chunk is None:
+        return False
+    io = 2 * hw * c * x.dtype.itemsize
+    temps = 2 * chunk * c * 4
+    onehot = c * 128 * 4  # [C, G] indicator, G lane-padded to 128
+    return io + temps + onehot <= _VMEM_TILE_BYTES
 
 
 def fused_supported(x, groups: int) -> bool:
@@ -81,7 +105,7 @@ def fused_supported(x, groups: int) -> bool:
     hw = 1
     for d in x.shape[1:-1]:
         hw *= d
-    if _chunk_for(hw) is None:
+    if _chunk_for(hw, c) is None:
         return False
     # tiles that fit VMEM take the single-pass kernel; larger tiles
     # (128x128-latent level-0 is ~21MB) take the chunked stats kernel +
@@ -169,7 +193,7 @@ def _gn_silu_fwd_chunked(x3, gamma, beta, groups: int, eps: float,
     apply. Two HBM reads of x (same as XLA GN) but no full-size fp32
     temps — the memory property that matters under remat at 1024px."""
     n, hw, c = x3.shape
-    chunk = _chunk_for(hw)
+    chunk = _chunk_for(hw, c)
     kwargs = {}
     try:
         cp = pltpu.CompilerParams(
@@ -225,6 +249,7 @@ def _gn_silu_fwd_pallas(x, gamma, beta, groups: int, eps: float,
             x3, gamma, beta, groups, eps, interpret
         ).reshape(orig_shape)
     hw = x3.shape[1]
+    chunk = _chunk_for(hw, c)
     group_size = c // groups
     onehot = (
         (jnp.arange(c)[:, None] // group_size) == jnp.arange(groups)[None, :]
@@ -237,7 +262,6 @@ def _gn_silu_fwd_pallas(x, gamma, beta, groups: int, eps: float,
             kwargs["compiler_params"] = cp
     except TypeError:
         pass
-    chunk = _chunk_for(hw)
     out = pl.pallas_call(
         functools.partial(
             _gn_silu_kernel, eps=eps, group_size=group_size, hw=hw,
