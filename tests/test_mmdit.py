@@ -160,6 +160,60 @@ def test_mmdit_training_with_trainer():
     assert losses[-1] < losses[0], losses
 
 
+def test_mmdit_context_pre_only_trains():
+    """The real-SD3 architecture (heterogeneous final block, cropped
+    pos embed) through the full jitted step — scan + remat included."""
+    from uwudiff_tpu.diffusion import NoiseSchedule, RectifiedFlowLoss
+    from uwudiff_tpu.training import DMTrainer
+
+    m = MMDiT.from_config(
+        "tiny", depth=3, context_pre_only=True, pos_embed_max_size=24,
+        pos_embed_base_size=8, scan_blocks=True,
+        gradient_checkpointing=True,
+    )
+    trainer = DMTrainer(
+        model_config={"unet": m, "te": None, "vae": None},
+        lr=2e-3,
+        use_warm_up=False,
+        loss_config=RectifiedFlowLoss(schedule=NoiseSchedule.sdxl()),
+        seed=0,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "sample": rng.standard_normal((4, 16, 16, 4)).astype(np.float32)
+        * 0.2,
+        "ctx": rng.standard_normal((4, 7, 48)).astype(np.float32),
+        "tokenizer_outputs": [],
+        "added_cond": {
+            "text_embeds": rng.standard_normal((4, 24)).astype(np.float32)
+        },
+    }
+    losses = [
+        float(trainer.train_step(batch)[0]["train/loss"]) for _ in range(12)
+    ]
+    assert losses[-1] < losses[0], losses
+    # the scan covers depth-1 blocks; the final block sits outside it
+    p = trainer.state.params
+    p = p.get("unet", p)
+    assert p["blocks"]["attn1"]["to_q"]["kernel"].shape[0] == 2
+    assert "to_out" not in p["final_block"]["attn2"]
+
+
+def test_mmdit_context_pre_only_rejects_pipeline():
+    import pytest as _pytest
+
+    from uwudiff_tpu.parallel.pipeline import pipelined_mmdit_apply
+
+    m = MMDiT.from_config(
+        "tiny", depth=3, context_pre_only=True, scan_blocks=True
+    )
+    with _pytest.raises(ValueError, match="context_pre_only"):
+        pipelined_mmdit_apply(
+            m, {}, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+            jnp.zeros((1, 3, 48)), None, None, None
+        )
+
+
 def test_mmdit_txt2img_sampling():
     """RF-schedule txt2img through the generic sampling entry point."""
     from uwudiff_tpu.diffusion import NoiseSchedule

@@ -80,6 +80,10 @@ def _auto_importer(module) -> str:
         return "clip"
     if isinstance(module, DiT):
         return "dit"
+    from uwudiff_tpu.models.mmdit import MMDiT
+
+    if isinstance(module, MMDiT):
+        return "mmdit"
     return "npz"
 
 
@@ -105,6 +109,8 @@ def apply_load_config(
 
             params = load_params_npz(path, params, strict=cfg.strict)
         else:
+            import functools
+
             from uwudiff_tpu.models.import_torch import (
                 clip_text_key_map,
                 controlnet_key_map,
@@ -112,6 +118,7 @@ def apply_load_config(
                 extract_state_dict,
                 import_params,
                 load_torch_state_dict,
+                mmdit_key_map,
                 unet_key_map,
                 vae_key_map,
             )
@@ -127,6 +134,11 @@ def apply_load_config(
                 "vae": vae_key_map,
                 "clip": clip_text_key_map,
                 "dit": dit_key_map,
+                # final_block (context_pre_only) resolves to torch index
+                # depth-1
+                "mmdit": functools.partial(
+                    mmdit_key_map, depth=getattr(module, "depth", None)
+                ),
             }[importer]
             params = import_params(params, sd, key_map, strict=cfg.strict)
     dtype = cfg.param_dtype or cfg.precision

@@ -32,7 +32,13 @@ from uwudiff_tpu.ops import dot_product_attention
 __all__ = ["DiT", "DIT_PRESETS"]
 
 
-def _2d_sincos_pos_embed(dim: int, h: int, w: int) -> np.ndarray:
+def _2d_sincos_pos_embed(
+    dim: int,
+    h: int,
+    w: int,
+    h_coords: np.ndarray | None = None,
+    w_coords: np.ndarray | None = None,
+) -> np.ndarray:
     """Fixed 2D sin-cos position embedding, [h*w, dim].
 
     Matches the public MAE/DiT/diffusers ``get_2d_sincos_pos_embed``
@@ -49,8 +55,18 @@ def _2d_sincos_pos_embed(dim: int, h: int, w: int) -> np.ndarray:
         out = np.einsum("m,d->md", pos, omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    gh = np.arange(h, dtype=np.float64)
-    gw = np.arange(w, dtype=np.float64)
+    # explicit coords support the SD3 cropped-grid convention (MMDiT's
+    # pos_embed_max_size: fractional, center-offset positions)
+    gh = (
+        np.arange(h, dtype=np.float64)
+        if h_coords is None
+        else np.asarray(h_coords, np.float64)
+    )
+    gw = (
+        np.arange(w, dtype=np.float64)
+        if w_coords is None
+        else np.asarray(w_coords, np.float64)
+    )
     grid = np.meshgrid(gw, gh)  # grid[0] = w-coords, grid[1] = h-coords
     emb_first = _1d(dim // 2, np.asarray(grid[0]).reshape(-1))
     emb_second = _1d(dim // 2, np.asarray(grid[1]).reshape(-1))

@@ -32,6 +32,8 @@ __all__ = [
     "clip_vision_key_map",
     "t5_key_map",
     "inception_key_map",
+    "dit_key_map",
+    "mmdit_key_map",
     "stack_block_params",
     "unstack_block_params",
 ]
@@ -301,6 +303,126 @@ _DIT_RULES: list[tuple[str, str, Callable]] = [
     (r"^final_proj/kernel$", "final_layer.linear.weight", _t_linear),
     (r"^final_proj/bias$", "final_layer.linear.bias", _identity),
 ]
+
+
+def _t_swap_halves_linear(w):
+    """[2D, in] -> [in, 2D] with the two output halves SWAPPED — bridges
+    diffusers' scale-first ``AdaLayerNormContinuous`` chunk order
+    (``scale, shift = chunk(emb, 2)``) to this framework's shift-first
+    modulation heads (DiT final-layer convention)."""
+    a, b = np.split(np.asarray(w), 2, axis=0)
+    return _t_linear(np.concatenate([b, a], axis=0))
+
+
+def _swap_halves(w):  # the bias-side companion (its own inverse)
+    a, b = np.split(np.asarray(w), 2, axis=0)
+    return np.concatenate([b, a], axis=0)
+
+
+# diffusers SD3Transformer2DModel top-level keys
+# (diffusers/models/transformers/transformer_sd3.py; behavior parity
+# with the reference's SD3-style TE stack, duwu/modules/
+# text_encoders.py:290-297 — the reference itself has no MMDiT).
+# ``pos_embed.pos_embed`` (the baked positional grid) is skipped: ours
+# is recomputed, incl. the 192-grid center-crop convention
+# (models/mmdit.py::pos_embed_max_size).
+_MMDIT_TOP_RULES: list[tuple[str, str, Callable]] = [
+    (r"^patch_embed/kernel$", "pos_embed.proj.weight", _t_conv),
+    (r"^patch_embed/bias$", "pos_embed.proj.bias", _identity),
+    (r"^context_embedder/kernel$", "context_embedder.weight", _t_linear),
+    (r"^context_embedder/bias$", "context_embedder.bias", _identity),
+    (r"^t_fc1/kernel$",
+     "time_text_embed.timestep_embedder.linear_1.weight", _t_linear),
+    (r"^t_fc1/bias$",
+     "time_text_embed.timestep_embedder.linear_1.bias", _identity),
+    (r"^t_fc2/kernel$",
+     "time_text_embed.timestep_embedder.linear_2.weight", _t_linear),
+    (r"^t_fc2/bias$",
+     "time_text_embed.timestep_embedder.linear_2.bias", _identity),
+    (r"^pool_fc1/kernel$",
+     "time_text_embed.text_embedder.linear_1.weight", _t_linear),
+    (r"^pool_fc1/bias$",
+     "time_text_embed.text_embedder.linear_1.bias", _identity),
+    (r"^pool_fc2/kernel$",
+     "time_text_embed.text_embedder.linear_2.weight", _t_linear),
+    (r"^pool_fc2/bias$",
+     "time_text_embed.text_embedder.linear_2.bias", _identity),
+    # norm_out is AdaLayerNormContinuous: scale-first -> swap halves
+    (r"^final_modulation/kernel$",
+     "norm_out.linear.weight", _t_swap_halves_linear),
+    (r"^final_modulation/bias$", "norm_out.linear.bias", _swap_halves),
+    (r"^final_proj/kernel$", "proj_out.weight", _t_linear),
+    (r"^final_proj/bias$", "proj_out.bias", _identity),
+]
+
+# within-block leaves (path relative to the block): attn1 = image
+# stream (attn.to_*), attn2 = context stream (attn.add_*_proj /
+# to_add_out / norm_added_*), mlp_x/mlp_ctx = ff / ff_context
+_MMDIT_BLOCK_LEAVES: list[tuple[str, str, Callable]] = [
+    (r"^adaLN_x/kernel$", "norm1.linear.weight", _t_linear),
+    (r"^adaLN_x/bias$", "norm1.linear.bias", _identity),
+    (r"^adaLN_ctx/kernel$", "norm1_context.linear.weight", _t_linear),
+    (r"^adaLN_ctx/bias$", "norm1_context.linear.bias", _identity),
+    (r"^attn1/to_(q|k|v)/kernel$", r"attn.to_\1.weight", _t_linear),
+    (r"^attn1/to_(q|k|v)/bias$", r"attn.to_\1.bias", _identity),
+    (r"^attn1/to_out/kernel$", "attn.to_out.0.weight", _t_linear),
+    (r"^attn1/to_out/bias$", "attn.to_out.0.bias", _identity),
+    (r"^attn1/norm_(q|k)/scale$", r"attn.norm_\1.weight", _identity),
+    (r"^attn2/to_q/kernel$", "attn.add_q_proj.weight", _t_linear),
+    (r"^attn2/to_q/bias$", "attn.add_q_proj.bias", _identity),
+    (r"^attn2/to_k/kernel$", "attn.add_k_proj.weight", _t_linear),
+    (r"^attn2/to_k/bias$", "attn.add_k_proj.bias", _identity),
+    (r"^attn2/to_v/kernel$", "attn.add_v_proj.weight", _t_linear),
+    (r"^attn2/to_v/bias$", "attn.add_v_proj.bias", _identity),
+    (r"^attn2/to_out/kernel$", "attn.to_add_out.weight", _t_linear),
+    (r"^attn2/to_out/bias$", "attn.to_add_out.bias", _identity),
+    (r"^attn2/norm_(q|k)/scale$", r"attn.norm_added_\1.weight", _identity),
+    (r"^mlp_x/fc1/kernel$", "ff.net.0.proj.weight", _t_linear),
+    (r"^mlp_x/fc1/bias$", "ff.net.0.proj.bias", _identity),
+    (r"^mlp_x/fc2/kernel$", "ff.net.2.weight", _t_linear),
+    (r"^mlp_x/fc2/bias$", "ff.net.2.bias", _identity),
+    (r"^mlp_ctx/fc1/kernel$", "ff_context.net.0.proj.weight", _t_linear),
+    (r"^mlp_ctx/fc1/bias$", "ff_context.net.0.proj.bias", _identity),
+    (r"^mlp_ctx/fc2/kernel$", "ff_context.net.2.weight", _t_linear),
+    (r"^mlp_ctx/fc2/bias$", "ff_context.net.2.bias", _identity),
+]
+
+
+def mmdit_key_map(our_path: str, depth: int | None = None):
+    """``models/mmdit.py::MMDiT`` paths -> diffusers
+    ``SD3Transformer2DModel`` state-dict keys (the released SD3/SD3.5
+    checkpoints). ``depth`` resolves the heterogeneous ``final_block``
+    (``context_pre_only``) to its torch index ``depth - 1``; its
+    ``adaLN_ctx`` mirrors AdaLayerNormContinuous's scale-first chunk
+    order directly, so (unlike the shift-first ``final_modulation``
+    head) no halves swap. MoE variants have no torch counterpart and
+    raise KeyError (use strict=False)."""
+    for pat, repl, tr in _MMDIT_TOP_RULES:
+        if re.match(pat, our_path):
+            return re.sub(pat, repl, our_path), tr
+    m = re.match(r"^(blocks_(\d+)|final_block)/(.*)$", our_path)
+    if m:
+        if m.group(1) == "final_block":
+            if depth is None:
+                raise KeyError(
+                    f"mmdit_key_map needs depth= to place {our_path!r} "
+                    "(final_block maps to transformer_blocks.depth-1)"
+                )
+            idx = depth - 1
+        else:
+            idx = int(m.group(2))
+        rest = m.group(3)
+        for pat, repl, tr in _MMDIT_BLOCK_LEAVES:
+            if re.match(pat, rest):
+                # final_block's adaLN_ctx IS scale-first in the flax
+                # block too (it mirrors AdaLayerNormContinuous
+                # directly), so no halves swap — only the shift-first
+                # head (final_modulation above) needs one
+                return (
+                    f"transformer_blocks.{idx}." + re.sub(pat, repl, rest),
+                    tr,
+                )
+    raise KeyError(f"no torch mapping for MMDiT param {our_path!r}")
 
 
 def dit_key_map(our_path: str):
@@ -606,6 +728,11 @@ def export_params(
             out[torch_key] = _inv_linear(w).astype(dtype)
         elif tr is _t_conv:
             out[torch_key] = _inv_conv(w).astype(dtype)
+        elif tr is _t_swap_halves_linear:
+            # inverse of (swap output halves, transpose)
+            out[torch_key] = _swap_halves(_inv_linear(w)).astype(dtype)
+        elif tr is _swap_halves:  # self-inverse
+            out[torch_key] = _swap_halves(w).astype(dtype)
         elif tr is _identity:
             out[torch_key] = w.astype(dtype)
         else:

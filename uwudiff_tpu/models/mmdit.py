@@ -46,18 +46,23 @@ __all__ = ["MMDiT", "MMDIT_PRESETS"]
 
 class _StreamAttention(nn.Module):
     """Per-stream q/k/v/out projections (+ optional per-head RMSNorm on
-    q and k, the SD3 stabilization)."""
+    q and k, the SD3 stabilization). ``pre_only`` drops the output
+    projection — the context stream of the LAST SD3 block only feeds
+    keys/values into the joint attention (diffusers
+    ``Attention(context_pre_only=True)`` has no ``to_add_out``)."""
 
     hidden_size: int
     num_heads: int
     qk_norm: bool = True
+    pre_only: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.to_q = nn.Dense(self.hidden_size, dtype=self.dtype)
         self.to_k = nn.Dense(self.hidden_size, dtype=self.dtype)
         self.to_v = nn.Dense(self.hidden_size, dtype=self.dtype)
-        self.to_out = nn.Dense(self.hidden_size, dtype=self.dtype)
+        if not self.pre_only:
+            self.to_out = nn.Dense(self.hidden_size, dtype=self.dtype)
         if self.qk_norm:
             self.norm_q = nn.RMSNorm(dtype=self.dtype)
             self.norm_k = nn.RMSNorm(dtype=self.dtype)
@@ -116,6 +121,14 @@ class MMDiTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     qk_norm: bool = True
+    # The LAST block of a real SD3 checkpoint: the context stream is
+    # "pre-only" — it contributes keys/values to the joint attention
+    # but has no output projection, gates, or MLP, and its conditioning
+    # norm is the 2-chunk scale/shift AdaLayerNormContinuous (diffusers
+    # ``JointTransformerBlock(context_pre_only=True)``); the ctx output
+    # is passed through unchanged (diffusers returns None — discarded
+    # either way).
+    context_pre_only: bool = False
     # MoE on the IMAGE-stream MLP (the compute-dominant stream; text
     # stream stays dense) — models/moe.py semantics, expert weights
     # shard over the `expert` mesh axis
@@ -132,9 +145,20 @@ class MMDiTBlock(nn.Module):
         sx_a, scx_a, gx_a, sx_m, scx_m, gx_m = _modulation(
             c, self.hidden_size, self.dtype, "adaLN_x"
         )
-        sc_a, scc_a, gc_a, sc_m, scc_m, gc_m = _modulation(
-            c, self.hidden_size, self.dtype, "adaLN_ctx"
-        )
+        if self.context_pre_only:
+            # AdaLayerNormContinuous: SCALE-first 2-chunk, no gates
+            mod = nn.Dense(
+                2 * self.hidden_size,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name="adaLN_ctx",
+            )(nn.silu(c))
+            scc_a, sc_a = jnp.split(mod[:, None, :], 2, axis=-1)
+        else:
+            sc_a, scc_a, gc_a, sc_m, scc_m, gc_m = _modulation(
+                c, self.hidden_size, self.dtype, "adaLN_ctx"
+            )
 
         attn_x = _StreamAttention(
             hidden_size=self.hidden_size,
@@ -147,6 +171,7 @@ class MMDiTBlock(nn.Module):
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
             qk_norm=self.qk_norm,
+            pre_only=self.context_pre_only,
             dtype=self.dtype,
             name="attn2",
         )
@@ -168,10 +193,11 @@ class MMDiTBlock(nn.Module):
         v = jnp.concatenate([vc, vx], axis=1)
         attn = dot_product_attention(q, k, v, bias=joint_bias)
         t = ctx.shape[1]
-        out_c = attn_c.out(attn[:, :t])
         out_x = attn_x.out(attn[:, t:])
         x = x + gx_a * out_x
-        ctx = ctx + gc_a * out_c
+        if not self.context_pre_only:
+            out_c = attn_c.out(attn[:, :t])
+            ctx = ctx + gc_a * out_c
 
         hx = nn.LayerNorm(
             use_bias=False, use_scale=False, dtype=self.dtype, name="norm2_x"
@@ -200,16 +226,18 @@ class MMDiTBlock(nn.Module):
             )(hx)
         x = x + gx_m * mlp_out
 
-        hc = nn.LayerNorm(
-            use_bias=False, use_scale=False, dtype=self.dtype, name="norm2_ctx"
-        )(ctx)
-        hc = hc * (1 + scc_m) + sc_m
-        ctx = ctx + gc_m * _MLP(
-            hidden_size=self.hidden_size,
-            mlp_ratio=self.mlp_ratio,
-            dtype=self.dtype,
-            name="mlp_ctx",
-        )(hc)
+        if not self.context_pre_only:
+            hc = nn.LayerNorm(
+                use_bias=False, use_scale=False, dtype=self.dtype,
+                name="norm2_ctx",
+            )(ctx)
+            hc = hc * (1 + scc_m) + sc_m
+            ctx = ctx + gc_m * _MLP(
+                hidden_size=self.hidden_size,
+                mlp_ratio=self.mlp_ratio,
+                dtype=self.dtype,
+                name="mlp_ctx",
+            )(hc)
         return x, ctx
 
 
@@ -234,6 +262,16 @@ class MMDiT(nn.Module):
     context_dim: int = 4096
     pooled_dim: int = 2048
     qk_norm: bool = True
+    # Real-SD3 checkpoint architecture: the LAST block drops the context
+    # output path (diffusers ``context_pre_only`` — see MMDiTBlock).
+    context_pre_only: bool = False
+    # Real-SD3 positional embedding: diffusers bakes one
+    # ``pos_embed_max_size``-sided grid (192 for SD3-medium) whose
+    # coordinates are scaled by base_size/max_size, then CENTER-CROPS the
+    # [gh, gw] window at runtime — fractional, offset positions, NOT a
+    # fresh [0..gh) grid. None keeps the fresh-grid convention.
+    pos_embed_max_size: int | None = None
+    pos_embed_base_size: int | None = None
     # MoE on the image-stream MLPs (SD3-MoE variant; aux losses sown
     # into "moe_losses" and added by DMTrainer)
     num_experts: int = 0
@@ -287,7 +325,10 @@ class MMDiT(nn.Module):
             moe_router_type=self.moe_router_type,
             dtype=self.dtype,
         )
-        if self.scan_blocks and self.depth > 1:
+        # the final context_pre_only block is heterogeneous, so it lives
+        # outside the scan/list under its own name
+        n_blocks = self.depth - 1 if self.context_pre_only else self.depth
+        if self.scan_blocks and n_blocks > 1:
             cell = _MMDiTScanCell
             if self.gradient_checkpointing:
                 cell = nn.remat(cell, prevent_cse=False)
@@ -295,7 +336,7 @@ class MMDiT(nn.Module):
                 cell,
                 variable_axes={"params": 0, "moe_losses": 0},
                 split_rngs={"params": True, "dropout": True},
-                length=self.depth,
+                length=n_blocks,
                 in_axes=(nn.broadcast, nn.broadcast),
             )(**block_kwargs)
         else:
@@ -305,8 +346,13 @@ class MMDiT(nn.Module):
                 else MMDiTBlock
             )
             self.blocks = [
-                block_cls(**block_kwargs) for _ in range(self.depth)
+                block_cls(**block_kwargs) for _ in range(n_blocks)
             ]
+        if self.context_pre_only:
+            self.final_block = MMDiTBlock(
+                **{**block_kwargs, "num_experts": 0},
+                context_pre_only=True,
+            )
 
         self.final_modulation = nn.Dense(
             2 * self.hidden_size,
@@ -337,9 +383,28 @@ class MMDiT(nn.Module):
         gh, gw = h // p, w // p
         x = self.patch_embed(sample.astype(self.dtype))
         x = x.reshape(b, gh * gw, self.hidden_size)
-        pos = jnp.asarray(
-            _2d_sincos_pos_embed(self.hidden_size, gh, gw), self.dtype
-        )
+        if self.pos_embed_max_size:
+            # center-crop of the baked max-size grid == sincos over
+            # offset, base/max-scaled coordinates (diffusers
+            # PatchEmbed.cropped_pos_embed semantics)
+            import numpy as np
+
+            base = self.pos_embed_base_size or self.pos_embed_max_size
+            scale = base / self.pos_embed_max_size
+            top = (self.pos_embed_max_size - gh) // 2
+            left = (self.pos_embed_max_size - gw) // 2
+            pos = jnp.asarray(
+                _2d_sincos_pos_embed(
+                    self.hidden_size, gh, gw,
+                    h_coords=(top + np.arange(gh)) * scale,
+                    w_coords=(left + np.arange(gw)) * scale,
+                ),
+                self.dtype,
+            )
+        else:
+            pos = jnp.asarray(
+                _2d_sincos_pos_embed(self.hidden_size, gh, gw), self.dtype
+            )
         x = x + pos[None]
 
         t_emb = get_timestep_embedding(
@@ -357,11 +422,13 @@ class MMDiT(nn.Module):
         return x, ctx, c
 
     def backbone(self, x, ctx, c, joint_bias=None):
-        if self.scan_blocks and self.depth > 1:
-            (x, ctx), _ = self.blocks((x, ctx), c, joint_bias)
-        else:
+        if isinstance(self.blocks, (list, tuple)):
             for blk in self.blocks:
                 x, ctx = blk(x, ctx, c, joint_bias)
+        else:
+            (x, ctx), _ = self.blocks((x, ctx), c, joint_bias)
+        if self.context_pre_only:
+            x, ctx = self.final_block(x, ctx, c, joint_bias)
         return x, ctx
 
     def head(self, x, c, sample_shape) -> jnp.ndarray:
@@ -434,15 +501,22 @@ class MMDiT(nn.Module):
 
 
 MMDIT_PRESETS: dict[str, dict] = {
-    # SD3-medium class: 24 layers x 1536 (~2.0B with the dual streams)
+    # SD3-medium class: 24 layers x 1536 (~2.0B with the dual streams).
+    # context_pre_only + the 192-grid cropped pos embed (base 64) match
+    # the released checkpoints' architecture so mmdit_key_map imports
+    # them weight- and activation-faithfully.
     "sd3_medium": dict(
         patch_size=2, hidden_size=1536, depth=24, num_heads=24,
         in_channels=16, context_dim=4096, pooled_dim=2048,
+        context_pre_only=True, pos_embed_max_size=192,
+        pos_embed_base_size=64,
     ),
     # SD3.5-large class: 38 layers x 2432
     "sd3_large": dict(
         patch_size=2, hidden_size=2432, depth=38, num_heads=38,
         in_channels=16, context_dim=4096, pooled_dim=2048,
+        context_pre_only=True, pos_embed_max_size=192,
+        pos_embed_base_size=64,
     ),
     "tiny": dict(
         patch_size=2, hidden_size=32, depth=2, num_heads=2,

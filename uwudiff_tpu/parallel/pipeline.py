@@ -314,6 +314,12 @@ def pipelined_mmdit_apply(
             "pipeline parallelism needs MMDiT(scan_blocks=True) "
             "(layer-stacked block params)"
         )
+    if getattr(mmdit, "context_pre_only", False):
+        raise ValueError(
+            "pipeline parallelism needs homogeneous stages: "
+            "MMDiT(context_pre_only=True) ends in a heterogeneous final "
+            "block (use context_pre_only=False for pipelined training)"
+        )
     pooled = added_cond.get("text_embeds") if added_cond else None
     x, ctx, c = mmdit.apply(
         {"params": params},

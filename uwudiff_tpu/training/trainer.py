@@ -355,9 +355,14 @@ class DMTrainer:
     def _added_cond(self, batch, pooled, n=None):
         kind = getattr(self.unet, "addition_embed_type", None)
         if kind == "pooled_text":  # MMDiT: pooled text only, no time_ids
+            if pooled is None:  # precached-conditioning batches (te=None)
+                added = batch.get("added_cond") or {}
+                if "text_embeds" in added:
+                    pooled = jnp.asarray(added["text_embeds"])
             assert pooled is not None, (
                 "pooled_text addition embedding needs pooled text "
-                "embeddings (a use_pooled=True CLIP encoder)"
+                "embeddings (a use_pooled=True CLIP encoder, or a "
+                "precached added_cond['text_embeds'] batch key)"
             )
             return {"text_embeds": pooled if n is None else pooled[:n]}
         if kind != "text_time":
