@@ -140,6 +140,12 @@ def test_wide_channel_scoped_vmem_accounting():
     big = jnp.zeros((4, 64, 64, 1920), jnp.bfloat16)
     assert fused_supported(big, 32)
     assert not gns._tile_fits_vmem(big)
+    # [16,4096,640] overflowed the limit at 2x the io estimate
+    # (hw_logs/adapter14_cn_fusedgn.log): the io cap must keep any
+    # io > 8MB shape on the chunked path
+    mid = jnp.zeros((16, 64, 64, 640), jnp.bfloat16)
+    assert fused_supported(mid, 32)
+    assert not gns._tile_fits_vmem(mid)
     # narrow channels keep the full 512 chunk
     assert gns._chunk_for(4096, 320) == 512
 

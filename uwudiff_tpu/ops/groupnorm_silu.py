@@ -34,15 +34,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["group_norm_silu", "group_norm_silu_reference", "fused_supported"]
 
-# Scoped-VMEM budget for the single-pass kernel, counting EVERYTHING it
-# allocates (in+out tiles, fp32 row-chunk temps, lane-padded onehot) —
-# the hardware limit is 16MB and the margin absorbs co-scheduled-op
-# stack slack (scoped VMEM is shared with neighbors, so per-kernel
-# accounting can't be exact). Measured: a [16,1024,1920] concat GN
-# overflowed the 16MB limit by 44KB at chunk=512 when only the bf16
-# in/out tiles were counted (hw_logs/adapter13_bench.log); the chunk
-# shrink below cuts that kernel's temps by 3.9MB, keeping the
-# single-pass (1 HBM read) form for the hot SDXL up-block shapes.
+# Scoped-VMEM budgets for the single-pass kernel. Mosaic's stack
+# allocator is not modelable per-kernel — two measured overflows
+# behaved differently: [16,1024,1920] used ~(io + temps + onehot)
+# (16.04M at chunk=512, hw_logs/adapter13_bench.log), while
+# [16,4096,640] used ~2x io (20.0M vs a 13.4M estimate,
+# hw_logs/adapter14_cn_fusedgn.log — more row chunks seem to trigger
+# deeper buffering). So the gate is doubly conservative: the bf16
+# in+out tiles alone must fit _IO_TILE_BYTES (the bound every
+# historically-compiling config satisfied) AND the full estimate
+# (io + fp32 chunk temps + lane-padded onehot) must fit
+# _VMEM_TILE_BYTES; the chunk shrink below keeps wide-channel temps
+# small enough that admitted shapes stay well under the 16MB limit.
+_IO_TILE_BYTES = 8 * 1024 * 1024
 _VMEM_TILE_BYTES = 13 * 1024 * 1024
 # Cap on the in-kernel fp32 row-chunk temporaries (2 x chunk x C x 4B);
 # the chunk size halves until under this.
@@ -95,7 +99,7 @@ def _tile_fits_vmem(x) -> bool:
     io = 2 * hw * c * x.dtype.itemsize
     temps = 2 * chunk * c * 4
     onehot = c * 128 * 4  # [C, G] indicator, G lane-padded to 128
-    return io + temps + onehot <= _VMEM_TILE_BYTES
+    return io <= _IO_TILE_BYTES and io + temps + onehot <= _VMEM_TILE_BYTES
 
 
 def fused_supported(x, groups: int) -> bool:
