@@ -183,6 +183,58 @@ def test_concat_text_encoders_buckets():
     assert np.asarray(mask)[:, :8].all()
 
 
+def test_concat_text_encoders_pad_context_to():
+    """SD3 no-T5 mode: the CLIP-pair context zero-pads to the
+    checkpoint's context width (what the T5 bucket would have forced),
+    driven by `pad_context_to` (configs/demo_training_latent_sd3.yaml)."""
+    from uwudiff_tpu.models.text_encoders import ConcatTextEncoders
+
+    te = ConcatTextEncoders.from_config(
+        [
+            (
+                {"model_type": "clip", "preset": "tiny"},
+                {"use_pooled": True, "layer_idx": -2},
+            )
+        ],
+        pad_context_to=96,
+    )
+    tok = SimpleTokenizer(model_max_length=8)
+    outs = [{k: jnp.asarray(v) for k, v in tok(["hi", "yo"]).items()}]
+    params = te.init(jax.random.PRNGKey(0), outs)["params"]
+    emb, normed, pooled, _ = te.apply({"params": params}, outs)
+    assert emb.shape == (2, 8, 96)
+    assert normed.shape == (2, 8, 96)
+    # the pad is zeros beyond the real 32-wide features
+    assert np.abs(np.asarray(emb)[..., :32]).max() > 0
+    np.testing.assert_allclose(np.asarray(emb)[..., 32:], 0.0)
+    np.testing.assert_allclose(np.asarray(normed)[..., 32:], 0.0)
+
+
+def test_sd3_true_scale_config_parses():
+    """The SD3-at-true-scale overlay builds real module objects (no
+    init — sd3_medium is 2.0B) with the released architecture."""
+    import os
+
+    from uwudiff_tpu.config import instantiate_any, load_config_files
+
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    cfg = load_config_files(
+        [
+            os.path.join(root, "configs/demo_training_mmdit.yaml"),
+            os.path.join(root, "configs/demo_training_latent_sd3.yaml"),
+        ]
+    )
+    model_cfg = dict(cfg["trainer"]["model_config"])
+    unet = instantiate_any(model_cfg["unet"])
+    assert unet.context_pre_only and unet.pos_embed_max_size == 192
+    assert unet.depth == 24 and unet.in_channels == 16
+    te_cfg = dict(model_cfg["te"])
+    te_cfg.pop("_load_config_", None)  # consumed by the trainer/loader
+    te = instantiate_any(te_cfg)
+    assert te.pad_context_to == 4096
+    assert len(te.text_models) == 2
+
+
 def test_pipeline_nested_encode():
     te = _make_sdxl_style_stack()
     toks = [

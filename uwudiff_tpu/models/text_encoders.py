@@ -69,6 +69,11 @@ class ConcatTextEncoders(nn.Module):
     configs: Sequence[TextModelExtraConfig]
     zero_for_padding: bool = True
     use_normed_ctx: bool = False
+    # zero-pad the assembled context's feature dim to this width — the
+    # SD3 "no-T5" mode feeds the 2048-wide CLIP-pair features into the
+    # checkpoint's 4096-wide context_embedder by zero-padding (the same
+    # padding the T5 bucket would have forced)
+    pad_context_to: int | None = None
 
     @classmethod
     def from_config(
@@ -76,6 +81,7 @@ class ConcatTextEncoders(nn.Module):
         text_model_and_configs: Sequence[tuple],
         zero_for_padding: bool = True,
         use_normed_ctx: bool = False,
+        pad_context_to: int | None = None,
     ) -> "ConcatTextEncoders":
         models, configs = [], []
         for model_cfg, extra_cfg in text_model_and_configs:
@@ -88,6 +94,7 @@ class ConcatTextEncoders(nn.Module):
             configs=tuple(configs),
             zero_for_padding=zero_for_padding,
             use_normed_ctx=use_normed_ctx,
+            pad_context_to=pad_context_to,
         )
 
     @property
@@ -154,6 +161,8 @@ class ConcatTextEncoders(nn.Module):
 
         # pad buckets to max feature dim, then seq-concat buckets
         max_dim = max(e.shape[-1] for e in emb_b if e is not None)
+        if self.pad_context_to is not None:
+            max_dim = max(max_dim, self.pad_context_to)
 
         def _pad_feat(e):
             if e is None or e.shape[-1] == max_dim:
