@@ -590,3 +590,178 @@ def test_cfg_interval_limits_guidance_window(sched):
     fn_all = build_cfg_fn(unet, enc, cfg=5.0)
     out, _ = fn_all(x, jnp.asarray([10.0, 10.0]))
     np.testing.assert_allclose(np.asarray(out), 6.0)
+
+
+# ---------------------------------------------------------------------------
+# Rectified-flow sampling: RFDenoiser + SD3 shifted time grids
+# ---------------------------------------------------------------------------
+
+
+def test_rf_denoiser_recovers_x0(sched):
+    """If the model predicts the exact velocity n - x0, the wrapper
+    recovers x0 — and it must see the VP-scaled input at sigma_to_t."""
+    from uwudiff_tpu.sampling import RFDenoiser
+
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    sigma = jnp.array([0.5, 3.0])
+    v_true = noise - x0
+
+    captured = {}
+
+    def v_model(x_in, t, **kw):
+        captured["x_in"] = x_in
+        captured["t"] = t
+        return v_true
+
+    den = RFDenoiser(model_fn=v_model, schedule=sched)
+    x = x0 + noise * sigma[:, None, None, None]  # k-diffusion space
+    out = den(x, sigma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-5)
+    # conditioning convention matches training: fractional timesteps
+    np.testing.assert_allclose(
+        np.asarray(captured["t"]), np.asarray(sched.sigma_to_t(sigma)), atol=1e-3
+    )
+    # input scaling matches training: the VP interpolant
+    c_in = 1.0 / np.sqrt(np.asarray(sigma)[:, None, None, None] ** 2 + 1.0)
+    np.testing.assert_allclose(
+        np.asarray(captured["x_in"]), np.asarray(x) * c_in, atol=1e-6
+    )
+
+
+def test_rf_denoiser_matches_training_conversion(sched):
+    """RFDenoiser's denoised output equals RectifiedFlowLoss's own
+    (x0 from prediction) conversion — sampler and trainer share one
+    parameterization contract."""
+    from uwudiff_tpu.diffusion import RectifiedFlowLoss
+    from uwudiff_tpu.sampling import RFDenoiser
+    from uwudiff_tpu.utils import append_dims
+
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    # an arbitrary (wrong) velocity prediction: conversions must agree
+    v_pred = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    sigma = jnp.array([0.25, 5.0])
+
+    rf_loss = RectifiedFlowLoss(
+        schedule=sched, prediction_type="rectified_flow"
+    )
+    xt_scaled = rf_loss.noise_latents(x0, noise, sigma)
+    x0_hat, _ = rf_loss.get_x0_eps_from_pred_with_sigmas(
+        xt_scaled, v_pred, sigma
+    )
+
+    den = RFDenoiser(model_fn=lambda x, t, **kw: v_pred, schedule=sched)
+    x_k = x0 + noise * append_dims(sigma, x0.ndim)  # unscaled sigma space
+    np.testing.assert_allclose(
+        np.asarray(den(x_k, sigma)), np.asarray(x0_hat), atol=1e-5
+    )
+
+
+def test_rf_euler_sampling_converges(sched):
+    """Euler over a shifted RF ladder with an oracle velocity model
+    lands on x0 exactly (denoised is x0 at every step)."""
+    from uwudiff_tpu.sampling import RFDenoiser, shift_time
+
+    def v_oracle(z, t, **kw):
+        sig = append_dims_np(sched.t_to_sigma(t), z.ndim)
+        x_k = z * jnp.sqrt(sig**2 + 1.0)
+        n = (x_k - X0) / jnp.maximum(sig, 1e-8)
+        return n - X0
+
+    def append_dims_np(a, nd):
+        return a.reshape(a.shape + (1,) * (nd - a.ndim))
+
+    den = RFDenoiser(model_fn=v_oracle, schedule=sched)
+
+    def cfg_fn(x, s, **kw):
+        d = den(x, s)
+        return d, d
+
+    sigmas = jnp.asarray(
+        get_sigmas_for_rf(
+            8, max_sigma=float(sched.sigma_max), time_disc_func=shift_time
+        ).astype(np.float32)
+    )
+    assert float(sigmas[-1]) == 0.0 and float(sigmas[0]) <= float(sched.sigma_max) + 1e-3
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 1)) * sigmas[0]
+    out = sample_euler_ancestral(cfg_fn, x, sigmas, rng=jax.random.PRNGKey(1), eta=0.0)
+    np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+def test_shift_time_grids():
+    from uwudiff_tpu.sampling import (
+        dynamic_shift_time,
+        mu_for_image_seq_len,
+        shift_time,
+        uniform_time,
+    )
+
+    # shift=1 is exactly uniform
+    np.testing.assert_allclose(
+        shift_time(0.0, 0.9, 8, shift=1.0), uniform_time(0.0, 0.9, 8), atol=1e-12
+    )
+    # published rule on (0, 1): t' = 3t/(1+2t); midpoint 0.5 -> 0.75
+    g = shift_time(0.0, 1.0, 2, shift=3.0)
+    np.testing.assert_allclose(g, [0.0, 0.75, 1.0], atol=1e-12)
+    # endpoints pinned to the schedule's trained range
+    g = shift_time(0.0, 0.936, 16, shift=3.0)
+    assert g[0] == 0.0 and abs(g[-1] - 0.936) < 1e-12
+    assert np.all(np.diff(g) > 0)
+    # dynamic shift at mu = ln(shift) equals the static rule
+    np.testing.assert_allclose(
+        dynamic_shift_time(0.0, 0.936, 8, mu=float(np.log(3.0))),
+        shift_time(0.0, 0.936, 8, shift=3.0),
+        atol=1e-9,
+    )
+    # mu interpolation hits the published anchors
+    assert abs(mu_for_image_seq_len(256) - 0.5) < 1e-9
+    assert abs(mu_for_image_seq_len(4096) - 1.15) < 1e-9
+
+
+def test_end_to_end_rf_mmdit_sampling(sched):
+    """The demo_sampling_mmdit.yaml recipe in-code: RFDenoiser + SD3
+    shift grid through the standard text-conditional CFG path."""
+    from functools import partial
+
+    from uwudiff_tpu.models.mmdit import MMDiT
+    from uwudiff_tpu.sampling import RFDenoiser, shift_time
+
+    mmdit = MMDiT.from_config(
+        "tiny", context_dim=32, pooled_dim=32, in_channels=4
+    )
+    x = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 8, 32))
+    params = mmdit.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((1,)), ctx, None,
+        {"text_embeds": jnp.zeros((1, 32))},
+    )["params"]
+
+    def unet_fn(x, t, ctx, mask, added):
+        return mmdit.apply({"params": params}, x, t, ctx, mask, added)
+
+    te = _tiny_pipeline()
+    latents = diffusion_sampling(
+        unet_fn,
+        te,
+        vae_decode=None,
+        train_schedule=sched,
+        prompt="a cat",
+        neg_prompt="",
+        num_steps=4,
+        num_samples=2,
+        cfg_scale=3.0,
+        width=64,
+        height=64,
+        seed=0,
+        denoiser_cls=RFDenoiser,
+        get_sigma_func=partial(
+            get_sigmas_for_rf,
+            max_sigma=14.6146,
+            time_disc_func=partial(shift_time, shift=3.0),
+        ),
+    )
+    assert latents.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(latents)).all()

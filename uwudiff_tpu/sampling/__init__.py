@@ -1,6 +1,7 @@
 from uwudiff_tpu.sampling.wrapper import (
     EDMDenoiser,
     KDiffusionDenoiser,
+    RFDenoiser,
     append_dims,
 )
 from uwudiff_tpu.sampling.get_sigmas import (
@@ -9,6 +10,9 @@ from uwudiff_tpu.sampling.get_sigmas import (
     uniform_time,
     sigmoid_time,
     sigmoid_time_scale,
+    shift_time,
+    dynamic_shift_time,
+    mu_for_image_seq_len,
 )
 from uwudiff_tpu.sampling.euler import (
     sample_euler_ancestral,
@@ -38,12 +42,16 @@ from uwudiff_tpu.sampling.img2img import (
 __all__ = [
     "KDiffusionDenoiser",
     "EDMDenoiser",
+    "RFDenoiser",
     "append_dims",
     "get_sigmas_for_rf",
     "karras_sigmas",
     "uniform_time",
     "sigmoid_time",
     "sigmoid_time_scale",
+    "shift_time",
+    "dynamic_shift_time",
+    "mu_for_image_seq_len",
     "sample_euler_ancestral",
     "sample_euler_ancestral_cfgpp",
     "sample_dpm2",

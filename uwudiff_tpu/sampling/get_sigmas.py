@@ -19,6 +19,9 @@ __all__ = [
     "uniform_time",
     "sigmoid_time",
     "sigmoid_time_scale",
+    "shift_time",
+    "dynamic_shift_time",
+    "mu_for_image_seq_len",
     "karras_sigmas",
 ]
 
@@ -87,6 +90,69 @@ def sigmoid_time_scale(
     ramp = _expit(rho * np.linspace(-0.5, 0.5, num_steps + 1))
     ramp = (ramp - ramp[0]) / (ramp[-1] - ramp[0])
     return min_time + (max_time - min_time) * ramp
+
+
+def _warped_ramp(
+    min_time: float, max_time: float, num_steps: int, warp
+) -> np.ndarray:
+    """A uniform unit ramp passed through ``warp`` (fixing 0 and 1),
+    mapped affinely onto [min_time, max_time].  Warping the *normalized*
+    grid keeps the endpoints pinned to the schedule's trained time range
+    — on (0, 1) this is exactly the published rule, and bounded
+    schedules (e.g. the SDXL table's t_max ~= 0.936) never get asked for
+    sigmas beyond their trained maximum."""
+    u = warp(np.linspace(0.0, 1.0, num_steps + 1))
+    return min_time + (max_time - min_time) * u
+
+
+def shift_time(
+    min_time: float, max_time: float, num_steps: int, shift: float = 3.0
+) -> np.ndarray:
+    """SD3 static timestep shift (Esser et al. 2024, eq. 23): the
+    uniform grid warped by ``u' = shift*u / (1 + (shift-1)*u)`` —
+    ``shift > 1`` pushes sampling time toward the high-noise end, where
+    large-resolution rectified-flow models need more steps.
+    ``shift=3.0`` is the published SD3-medium inference default;
+    ``shift=1`` reduces to :func:`uniform_time` exactly."""
+    return _warped_ramp(
+        min_time,
+        max_time,
+        num_steps,
+        lambda u: shift * u / (1.0 + (shift - 1.0) * u),
+    )
+
+
+def dynamic_shift_time(
+    min_time: float, max_time: float, num_steps: int, mu: float = 1.0
+) -> np.ndarray:
+    """Resolution-dependent ("dynamic") timestep shift: the exponential
+    form ``u' = e^mu / (e^mu + (1/u - 1))`` used by SD3.5/Flux-class RF
+    samplers, with ``mu`` from :func:`mu_for_image_seq_len`.  At
+    ``mu = ln(shift)`` this equals :func:`shift_time`'s Moebius warp, so
+    the static rule is the fixed-resolution special case."""
+
+    def warp(u: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(u)
+        nz = u > 0.0
+        out[nz] = np.exp(mu) / (np.exp(mu) + (1.0 / u[nz] - 1.0))
+        return out
+
+    return _warped_ramp(min_time, max_time, num_steps, warp)
+
+
+def mu_for_image_seq_len(
+    seq_len: int,
+    base_seq_len: int = 256,
+    max_seq_len: int = 4096,
+    base_shift: float = 0.5,
+    max_shift: float = 1.15,
+) -> float:
+    """Linear interpolation of the dynamic-shift exponent ``mu`` in the
+    image token count (latent patches), anchored at the published
+    (256 tokens, 0.5) -> (4096 tokens, 1.15) endpoints: longer image
+    sequences get a larger high-noise shift."""
+    slope = (max_shift - base_shift) / (max_seq_len - base_seq_len)
+    return float(base_shift + slope * (seq_len - base_seq_len))
 
 
 def karras_sigmas(

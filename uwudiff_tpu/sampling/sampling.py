@@ -174,6 +174,7 @@ def class_conditional_sampling(
     jit_compile: bool = True,
     unet_params=None,
     denoiser_cls: type = KDiffusionDenoiser,
+    latent_sharding=None,
 ):
     """Class-conditional sampling for the DiT family (the reference has
     no class-conditional models; this mirrors ``diffusion_sampling``'s

@@ -16,7 +16,13 @@ import jax.numpy as jnp
 from uwudiff_tpu.diffusion.schedules import NoiseSchedule
 from uwudiff_tpu.utils import append_dims
 
-__all__ = ["KDiffusionDenoiser", "append_dims", "to_d", "get_ancestral_step"]
+__all__ = [
+    "KDiffusionDenoiser",
+    "RFDenoiser",
+    "append_dims",
+    "to_d",
+    "get_ancestral_step",
+]
 
 
 def to_d(x: jnp.ndarray, sigma: jnp.ndarray, denoised: jnp.ndarray) -> jnp.ndarray:
@@ -97,6 +103,48 @@ class KDiffusionDenoiser:
         t = self.sigma_to_t(sigma_cond)
         eps = self.get_eps(x * append_dims(c_in, x.ndim), t, **kwargs)
         return x + eps * append_dims(c_out, x.ndim)
+
+
+@dataclasses.dataclass(frozen=True)
+class RFDenoiser(KDiffusionDenoiser):
+    """Sigma-space wrapper for rectified-flow-trained networks — the
+    sampling-side counterpart of :class:`diffusion.RectifiedFlowLoss`
+    (the reference trains RF, ``loss/rectified_flow.py``, but ships no
+    sampling wrapper for it; this closes that loop so every sampler in
+    this package drives RF models unchanged).
+
+    Training convention (``losses.RectifiedFlowLoss``): the model sees
+    the VP-scaled interpolant ``x_t = (x0 + sigma*n)/sqrt(1+sigma^2)``
+    at fractional DDPM timesteps and predicts the velocity
+    ``v = n - x0``.  In k-diffusion space (``x = x0 + sigma*n``) the
+    denoised estimate therefore is
+
+        x0 = (x - sigma * v) / (1 + sigma)
+
+    with the same ``c_in = 1/sqrt(sigma^2+1)`` input scaling and
+    ``sigma_to_t`` conditioning as the eps wrapper.  Pair with
+    :func:`get_sigmas.get_sigmas_for_rf` ladders (optionally
+    ``shift_time`` / ``dynamic_shift_time`` warped, SD3-style).
+    """
+
+    def __call__(self, x, sigma, sigma_cond=None, **kwargs):
+        _, c_in = self.get_scalings(sigma)
+        sigma_cond = sigma_cond if sigma_cond is not None else sigma
+        t = self.sigma_to_t(sigma_cond)
+        v = self.get_eps(x * append_dims(c_in, x.ndim), t, **kwargs)
+        sig = append_dims(sigma, x.ndim)
+        return (x - sig * v) / (1.0 + sig)
+
+    def loss(self, x, noise, sigma, **kwargs):
+        """Velocity-matching loss in sigma space (mirrors
+        :meth:`KDiffusionDenoiser.loss` for the RF parameterization)."""
+        _, c_in = self.get_scalings(sigma)
+        noised = x + noise * append_dims(sigma, x.ndim)
+        v = self.get_eps(
+            noised * append_dims(c_in, x.ndim), self.sigma_to_t(sigma), **kwargs
+        )
+        target = noise - x
+        return jnp.mean((v - target).reshape(x.shape[0], -1) ** 2, axis=1)
 
 
 @dataclasses.dataclass(frozen=True)
