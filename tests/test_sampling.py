@@ -765,3 +765,66 @@ def test_end_to_end_rf_mmdit_sampling(sched):
     )
     assert latents.shape == (2, 8, 8, 4)
     assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_v_denoiser_recovers_x0(sched):
+    """If the model predicts the exact v = sqrt(abar)n - sqrt(1-abar)x0,
+    the wrapper recovers x0."""
+    from uwudiff_tpu.sampling import VDenoiser
+
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    sigma = jnp.array([0.5, 3.0])
+    sig = sigma[:, None, None, None]
+    scales = 1.0 / jnp.sqrt(sig**2 + 1.0)
+    v_true = scales * noise - sig * scales * x0
+
+    den = VDenoiser(model_fn=lambda x, t, **kw: v_true, schedule=sched)
+    x = x0 + noise * sig
+    np.testing.assert_allclose(np.asarray(den(x, sigma)), np.asarray(x0), atol=1e-5)
+
+
+def test_v_denoiser_matches_training_conversion(sched):
+    """VDenoiser's denoised output equals DiffusionLoss's v_prediction
+    (x0 from prediction) conversion for an arbitrary model output."""
+    from uwudiff_tpu.diffusion import DiffusionLoss
+    from uwudiff_tpu.sampling import VDenoiser
+    from uwudiff_tpu.utils import append_dims
+
+    rng = np.random.default_rng(13)
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    v_pred = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    sigma = jnp.array([0.25, 5.0])
+
+    loss = DiffusionLoss(schedule=sched, prediction_type="v_prediction")
+    xt_scaled = loss.noise_latents(x0, noise, sigma)
+    x0_hat, _ = loss.get_x0_eps_from_pred_with_sigmas(xt_scaled, v_pred, sigma)
+
+    den = VDenoiser(model_fn=lambda x, t, **kw: v_pred, schedule=sched)
+    x_k = x0 + noise * append_dims(sigma, x0.ndim)
+    np.testing.assert_allclose(
+        np.asarray(den(x_k, sigma)), np.asarray(x0_hat), atol=1e-5
+    )
+
+
+def test_denoiser_losses_zero_at_oracle(sched):
+    """Each wrapper's .loss() is ~0 when the model predicts its own
+    target exactly, and positive otherwise (RF and v)."""
+    from uwudiff_tpu.sampling import RFDenoiser, VDenoiser
+
+    rng = np.random.default_rng(17)
+    x0 = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    sigma = jnp.array([0.5, 2.0])
+    sig = sigma[:, None, None, None]
+    scales = 1.0 / jnp.sqrt(sig**2 + 1.0)
+
+    rf = RFDenoiser(model_fn=lambda x, t, **kw: noise - x0, schedule=sched)
+    assert float(jnp.max(rf.loss(x0, noise, sigma))) < 1e-10
+    v_true = scales * noise - sig * scales * x0
+    vd = VDenoiser(model_fn=lambda x, t, **kw: v_true, schedule=sched)
+    assert float(jnp.max(vd.loss(x0, noise, sigma))) < 1e-10
+    wrong = VDenoiser(model_fn=lambda x, t, **kw: noise, schedule=sched)
+    assert float(jnp.min(wrong.loss(x0, noise, sigma))) > 1e-3

@@ -2,6 +2,7 @@ from uwudiff_tpu.sampling.wrapper import (
     EDMDenoiser,
     KDiffusionDenoiser,
     RFDenoiser,
+    VDenoiser,
     append_dims,
 )
 from uwudiff_tpu.sampling.get_sigmas import (
@@ -43,6 +44,7 @@ __all__ = [
     "KDiffusionDenoiser",
     "EDMDenoiser",
     "RFDenoiser",
+    "VDenoiser",
     "append_dims",
     "get_sigmas_for_rf",
     "karras_sigmas",

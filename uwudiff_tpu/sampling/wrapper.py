@@ -19,6 +19,7 @@ from uwudiff_tpu.utils import append_dims
 __all__ = [
     "KDiffusionDenoiser",
     "RFDenoiser",
+    "VDenoiser",
     "append_dims",
     "to_d",
     "get_ancestral_step",
@@ -103,6 +104,44 @@ class KDiffusionDenoiser:
         t = self.sigma_to_t(sigma_cond)
         eps = self.get_eps(x * append_dims(c_in, x.ndim), t, **kwargs)
         return x + eps * append_dims(c_out, x.ndim)
+
+
+@dataclasses.dataclass(frozen=True)
+class VDenoiser(KDiffusionDenoiser):
+    """Sigma-space wrapper for v-prediction networks (SD2.x-class;
+    k-diffusion's ``DiscreteVDDPMDenoiser`` counterpart — the reference
+    wraps only eps models).  Training convention
+    (``losses.DiffusionLoss(prediction_type="v_prediction")``): the
+    model sees the VP-scaled latent and predicts
+    ``v = sqrt(abar)*n - sqrt(1-abar)*x0``; in k-diffusion space
+
+        x0 = x/(1+sigma^2) - sigma/sqrt(1+sigma^2) * v
+
+    i.e. ``c_skip = 1/(1+sigma^2)``, ``c_out = -sigma/sqrt(1+sigma^2)``.
+    """
+
+    def __call__(self, x, sigma, sigma_cond=None, **kwargs):
+        _, c_in = self.get_scalings(sigma)
+        sigma_cond = sigma_cond if sigma_cond is not None else sigma
+        t = self.sigma_to_t(sigma_cond)
+        v = self.get_eps(x * append_dims(c_in, x.ndim), t, **kwargs)
+        sig = append_dims(sigma, x.ndim)
+        c_skip = 1.0 / (sig**2 + 1.0)
+        c_out = -sig / jnp.sqrt(sig**2 + 1.0)
+        return c_skip * x + c_out * v
+
+    def loss(self, x, noise, sigma, **kwargs):
+        """v-matching loss in sigma space (target
+        ``sqrt(abar)*n - sqrt(1-abar)*x0`` expressed via sigma)."""
+        _, c_in = self.get_scalings(sigma)
+        noised = x + noise * append_dims(sigma, x.ndim)
+        v = self.get_eps(
+            noised * append_dims(c_in, x.ndim), self.sigma_to_t(sigma), **kwargs
+        )
+        sig = append_dims(sigma, x.ndim)
+        scales = 1.0 / jnp.sqrt(sig**2 + 1.0)
+        target = scales * noise - sig * scales * x
+        return jnp.mean((v - target).reshape(x.shape[0], -1) ** 2, axis=1)
 
 
 @dataclasses.dataclass(frozen=True)
