@@ -9,8 +9,11 @@ serving path; this fronts ``uwudiff_tpu/serving.py``).
       -d '{"prompt": "a (red:1.3) car", "width": 1024, "height": 1024}'
 
 POST /generate accepts the ``Request`` fields (prompt, neg_prompt,
-width, height, num_steps, cfg_scale, seed) and returns JSON with a
-base64 PNG per image (or raw latent shape when the stack has no VAE).
+width, height, num_steps, cfg_scale, seed, prompt_weighting, adapter)
+and returns JSON with a base64 PNG per image (or raw latent shape when
+the stack has no VAE). ``adapter`` selects a LoRA registered via the
+``adapters: {name: ckpt.npz}`` config node — hot-swapped per batch
+group with zero recompiles.
 ``--self-test`` boots the server, round-trips one in-process HTTP
 request, prints the response summary, and exits 0/1 — the smoke drive.
 """
@@ -140,6 +143,19 @@ def main():
     warmup_steps = srv_cfg.pop("warmup_steps", None)
     pipe_kwargs = srv_cfg.pop("pipeline", {}) or {}
     pipeline = Txt2ImgPipeline.from_trainer(trainer, **pipe_kwargs)
+    # hot-swappable LoRA registry: `adapters: {name: ckpt.npz}` config
+    # node; requests then select by {"adapter": "name"} with zero
+    # recompiles (params are jit arguments). Needs trainer.lycoris_config
+    # for the adapter specs the files load into.
+    adapters_cfg = dict(config.get("adapters", {}) or {})
+    if adapters_cfg:
+        if trainer.adapter is None:
+            raise ValueError(
+                "config `adapters:` needs `trainer.lycoris_config` "
+                "(the adapter specs the checkpoint files load into)"
+            )
+        for name, path in adapters_cfg.items():
+            pipeline.register_adapter(name, trainer.adapter.load(path))
     server = BatchingServer(pipeline, **srv_cfg).start(
         warmup_steps=warmup_steps
     )

@@ -122,3 +122,24 @@ def test_generate_uint8_pipeline_images_pass_through():
         assert arr.min() == 128 and arr.max() == 128
     finally:
         httpd.shutdown()
+
+
+def test_adapter_field_roundtrip():
+    """The adapter field is accepted over HTTP and lands on the
+    Request the server sees (str and list forms)."""
+    stub = _StubServer(np.zeros((1, 8, 8, 4), np.float32))
+    httpd, port = _boot(stub)
+    try:
+        status, out = _post(port, "/generate", {
+            "prompt": "x", "return_latents": True, "adapter": "style_a",
+        })
+        assert status == 200
+        assert stub.seen[-1].adapter == "style_a"
+        status, _ = _post(port, "/generate", {
+            "prompt": "x", "return_latents": True,
+            "adapter": ["style_a", "style_b"],
+        })
+        assert status == 200
+        assert list(stub.seen[-1].adapter) == ["style_a", "style_b"]
+    finally:
+        httpd.shutdown()

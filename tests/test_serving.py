@@ -245,3 +245,170 @@ def test_meshed_trainer_serving_matches_unmeshed():
         if hasattr(l, "sharding") and hasattr(l.sharding, "spec")
     ]
     assert any("fsdp" in s for s in specs), specs[:5]
+
+
+def _tiny_text_pipe_trainer(vae=None, lycoris=None):
+    te = ConcatTextEncoders.from_config(
+        [({"model_type": "clip", "preset": "tiny"},
+          {"use_pooled": False, "layer_idx": -2})]
+    )
+    trainer = DMTrainer(
+        model_config={
+            "unet": UNet2DConditionModel.from_config(
+                "tiny", zero_init_stddev=-1.0
+            ),
+            "te": te,
+            "vae": vae,
+        },
+        lr=1e-4,
+        use_warm_up=False,
+        lycoris_config=lycoris,
+        seed=0,
+    )
+    ds = DummyDataset(sample_size=(32, 32, 4), n_samples=4)
+    ds.set_tokenizers(trainer.tokenizers)
+    trainer.setup(ds.collate([ds[0], ds[1]]))
+    return trainer
+
+
+def test_zero_retrace_request_path_matches_legacy():
+    """The persistent compiled sampler (a) traces once across requests
+    with different prompts/seeds, and (b) is numerically identical to
+    the per-call diffusion_sampling path."""
+    trainer = _tiny_text_pipe_trainer()
+    pipe = Txt2ImgPipeline.from_trainer(trainer)
+
+    lat1 = pipe(prompt="a cat", num_steps=2, num_samples=1,
+                width=32, height=32, seed=0, return_latents=True)
+    assert pipe.trace_count == 1
+    lat2 = pipe(prompt="a very different dog", num_steps=2, num_samples=1,
+                width=32, height=32, seed=0, return_latents=True)
+    lat3 = pipe(prompt="a cat", num_steps=2, num_samples=1,
+                width=32, height=32, seed=7, return_latents=True)
+    assert pipe.trace_count == 1  # new prompt + new seed: no retrace
+    assert not np.allclose(np.asarray(lat1), np.asarray(lat2))
+    assert not np.allclose(np.asarray(lat1), np.asarray(lat3))
+
+    # numerics parity with the legacy per-call path (forced via a
+    # kwargs-only option)
+    lat_legacy = pipe(prompt="a cat", num_steps=2, num_samples=1,
+                      width=32, height=32, seed=0, return_latents=True,
+                      padding_mode="cycling")
+    np.testing.assert_allclose(
+        np.asarray(lat1), np.asarray(lat_legacy), atol=1e-5
+    )
+    # a different signature (batch) compiles exactly one more program
+    pipe(prompt="a cat", num_steps=2, num_samples=2,
+         width=32, height=32, seed=0, return_latents=True)
+    assert pipe.trace_count == 2
+
+
+def test_adapter_hot_swap_zero_recompile():
+    """LoRA hot-swap: register/swap/restore adapters on a live pipeline
+    with zero retraces; composition merges in order."""
+    from uwudiff_tpu.training.adapters import (
+        LycorisAdapter,
+        build_adapter_config,
+    )
+
+    trainer = _tiny_text_pipe_trainer()
+    pipe = Txt2ImgPipeline.from_trainer(trainer)
+
+    cfg = build_adapter_config({
+        "targets": [
+            {"pattern": r".*to_q/kernel$", "algo": "lora", "dim": 2}
+        ],
+    })
+    base_params = pipe._base_params
+    adapter = LycorisAdapter.create(
+        trainer.unet, base_params, cfg, jax.random.PRNGKey(1)
+    )
+    # zero-init LoRA is a no-op: give it a real delta
+    for name in adapter.params:
+        up = adapter.params[name]["lora_up"]
+        adapter.params[name]["lora_up"] = (
+            jax.random.normal(jax.random.PRNGKey(2), up.shape) * 0.5
+        )
+    adapter2 = LycorisAdapter.create(
+        trainer.unet, base_params, cfg, jax.random.PRNGKey(3)
+    )
+    for name in adapter2.params:
+        up = adapter2.params[name]["lora_up"]
+        adapter2.params[name]["lora_up"] = (
+            jax.random.normal(jax.random.PRNGKey(4), up.shape) * 0.5
+        )
+
+    kw = dict(prompt="a cat", num_steps=2, num_samples=1,
+              width=32, height=32, seed=0, return_latents=True)
+    lat_base = np.asarray(pipe(**kw))
+    pipe.register_adapter("style_a", adapter)
+    pipe.register_adapter("style_b", adapter2)
+
+    pipe.set_adapter("style_a")
+    lat_a = np.asarray(pipe(**kw))
+    assert not np.allclose(lat_base, lat_a)
+
+    # composition == sequential merge
+    pipe.set_adapter(["style_a", "style_b"])
+    lat_ab = np.asarray(pipe(**kw))
+    merged_ab = adapter2.merge(adapter.merge(base_params))
+    saved = pipe.unet_params
+    pipe.unet_params = merged_ab
+    np.testing.assert_allclose(lat_ab, np.asarray(pipe(**kw)), atol=1e-6)
+    pipe.unet_params = saved
+
+    # restore base exactly
+    pipe.set_adapter(None)
+    np.testing.assert_allclose(lat_base, np.asarray(pipe(**kw)), atol=0)
+
+    # the whole dance never retraced
+    assert pipe.trace_count == 1
+
+    # idempotent by-name swap reuses the merged tree object
+    pipe.set_adapter("style_a")
+    tree_before = pipe.unet_params
+    pipe.set_adapter("style_a")
+    assert pipe.unet_params is tree_before
+
+
+def test_server_adapter_routing():
+    """Requests carrying adapter names group separately and produce
+    different images from base requests with the same seed."""
+    from uwudiff_tpu.serving import BatchingServer, Request
+    from uwudiff_tpu.training.adapters import (
+        LycorisAdapter,
+        build_adapter_config,
+    )
+
+    trainer = _tiny_text_pipe_trainer()
+    pipe = Txt2ImgPipeline.from_trainer(trainer)
+    cfg = build_adapter_config({
+        "targets": [
+            {"pattern": r".*to_q/kernel$", "algo": "lora", "dim": 2}
+        ],
+    })
+    adapter = LycorisAdapter.create(
+        trainer.unet, pipe._base_params, cfg, jax.random.PRNGKey(1)
+    )
+    for name in adapter.params:
+        up = adapter.params[name]["lora_up"]
+        adapter.params[name]["lora_up"] = (
+            jax.random.normal(jax.random.PRNGKey(2), up.shape) * 0.5
+        )
+    pipe.register_adapter("style", adapter)
+
+    server = BatchingServer(pipe, buckets=[(32, 32)], max_batch=2,
+                            max_wait_s=0.05).start()
+    try:
+        f_base = server.submit(Request(
+            prompt="a cat", width=32, height=32, num_steps=2, seed=0,
+            return_latents=True))
+        f_style = server.submit(Request(
+            prompt="a cat", width=32, height=32, num_steps=2, seed=0,
+            return_latents=True, adapter="style"))
+        lat_base = np.asarray(f_base.result(timeout=120))
+        lat_style = np.asarray(f_style.result(timeout=120))
+    finally:
+        server.stop()
+    assert lat_base.shape == lat_style.shape
+    assert not np.allclose(lat_base, lat_style)

@@ -46,6 +46,8 @@ class Txt2ImgPipeline:
         # requires unet_params (params-as-argument mode)
         quantize_weights: bool = False,
     ):
+        base_params_pre_quant = unet_params
+        _requantize = None
         if quantize_weights:
             if unet_params is None:
                 raise ValueError(
@@ -57,6 +59,7 @@ class Txt2ImgPipeline:
                 quantize_tree,
             )
 
+            _requantize = quantize_tree
             unet_params = quantize_tree(unet_params)
             base_fn = unet_fn
 
@@ -77,6 +80,82 @@ class Txt2ImgPipeline:
         self.sampler = sampler
         self.denoiser_cls = denoiser_cls
         self.latent_sharding = latent_sharding
+        # --- zero-retrace request path + adapter hot-swap state ---
+        # params are jit ARGUMENTS, so swapping an adapter-merged tree
+        # of identical structure/dtypes reuses the compiled executable.
+        self._base_params = base_params_pre_quant
+        self._quantized_base = unet_params if quantize_weights else None
+        self._requantize = _requantize
+        self._adapters: dict[str, Any] = {}
+        self._active_adapter: tuple[str, ...] | None = None
+        self._compiled: dict[tuple, Callable] = {}
+        self._trace_counts: dict[tuple, int] = {}
+
+    @property
+    def trace_count(self) -> int:
+        """Total sampler traces so far (observability: a steady-state
+        server should see this stop growing)."""
+        return sum(self._trace_counts.values())
+
+    # -- adapter hot-swap (LyCORIS) --
+
+    def register_adapter(self, name: str, adapter) -> "Txt2ImgPipeline":
+        """Register a :class:`training.adapters.LycorisAdapter` (e.g.
+        ``trainer.adapter`` after an adapter fine-tune, or
+        ``adapter.load(path)``) for by-name swapping."""
+        self._adapters[name] = adapter
+        return self
+
+    def set_adapter(self, adapter=None) -> "Txt2ImgPipeline":
+        """Swap the served weights WITHOUT recompiling.
+
+        ``adapter`` is ``None`` (restore the base model), a registered
+        name, a ``LycorisAdapter``, or a sequence of those (merged in
+        order — multi-adapter composition). The merged tree has the
+        same structure/dtypes as the base, and params are passed to the
+        compiled sampler as arguments, so the swap costs one tree-add
+        (plus re-quantization when ``quantize_weights=True``) and zero
+        retraces/recompiles.
+        """
+        if self._base_params is None:
+            raise ValueError(
+                "set_adapter needs the params-as-jit-argument mode "
+                "(construct with unet_params)"
+            )
+        items = (
+            [] if adapter is None
+            else list(adapter) if isinstance(adapter, (list, tuple))
+            else [adapter]
+        )
+        names = tuple(
+            a if isinstance(a, str) else f"<adapter@{id(a):x}>"
+            for a in items
+        )
+        # idempotent by-name swaps are free (anonymous adapter objects
+        # always re-merge: a recycled id must not alias a stale tree)
+        if items and all(isinstance(a, str) for a in items):
+            if names == self._active_adapter:
+                return self
+        if not items:
+            if self._active_adapter is None:
+                return self
+            self.unet_params = (
+                self._quantized_base
+                if self._quantized_base is not None
+                else self._base_params
+            )
+            self._active_adapter = None
+            return self
+        merged = self._base_params
+        for a in items:
+            if isinstance(a, str):
+                a = self._adapters[a]
+            merged = a.merge(merged)
+        self.unet_params = (
+            self._requantize(merged) if self._requantize else merged
+        )
+        self._active_adapter = names
+        return self
 
     @classmethod
     def from_trainer(cls, trainer, **kwargs) -> "Txt2ImgPipeline":
@@ -125,6 +204,62 @@ class Txt2ImgPipeline:
             **kwargs,
         )
 
+    def _compiled_sampler(self, key) -> Callable:
+        """One persistent jitted sampler per static signature. Prompt
+        encodings, sigmas, rngs AND params are jit *arguments*, so new
+        prompts / adapter swaps / step-count-preserving schedule changes
+        reuse the executable with zero retraces — ``diffusion_sampling``
+        by contrast builds (and traces) a fresh closure per call."""
+        fn = self._compiled.get(key)
+        if fn is not None:
+            return fn
+        (num_samples, height, width, num_steps, cfg_scale,
+         cfg_rescale) = key
+        from uwudiff_tpu.sampling.cfg import build_cfg_fn
+        from uwudiff_tpu.sampling.wrapper import KDiffusionDenoiser
+
+        denoiser_cls = self.denoiser_cls or KDiffusionDenoiser
+        unet_fn, sampler = self.unet_fn, self.sampler
+        schedule, latent_sharding = self.schedule, self.latent_sharding
+        down, ch = self.vae_downscale, self.latent_channels
+        vae_std, vae_mean = self.vae_std, self.vae_mean
+
+        def run(params, enc, sigmas, rng_init, rng_samp):
+            self._trace_counts[key] = self._trace_counts.get(key, 0) + 1
+
+            def eps_fn(x, t, **kw):
+                args = (
+                    x,
+                    t,
+                    kw.get("encoder_hidden_states"),
+                    kw.get("encoder_attention_mask"),
+                    kw.get("added_cond"),
+                )
+                return (
+                    unet_fn(params, *args)
+                    if params is not None
+                    else unet_fn(*args)
+                )
+
+            wrapper = denoiser_cls(
+                model_fn=eps_fn, schedule=schedule, quantize=False
+            )
+            cfg_fn = build_cfg_fn(wrapper, enc, cfg_scale, cfg_rescale)
+            init_x = jax.random.normal(
+                rng_init,
+                (num_samples, height // down, width // down, ch),
+            ) * jnp.sqrt(1 + sigmas[0] ** 2)
+            if latent_sharding is not None:
+                init_x = jax.lax.with_sharding_constraint(
+                    init_x, latent_sharding
+                )
+            latents = sampler(cfg_fn, init_x, sigmas, rng=rng_samp)
+            return latents * vae_std + vae_mean
+
+        fn = jax.jit(run)
+        self._compiled[key] = fn
+        return fn
+
     def __call__(
         self,
         prompt: str | list[str],
@@ -136,36 +271,75 @@ class Txt2ImgPipeline:
         height: int = 1024,
         seed: int = 42,
         return_latents: bool = False,
+        prompt_weighting: bool = False,
+        cfg_rescale: float = 0.0,
         **kwargs: Any,
     ):
-        return diffusion_sampling(
-            self.unet_fn,
-            self.te,
-            self.vae_decode,
-            train_schedule=self.schedule,
-            prompt=prompt,
-            neg_prompt=neg_prompt,
-            num_steps=num_steps,
-            num_samples=num_samples,
-            cfg_scale=cfg_scale,
-            width=width,
-            height=height,
-            seed=seed,
-            vae_std=self.vae_std,
-            vae_mean=self.vae_mean,
-            vae_downscale=self.vae_downscale,
-            latent_channels=self.latent_channels,
-            internal_sampling_func=self.sampler,
-            return_latents=return_latents,
-            unet_params=self.unet_params,
-            latent_sharding=self.latent_sharding,
-            **(
-                {"denoiser_cls": self.denoiser_cls}
-                if self.denoiser_cls is not None
-                else {}
-            ),
-            **kwargs,
+        if kwargs:  # exotic options: the per-call diffusion_sampling path
+            return diffusion_sampling(
+                self.unet_fn,
+                self.te,
+                self.vae_decode,
+                train_schedule=self.schedule,
+                prompt=prompt,
+                neg_prompt=neg_prompt,
+                num_steps=num_steps,
+                num_samples=num_samples,
+                cfg_scale=cfg_scale,
+                width=width,
+                height=height,
+                seed=seed,
+                vae_std=self.vae_std,
+                vae_mean=self.vae_mean,
+                vae_downscale=self.vae_downscale,
+                latent_channels=self.latent_channels,
+                internal_sampling_func=self.sampler,
+                return_latents=return_latents,
+                unet_params=self.unet_params,
+                latent_sharding=self.latent_sharding,
+                prompt_weighting=prompt_weighting,
+                cfg_rescale=cfg_rescale,
+                **(
+                    {"denoiser_cls": self.denoiser_cls}
+                    if self.denoiser_cls is not None
+                    else {}
+                ),
+                **kwargs,
+            )
+
+        # -- zero-retrace request path (numerics identical to
+        #    diffusion_sampling: same prompt normalization, rng split,
+        #    sigma ladder and init scaling) --
+        from uwudiff_tpu.utils import truncate_or_pad_to_length
+
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        if isinstance(neg_prompt, str):
+            neg_prompt = [neg_prompt]
+        prompt = truncate_or_pad_to_length(
+            list(prompt), num_samples, padding_mode="cycling"
         )
+        neg_prompt = truncate_or_pad_to_length(
+            list(neg_prompt), num_samples, padding_mode="cycling"
+        )
+        from uwudiff_tpu.sampling.cfg import encode_cfg_inputs
+
+        enc = encode_cfg_inputs(
+            prompt, neg_prompt, width, height, self.te,
+            prompt_weighting=prompt_weighting,
+        )
+        sigmas = self.schedule.sample_sigmas_descending(num_steps)
+        rng = jax.random.PRNGKey(seed)
+        rng, rng_init, rng_samp = jax.random.split(rng, 3)
+        key = (num_samples, height, width, num_steps, cfg_scale,
+               cfg_rescale)
+        latents = self._compiled_sampler(key)(
+            self.unet_params, enc, sigmas, rng_init, rng_samp
+        )
+        if return_latents or self.vae_decode is None:
+            return latents
+        images = self.vae_decode(latents)
+        return [vae_image_postprocess(img) for img in np.asarray(images)]
 
     def warmup(self, widths_heights_batches: list[tuple[int, int, int]],
                num_steps: int = 16):
@@ -206,6 +380,9 @@ class Request:
     # only (shape-identical program) but part of the group key so one
     # batch's encode applies one setting
     prompt_weighting: bool = False
+    # a pipeline-registered adapter name (or tuple of names, merged in
+    # order), hot-swapped per group with zero recompiles; None = base
+    adapter: str | tuple[str, ...] | None = None
 
 
 class BatchingServer:
@@ -288,9 +465,13 @@ class BatchingServer:
         w, h = self.nearest_bucket(r.width, r.height)
         # seed is part of the key: one batch shares one rng stream, so
         # grouping different seeds would silently ignore them
+        adapter = (
+            (r.adapter,) if isinstance(r.adapter, str) else
+            tuple(r.adapter) if r.adapter is not None else None
+        )
         return (
             w, h, r.num_steps, r.cfg_scale, r.return_latents, r.seed,
-            r.prompt_weighting,
+            r.prompt_weighting, adapter,
         )
 
     def _loop(self):
@@ -341,7 +522,8 @@ class BatchingServer:
                 fut.set_exception(RuntimeError("BatchingServer stopped"))
 
     def _run_group(self, key, group):
-        (w, h, steps, cfg, return_latents, seed, prompt_weighting) = key
+        (w, h, steps, cfg, return_latents, seed, prompt_weighting,
+         adapter) = key
         reqs = [r for r, _ in group]
         futs = [f for _, f in group]
         # pad to the warmed batch size so partial groups reuse the
@@ -352,6 +534,12 @@ class BatchingServer:
         prompts = [r.prompt for r in reqs] + [reqs[-1].prompt] * pad
         negs = [r.neg_prompt for r in reqs] + [reqs[-1].neg_prompt] * pad
         try:
+            if adapter is not None or getattr(
+                self.pipeline, "_active_adapter", None
+            ) is not None:
+                self.pipeline.set_adapter(
+                    list(adapter) if adapter is not None else None
+                )
             out = self.pipeline(
                 prompt=prompts,
                 neg_prompt=negs,
