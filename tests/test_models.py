@@ -279,3 +279,56 @@ def test_unet_remat_policy_same_output():
     assert np.isfinite(
         np.asarray(jax.tree_util.tree_leaves(g)[0])
     ).all()
+
+
+def test_unet_save_names_remat_policy():
+    """The named-checkpoint policy (save attention/FF/resnet outputs,
+    recompute the rest) is output- and gradient-identical to plain
+    full-block remat."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    t = jnp.array([10])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    unet_full = UNet2DConditionModel.from_config(
+        "tiny", zero_init_stddev=-1.0, gradient_checkpointing=True
+    )
+    unet_named = UNet2DConditionModel.from_config(
+        "tiny", zero_init_stddev=-1.0, gradient_checkpointing=True,
+        remat_policy="save_names:attn_out,ffn_out,resnet_out",
+    )
+    params = unet_full.init(rng, x, t, ctx)["params"]
+
+    def loss(unet):
+        return lambda p: (
+            unet.apply({"params": p}, x, t, ctx).astype(jnp.float32) ** 2
+        ).mean()
+
+    l_full, g_full = jax.value_and_grad(loss(unet_full))(params)
+    l_named, g_named = jax.value_and_grad(loss(unet_named))(params)
+    np.testing.assert_allclose(float(l_full), float(l_named), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_full), jax.tree_util.tree_leaves(g_named)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        )
+
+
+def test_save_names_remat_policy_scanned():
+    """The named policy composes with scan-of-remat (scanned stacks)."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    t = jnp.array([10])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    unet_named = UNet2DConditionModel.from_config(
+        "tiny", zero_init_stddev=-1.0, gradient_checkpointing=True,
+        scan_transformer_blocks=True,
+        remat_policy="save_names:attn_out,ffn_out",
+    )
+    params = unet_named.init(rng, x, t, ctx)["params"]
+    out = unet_named.apply({"params": params}, x, t, ctx)
+    g = jax.grad(
+        lambda p: unet_named.apply({"params": p}, x, t, ctx).sum()
+    )(params)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(g)[0])).all()

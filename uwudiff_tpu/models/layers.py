@@ -26,7 +26,27 @@ __all__ = [
     "Upsample2D",
     "zero_init",
     "near_zero_init",
+    "resolve_remat_policy",
 ]
+
+
+def resolve_remat_policy(name: str | None):
+    """Remat-policy string -> jax checkpoint policy.
+
+    ``"save_names:attn_out,ffn_out"`` builds
+    ``jax.checkpoint_policies.save_only_these_names(...)`` over the
+    ``checkpoint_name``-tagged intermediates in ``transformer.py``
+    (saving an attention/FF output skips recomputing its whole
+    projections+kernel chain in the backward pass, at one [B, S, C]
+    residual-sized buffer each — far cheaper than the generic
+    dots-saveable policies, which pin every matmul output).  Any other
+    string names a ``jax.checkpoint_policies`` attribute."""
+    if name is None:
+        return None
+    if name.startswith("save_names:"):
+        names = tuple(n for n in name.split(":", 1)[1].split(",") if n)
+        return jax.checkpoint_policies.save_only_these_names(*names)
+    return getattr(jax.checkpoint_policies, name)
 
 
 def zero_init(key, shape, dtype=jnp.float32):
@@ -179,7 +199,8 @@ class ResnetBlock2D(nn.Module):
                 dtype=self.dtype,
                 name="conv_shortcut",
             )(residual)
-        return h + residual
+        # identity unless a save_names remat policy targets "resnet_out"
+        return jax.ad_checkpoint.checkpoint_name(h, "resnet_out") + residual
 
 
 class Downsample2D(nn.Module):

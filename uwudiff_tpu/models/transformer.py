@@ -14,6 +14,7 @@ from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from uwudiff_tpu.models.layers import near_zero_init, zero_init
 from uwudiff_tpu.models.rope import AxialRoPE
@@ -211,6 +212,8 @@ class BasicTransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn1",
         )(norm_hidden, attn1_ctx, position_map=position_map)
+        # a no-op identity unless a save_names remat policy targets it
+        attn_out = checkpoint_name(attn_out, "attn_out")
         hidden_states = hidden_states + attn_out
 
         # 2. cross-attention
@@ -234,6 +237,7 @@ class BasicTransformerBlock(nn.Module):
                 position_map=position_map,
                 ip_hidden_states=ip_hidden_states,
             )
+            attn_out = checkpoint_name(attn_out, "attn_out")
             hidden_states = hidden_states + attn_out
 
         # 3. feed-forward
@@ -244,6 +248,7 @@ class BasicTransformerBlock(nn.Module):
             dtype=self.dtype,
             name="ff",
         )(norm_hidden)
+        ff_out = checkpoint_name(ff_out, "ffn_out")
         return hidden_states + ff_out
 
 
@@ -337,13 +342,9 @@ class Transformer2DModel(nn.Module):
         if self.scan_blocks and self.num_layers > 1:
             cell_cls = _ScanCell
             if self.remat_cell:
-                import jax
+                from uwudiff_tpu.models.layers import resolve_remat_policy
 
-                policy = (
-                    getattr(jax.checkpoint_policies, self.remat_policy)
-                    if self.remat_policy
-                    else None
-                )
+                policy = resolve_remat_policy(self.remat_policy)
                 # prevent_cse=False is safe (and faster) under lax.scan
                 cell_cls = nn.remat(
                     _ScanCell, policy=policy, prevent_cse=False
@@ -372,13 +373,9 @@ class Transformer2DModel(nn.Module):
                 # block itself — otherwise gradient_checkpointing would
                 # silently not apply to these levels (SD1.5 has ONLY
                 # 1-layer stacks)
-                import jax
+                from uwudiff_tpu.models.layers import resolve_remat_policy
 
-                policy = (
-                    getattr(jax.checkpoint_policies, self.remat_policy)
-                    if self.remat_policy
-                    else None
-                )
+                policy = resolve_remat_policy(self.remat_policy)
                 block_cls = nn.remat(BasicTransformerBlock, policy=policy)
             for i in range(self.num_layers):
                 x = block_cls(

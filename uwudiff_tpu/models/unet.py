@@ -137,13 +137,9 @@ class UNet2DConditionModel(nn.Module):
         }
         remat_cell = self.gradient_checkpointing and self.scan_transformer_blocks
         if self.gradient_checkpointing:
-            import jax
+            from uwudiff_tpu.models.layers import resolve_remat_policy
 
-            policy = (
-                getattr(jax.checkpoint_policies, self.remat_policy)
-                if self.remat_policy
-                else None
-            )
+            policy = resolve_remat_policy(self.remat_policy)
             block_cls = {
                 "resnet": nn.remat(ResnetBlock2D, policy=policy),
                 # scanned stacks checkpoint per scan iteration instead
