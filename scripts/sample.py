@@ -80,6 +80,13 @@ def main():
         if isinstance(val, dict) and ("_target_" in val or "class" in val):
             sampling_kwargs[key] = instantiate_any(val)
 
+    if "denoiser_cls" not in sampling_kwargs:
+        # train/sample parameterization lock-step: RF losses sample via
+        # RFDenoiser, v-prediction via VDenoiser, eps via the default
+        from uwudiff_tpu.sampling import denoiser_for_loss
+
+        sampling_kwargs["denoiser_cls"] = denoiser_for_loss(trainer.loss)
+
     if "init_image" in sampling_kwargs:  # img2img / inpainting branch
         from PIL import Image
         import numpy as np

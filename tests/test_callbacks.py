@@ -85,3 +85,88 @@ def test_plot_callback_bins():
     np.testing.assert_allclose(means[0], 2.0)
     np.testing.assert_allclose(means[3], 5.0)
     assert np.isnan(means[1]) and np.isnan(means[2])
+
+
+def test_sample_images_callback_text(tmp_path):
+    """SampleImages samples the fixed prompts mid-fit and at fit end,
+    logging uint8 images through the logger; the underlying pipeline
+    compiles once (zero-retrace across triggers)."""
+    from uwudiff_tpu.models.text_encoders import ConcatTextEncoders
+    from uwudiff_tpu.models.vae import AutoencoderKL
+    from uwudiff_tpu.training import DMTrainer
+    from uwudiff_tpu.training.callbacks import SampleImages
+
+    te = ConcatTextEncoders.from_config(
+        [({"model_type": "clip", "preset": "tiny"},
+          {"use_pooled": False, "layer_idx": -2})]
+    )
+    trainer = DMTrainer(
+        model_config={
+            "unet": UNet2DConditionModel.from_config("tiny"),
+            "te": te,
+            "vae": AutoencoderKL.from_config("tiny"),
+        },
+        lr=1e-4,
+        use_warm_up=False,
+        seed=0,
+    )
+    dm = TrainDataModule(
+        dataset_config={
+            "_target_": "uwudiff_tpu.data.DummyDataset",
+            "sample_size": [32, 32, 3],
+            "n_samples": 4,
+        },
+        dataloader_config={"batch_size": 2, "seed": 0},
+    )
+    cb = SampleImages(
+        prompts=["a cat", "a dog"], every_steps=2, num_steps=2,
+        cfg_scale=3.0, width=32, height=32,
+    )
+    trainer.fit(dm, max_steps=3, log_dir=str(tmp_path), callbacks=[cb])
+    import os
+
+    imgs = sorted(os.listdir(tmp_path / "images"))
+    # trigger at step 2 + fit-end at step 3: 2 prompts x 2 triggers
+    assert len(imgs) == 4, imgs
+    arr = np.load(tmp_path / "images" / imgs[0])
+    assert arr.dtype == np.uint8 and arr.shape == (32, 32, 3)
+    assert cb._pipeline.trace_count == 1  # both triggers, one trace
+
+
+def test_sample_images_callback_class(tmp_path):
+    """Class-conditional (DiT) variant logs one image per label."""
+    from uwudiff_tpu.models.dit import DiT
+    from uwudiff_tpu.models.vae import AutoencoderKL
+    from uwudiff_tpu.training import DMTrainer
+    from uwudiff_tpu.training.callbacks import SampleImages
+    from uwudiff_tpu.diffusion import RectifiedFlowLoss, NoiseSchedule
+
+    trainer = DMTrainer(
+        model_config={
+            "unet": DiT.from_config("tiny"),
+            "te": None,
+            "vae": AutoencoderKL.from_config("tiny"),
+        },
+        lr=1e-4,
+        use_warm_up=False,
+        loss_config=RectifiedFlowLoss(schedule=NoiseSchedule.sdxl()),
+        seed=0,
+    )
+    dm = TrainDataModule(
+        dataset_config={
+            "_target_": "uwudiff_tpu.data.DummyDataset",
+            "sample_size": [32, 32, 3],
+            "n_samples": 4,
+            "n_classes": trainer.unet.num_classes,
+        },
+        dataloader_config={"batch_size": 2, "seed": 0},
+    )
+    cb = SampleImages(
+        class_labels=[0, 1], every_steps=0, num_steps=2,
+        cfg_scale=2.0, width=32, height=32,
+    )
+    trainer.fit(dm, max_steps=2, log_dir=str(tmp_path), callbacks=[cb])
+    import os
+
+    imgs = sorted(os.listdir(tmp_path / "images"))
+    assert len(imgs) == 2, imgs  # fit-end only (every_steps=0)

@@ -828,3 +828,27 @@ def test_denoiser_losses_zero_at_oracle(sched):
     assert float(jnp.max(vd.loss(x0, noise, sigma))) < 1e-10
     wrong = VDenoiser(model_fn=lambda x, t, **kw: noise, schedule=sched)
     assert float(jnp.min(wrong.loss(x0, noise, sigma))) > 1e-3
+
+
+def test_denoiser_for_loss_dispatch(sched):
+    from uwudiff_tpu.diffusion import (
+        DiffusionLoss,
+        NNWeightedRFLoss,
+        RectifiedFlowLoss,
+    )
+    from uwudiff_tpu.diffusion.losses import EDMLoss
+    from uwudiff_tpu.sampling import (
+        KDiffusionDenoiser,
+        RFDenoiser,
+        VDenoiser,
+        denoiser_for_loss,
+    )
+
+    assert denoiser_for_loss(DiffusionLoss(schedule=sched)) is KDiffusionDenoiser
+    assert denoiser_for_loss(
+        DiffusionLoss(schedule=sched, prediction_type="v_prediction")
+    ) is VDenoiser
+    assert denoiser_for_loss(RectifiedFlowLoss(schedule=sched)) is RFDenoiser
+    assert denoiser_for_loss(NNWeightedRFLoss(schedule=sched)) is RFDenoiser
+    with pytest.raises(ValueError):
+        denoiser_for_loss(EDMLoss())

@@ -3,6 +3,7 @@ from uwudiff_tpu.sampling.wrapper import (
     KDiffusionDenoiser,
     RFDenoiser,
     VDenoiser,
+    denoiser_for_loss,
     append_dims,
 )
 from uwudiff_tpu.sampling.get_sigmas import (
@@ -45,6 +46,7 @@ __all__ = [
     "EDMDenoiser",
     "RFDenoiser",
     "VDenoiser",
+    "denoiser_for_loss",
     "append_dims",
     "get_sigmas_for_rf",
     "karras_sigmas",

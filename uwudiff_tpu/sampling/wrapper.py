@@ -20,10 +20,38 @@ __all__ = [
     "KDiffusionDenoiser",
     "RFDenoiser",
     "VDenoiser",
+    "denoiser_for_loss",
     "append_dims",
     "to_d",
     "get_ancestral_step",
 ]
+
+
+def denoiser_for_loss(loss) -> type:
+    """The sampling wrapper matching a training loss's parameterization.
+
+    Keeps train/sample conventions in lock-step without configs having
+    to name both: ``RectifiedFlowLoss`` (incl. NN-weighted) ->
+    :class:`RFDenoiser`; ``prediction_type="v_prediction"`` ->
+    :class:`VDenoiser`; eps/sample -> :class:`KDiffusionDenoiser`.
+    ``EDMLoss`` models pair with :class:`EDMDenoiser`, whose
+    construction (sigma_data, no schedule) doesn't fit the shared
+    ``denoiser_cls(model_fn, schedule, quantize)`` contract — build it
+    explicitly."""
+    from uwudiff_tpu.diffusion.losses import EDMLoss, RectifiedFlowLoss
+
+    if isinstance(loss, RectifiedFlowLoss):
+        return RFDenoiser
+    if isinstance(loss, EDMLoss):
+        raise ValueError(
+            "EDM-trained models sample via EDMDenoiser(model_fn, "
+            "sigma_data=...) + karras_sigmas — it takes no DDPM "
+            "schedule, so it can't be auto-dispatched here"
+        )
+    pred = getattr(loss, "prediction_type", None)
+    if pred == "v_prediction":
+        return VDenoiser
+    return KDiffusionDenoiser
 
 
 def to_d(x: jnp.ndarray, sigma: jnp.ndarray, denoised: jnp.ndarray) -> jnp.ndarray:

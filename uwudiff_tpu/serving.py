@@ -170,6 +170,12 @@ class Txt2ImgPipeline:
             from uwudiff_tpu.parallel.mesh import batch_sharding
 
             kwargs["latent_sharding"] = batch_sharding(trainer.mesh)
+        if "denoiser_cls" not in kwargs:
+            # parameterization lock-step with the training loss (RF ->
+            # RFDenoiser, v_prediction -> VDenoiser, eps -> default)
+            from uwudiff_tpu.sampling import denoiser_for_loss
+
+            kwargs["denoiser_cls"] = denoiser_for_loss(trainer.loss)
 
         def unet_fn(params, x, t, ctx, mask, added):
             return trainer.unet.apply({"params": params}, x, t, ctx, mask, added)

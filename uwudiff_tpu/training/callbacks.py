@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["LogAdditionalLosses", "PlotValLossPerTimestep"]
+__all__ = ["LogAdditionalLosses", "PlotValLossPerTimestep", "SampleImages"]
 
 
 class LogAdditionalLosses:
@@ -111,3 +111,160 @@ class PlotValLossPerTimestep:
                 "val/loss_per_timestep",
                 np.stack([centers, means, stds]),
             )
+
+
+class SampleImages:
+    """Sample fixed prompts (or class labels) from the CURRENT weights
+    every ``every_steps`` steps and log them — the community fine-tune
+    staple for eyeballing progress mid-run (no reference counterpart).
+
+    Rides the zero-retrace serving pipeline: the sampler compiles once
+    on the first trigger, and later triggers just swap the params
+    argument (``serving.Txt2ImgPipeline``), so periodic sampling costs
+    one compile for the whole run. Class-conditional (DiT-family)
+    trainers pass ``class_labels`` instead of ``prompts``.
+    """
+
+    def __init__(
+        self,
+        prompts: list[str] | None = None,
+        class_labels: list[int] | None = None,
+        neg_prompt: str = "",
+        every_steps: int = 500,
+        num_steps: int = 16,
+        cfg_scale: float = 5.0,
+        width: int = 512,
+        height: int = 512,
+        seed: int = 0,
+        use_ema: bool = False,
+        also_on_fit_end: bool = True,
+    ):
+        if (prompts is None) == (class_labels is None):
+            raise ValueError(
+                "SampleImages needs exactly one of prompts / class_labels"
+            )
+        self.prompts = list(prompts) if prompts is not None else None
+        self.class_labels = (
+            list(class_labels) if class_labels is not None else None
+        )
+        self.neg_prompt = neg_prompt
+        self.every_steps = every_steps
+        self.num_steps = num_steps
+        self.cfg_scale = cfg_scale
+        self.width = width
+        self.height = height
+        self.seed = seed
+        self.use_ema = use_ema
+        self.also_on_fit_end = also_on_fit_end
+        self._pipeline = None
+        self._last_step = None
+
+    # -- internals --
+
+    def _to_uint8(self, img) -> np.ndarray:
+        arr = np.asarray(img)
+        if arr.dtype == np.uint8:
+            return arr
+        return np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+    def _sample_text(self, trainer):
+        from uwudiff_tpu.serving import Txt2ImgPipeline
+
+        if self._pipeline is None:
+            self._pipeline = Txt2ImgPipeline.from_trainer(trainer)
+        # re-snapshot the live (adapter-merged) weights; the compiled
+        # sampler takes them as an argument — no retrace
+        if self.use_ema:
+            params = trainer._model_params(ema=True)
+            if trainer.adapter is not None:
+                params = trainer.adapter.merge(
+                    trainer.frozen["unet_base"], params
+                )
+        else:
+            params = trainer.merged_unet_params()
+        self._pipeline.unet_params = params
+        return self._pipeline(
+            prompt=self.prompts,
+            neg_prompt=self.neg_prompt,
+            num_steps=self.num_steps,
+            num_samples=len(self.prompts),
+            cfg_scale=self.cfg_scale,
+            width=self.width,
+            height=self.height,
+            seed=self.seed,
+            return_latents=trainer.vae is None,
+        )
+
+    def _sample_class(self, trainer):
+        from uwudiff_tpu.sampling import (
+            class_conditional_sampling,
+            denoiser_for_loss,
+        )
+
+        params = trainer.merged_unet_params()
+
+        def unet_fn(p, x, t, labels):
+            return trainer.unet.apply({"params": p}, x, t, labels)
+
+        vae_decode = None
+        if trainer.vae is not None:
+            vae_params = trainer.frozen["vae"]
+
+            def vae_decode(latents):
+                return trainer.vae.apply(
+                    {"params": vae_params}, latents,
+                    method=trainer.vae.decode,
+                )
+
+        return class_conditional_sampling(
+            unet_fn,
+            train_schedule=trainer.loss.schedule,
+            class_labels=self.class_labels,
+            null_label=trainer.unet.num_classes,
+            vae_decode=vae_decode,
+            num_steps=self.num_steps,
+            cfg_scale=self.cfg_scale,
+            width=self.width,
+            height=self.height,
+            seed=self.seed,
+            vae_std=trainer.vae_std,
+            vae_mean=trainer.vae_mean,
+            unet_params=params,
+            denoiser_cls=denoiser_for_loss(trainer.loss),
+            return_latents=trainer.vae is None,
+        )
+
+    def _run(self, trainer, step, logger):
+        if step == self._last_step:  # fit-end after a triggering step
+            return
+        self._last_step = step
+        out = (
+            self._sample_text(trainer)
+            if self.prompts is not None
+            else self._sample_class(trainer)
+        )
+        if hasattr(out, "shape"):  # latents (no VAE): log shape only
+            import logging
+
+            logging.getLogger(__name__).info(
+                "SampleImages step %d: latents %s (no VAE to decode)",
+                step, tuple(out.shape),
+            )
+            return
+        for i, img in enumerate(out):
+            label = (
+                self.prompts[i][:40]
+                if self.prompts is not None
+                else f"class_{self.class_labels[i]}"
+            )
+            logger.log_image(step, f"samples/{i}_{label}", self._to_uint8(img))
+
+    # -- hooks --
+
+    def on_train_batch_end(self, trainer, step, metrics, aux, logger):
+        if self.every_steps and step % self.every_steps == 0:
+            self._run(trainer, step, logger)
+
+    def on_fit_end(self, trainer, step, logger):
+        if self.also_on_fit_end:
+            self._run(trainer, step, logger)
