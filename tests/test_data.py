@@ -255,3 +255,45 @@ def test_local_class_image_dataset(tmp_path):
     )
     metrics, _ = trainer.train_step(batch)
     assert np.isfinite(float(metrics["train/loss"]))
+
+
+def test_caption_tag_augmentation(tmp_path):
+    """shuffle_tags/keep_tokens/tag_dropout: first keep_tokens tags stay
+    pinned, the rest shuffle/drop; determinism via caption_seed."""
+    import numpy as np
+    from PIL import Image
+
+    from uwudiff_tpu.data.local import LocalTextImageDataset
+    from uwudiff_tpu.data.utils import augment_caption
+
+    # unit behavior
+    rng = np.random.default_rng(0)
+    cap = "1girl, solo, red hair, smile, outdoors"
+    out = augment_caption(cap, rng, shuffle_tags=True, keep_tokens=2)
+    tags = [t.strip() for t in out.split(",")]
+    assert tags[:2] == ["1girl", "solo"]
+    assert sorted(tags[2:]) == ["outdoors", "red hair", "smile"]
+    # full dropout removes everything past the pinned head
+    out = augment_caption(
+        cap, np.random.default_rng(0), keep_tokens=1, tag_dropout=1.0
+    )
+    assert out == "1girl"
+    # no-op when disabled
+    assert augment_caption(cap, rng) == cap
+
+    # dataset wiring (deterministic via caption_seed)
+    img = Image.new("RGB", (8, 8), (255, 0, 0))
+    p = tmp_path / "a.png"
+    img.save(p)
+    (tmp_path / "a.txt").write_text(cap)
+    ds = LocalTextImageDataset(
+        image_dir=str(tmp_path), image_size=(8, 8), native_decode=False,
+        shuffle_tags=True, keep_tokens=1, caption_seed=123,
+    )
+    c1 = ds[0]["caption"]
+    c2 = ds[0]["caption"]
+    assert c1 == c2  # deterministic per index with a seed
+    assert c1.split(",")[0].strip() == "1girl"
+    assert sorted(t.strip() for t in c1.split(",")) == sorted(
+        t.strip() for t in cap.split(",")
+    )

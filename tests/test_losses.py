@@ -187,3 +187,43 @@ def test_loss_is_jittable_and_differentiable(sched):
 
     g = jax.grad(step)(w, jax.random.PRNGKey(0), jnp.ones((2, 4, 4, 4)))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_multires_noise():
+    """Pyramid noise: unit per-sample std by construction, adds low-
+    frequency energy (coarse-grid means move away from 0), and the
+    iterations=0 default is bitwise-identical to plain sampling."""
+    import jax
+
+    from uwudiff_tpu.diffusion import DiffusionLoss, NoiseSchedule
+
+    sched = NoiseSchedule.sdxl()
+    x = jnp.zeros((2, 32, 32, 4))
+    rng = jax.random.PRNGKey(0)
+
+    plain = DiffusionLoss(schedule=sched)
+    multi = DiffusionLoss(
+        schedule=sched, multires_noise_iterations=4,
+        multires_noise_discount=0.5,
+    )
+    n_plain = np.asarray(plain.sample_noise(rng, x))
+    n_plain2 = np.asarray(
+        DiffusionLoss(
+            schedule=sched, multires_noise_iterations=0
+        ).sample_noise(rng, x)
+    )
+    np.testing.assert_array_equal(n_plain, n_plain2)
+
+    n_multi = np.asarray(multi.sample_noise(rng, x))
+    assert n_multi.shape == x.shape
+    # renormalized per sample
+    np.testing.assert_allclose(
+        n_multi.reshape(2, -1).std(axis=1), 1.0, atol=1e-3
+    )
+    # low-frequency content: 8x8-block means have larger variance than
+    # white noise's (which shrinks like 1/sqrt(block_size))
+    def block_mean_std(n):
+        b = n.reshape(2, 4, 8, 4, 8, 4).mean(axis=(2, 4))
+        return float(b.std())
+
+    assert block_mean_std(n_multi) > 1.4 * block_mean_std(n_plain)

@@ -31,6 +31,13 @@ class LocalImageDataset(UwUBaseDataset):
         tokenizers: Sequence = (),
         caption: str = "",
         native_decode: bool = True,  # C++ decode pool; PIL fallback
+        # tag-level caption augmentation (data/utils.py::augment_caption);
+        # caption_seed=None re-rolls per access (fresh augmentation each
+        # epoch), an int makes it deterministic per index (tests)
+        shuffle_tags: bool = False,
+        keep_tokens: int = 0,
+        tag_dropout: float = 0.0,
+        caption_seed: int | None = None,
     ):
         self.image_paths = list(image_paths)
         self.image_size = tuple(image_size)
@@ -38,6 +45,10 @@ class LocalImageDataset(UwUBaseDataset):
         self.caption = caption
         self.native_decode = native_decode
         self._native_ok: bool | None = None
+        self.shuffle_tags = shuffle_tags
+        self.keep_tokens = keep_tokens
+        self.tag_dropout = tag_dropout
+        self.caption_seed = caption_seed
 
     def __len__(self):
         return len(self.image_paths)
@@ -67,6 +78,19 @@ class LocalImageDataset(UwUBaseDataset):
     def __getitem__(self, index: int) -> dict:
         sample = self._load_image(self.image_paths[index])
         caption = self._caption_for(index)
+        if self.shuffle_tags or self.tag_dropout:
+            from uwudiff_tpu.data.utils import augment_caption
+
+            rng = np.random.default_rng(
+                None if self.caption_seed is None
+                else self.caption_seed + index
+            )
+            caption = augment_caption(
+                caption, rng,
+                shuffle_tags=self.shuffle_tags,
+                keep_tokens=self.keep_tokens,
+                tag_dropout=self.tag_dropout,
+            )
         w, h = self.image_size
         return {
             "sample": sample,

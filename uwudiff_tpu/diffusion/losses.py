@@ -97,6 +97,15 @@ class DiffusionLoss:
     # per-(sample, channel) constant so the model learns to move image
     # MEANS — fixes washed-out very-dark/bright generations
     noise_offset: float = 0.0
+    # multires ("pyramid") noise (community fine-tune staple; Hua 2023):
+    # add bilinearly-upsampled low-frequency noise octaves with
+    # discount^i weights, renormalized per sample — improves very dark/
+    # bright image reproduction like noise_offset but frequency-shaped.
+    # XLA needs static shapes, so octave i is the fixed h>>i, w>>i grid
+    # (the popular impl jitters the factor per call; the fixed-2 ladder
+    # is that recipe's expectation).
+    multires_noise_iterations: int = 0
+    multires_noise_discount: float = 0.25
     # input perturbation (kohya-style): the model INPUT is noised with
     # noise + gamma * fresh_noise while the target keeps the original
     # noise — a regularizer against sampler-step error accumulation
@@ -210,6 +219,22 @@ class DiffusionLoss:
         Bitwise-identical to plain normal sampling when the offset is 0
         (the extra key is derived by fold_in, not by changing splits)."""
         noise = jax.random.normal(rng, x.shape, x.dtype)
+        if self.multires_noise_iterations and x.ndim == 4:
+            b, h, w, c = x.shape
+            for i in range(1, self.multires_noise_iterations):
+                hn, wn = max(1, h >> i), max(1, w >> i)
+                low = jax.random.normal(
+                    jax.random.fold_in(rng, 100 + i), (b, hn, wn, c), x.dtype
+                )
+                noise = noise + (
+                    self.multires_noise_discount ** i
+                ) * jax.image.resize(low, (b, h, w, c), "bilinear")
+                if hn == 1 and wn == 1:
+                    break
+            std = noise.reshape(b, -1).std(axis=1)
+            noise = noise / jnp.maximum(
+                append_dims(std, noise.ndim), 1e-8
+            )
         if self.noise_offset:
             off_shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
             noise = noise + self.noise_offset * jax.random.normal(

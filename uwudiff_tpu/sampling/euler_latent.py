@@ -33,6 +33,7 @@ def euler_latent_sampling(
     time_ids: jnp.ndarray | None = None,
     seed: int = 42,
     vae_downscale: int = 8,
+    denoiser_cls: type = KDiffusionDenoiser,  # e.g. RFDenoiser/VDenoiser
 ):
     if isinstance(prompt, str):
         prompt = [prompt]
@@ -51,7 +52,7 @@ def euler_latent_sampling(
             kwargs.get("added_cond"),
         )
 
-    model_wrapper = KDiffusionDenoiser(model_fn=eps_fn, schedule=schedule)
+    model_wrapper = denoiser_cls(model_fn=eps_fn, schedule=schedule)
     height = x_init.shape[1] * vae_downscale
     width = x_init.shape[2] * vae_downscale
 
