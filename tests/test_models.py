@@ -332,3 +332,48 @@ def test_save_names_remat_policy_scanned():
     )(params)
     assert np.isfinite(np.asarray(out)).all()
     assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(g)[0])).all()
+
+
+def test_freeu():
+    """FreeU: no new params, identity at (b=1, s=1), real settings
+    change the output; the fourier filter kills low frequencies at
+    scale=0."""
+    from uwudiff_tpu.models.unet import _fourier_filter
+
+    # filter unit behavior: a constant image is pure low-frequency
+    const = jnp.ones((1, 8, 8, 2)) * 3.0
+    filt = _fourier_filter(const, threshold=1, scale=0.0)
+    assert float(jnp.abs(filt).max()) < 1e-4
+    ident = _fourier_filter(const, threshold=1, scale=1.0)
+    np.testing.assert_allclose(np.asarray(ident), 3.0, atol=1e-5)
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 16, 4))
+    t = jnp.array([10])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    base = UNet2DConditionModel.from_config("tiny", zero_init_stddev=-1.0)
+    params = base.init(rng, x, t, ctx)["params"]
+
+    neutral = UNet2DConditionModel.from_config(
+        "tiny", zero_init_stddev=-1.0, freeu=(1.0, 1.0, 1.0, 1.0)
+    )
+    # identical param tree: enable on trained weights with no surgery
+    import jax.tree_util as jtu
+
+    assert jtu.tree_structure(
+        neutral.init(rng, x, t, ctx)["params"]
+    ) == jtu.tree_structure(params)
+
+    out_base = base.apply({"params": params}, x, t, ctx)
+    out_neutral = neutral.apply({"params": params}, x, t, ctx)
+    np.testing.assert_allclose(
+        np.asarray(out_base), np.asarray(out_neutral), atol=1e-4
+    )
+
+    active = UNet2DConditionModel.from_config(
+        "tiny", zero_init_stddev=-1.0, freeu=(1.5, 1.6, 0.9, 0.2)
+    )
+    out_active = active.apply({"params": params}, x, t, ctx)
+    assert not np.allclose(
+        np.asarray(out_base), np.asarray(out_active), atol=1e-3
+    )

@@ -38,6 +38,27 @@ from uwudiff_tpu.models.transformer import Transformer2DModel
 __all__ = ["UNet2DConditionModel", "UNET_PRESETS"]
 
 
+def _fourier_filter(x: jnp.ndarray, threshold: int, scale: float) -> jnp.ndarray:
+    """FreeU's skip-connection filter: scale the central
+    ``2*threshold``-square of (fftshifted) spatial-frequency bins by
+    ``scale`` — i.e. attenuate the skip's low-frequency content. NHWC;
+    computed in fp32 (complex bf16 FFTs are unsupported)."""
+    orig_dtype = x.dtype
+    xf = jnp.fft.fftshift(
+        jnp.fft.fftn(x.astype(jnp.float32), axes=(1, 2)), axes=(1, 2)
+    )
+    _, h, w, _ = x.shape
+    ch, cw = h // 2, w // 2
+    mask = jnp.ones((1, h, w, 1), jnp.float32)
+    mask = mask.at[
+        :, ch - threshold:ch + threshold, cw - threshold:cw + threshold, :
+    ].set(scale)
+    out = jnp.fft.ifftn(
+        jnp.fft.ifftshift(xf * mask, axes=(1, 2)), axes=(1, 2)
+    ).real
+    return out.astype(orig_dtype)
+
+
 def _per_block(value, n_blocks: int) -> tuple:
     if isinstance(value, (list, tuple)):
         assert len(value) == n_blocks
@@ -92,6 +113,14 @@ class UNet2DConditionModel(nn.Module):
     controlnet_mode: bool = False
     # hint-encoder channel ramp (pixel-space hint -> conv_in width)
     conditioning_embedding_channels: Sequence[int] = (16, 32, 96, 256)
+    # FreeU (Si et al. 2023): training-free sampling-quality knob on
+    # the two deepest decoder stages — (b1, b2, s1, s2): backbone
+    # features' first half channels scaled by b_i, skip connections'
+    # low-frequency (central 2x2 FFT bin) content scaled by s_i.
+    # Published defaults: SD1.5 (1.5, 1.6, 0.9, 0.2), SDXL
+    # (1.3, 1.4, 0.9, 0.2). Adds no params: enable at sampling time on
+    # trained weights (e.g. ``from_config("sdxl", freeu=(1.3,1.4,0.9,0.2))``).
+    freeu: tuple[float, float, float, float] | None = None
     # IP-Adapter residual scale on every cross-attention (the decoupled
     # image-prompt attention only activates when ip_hidden_states are
     # passed at call time; see models/transformer.py::Attention)
@@ -369,6 +398,14 @@ class UNet2DConditionModel(nn.Module):
             has_attn = block_type == "CrossAttnDownBlock2D"
             for j in range(self.layers_per_block + 1):
                 skip = skips.pop()
+                if self.freeu is not None and i < 2:
+                    b1, b2, s1, s2 = self.freeu
+                    b, s = (b1, s1) if i == 0 else (b2, s2)
+                    half = h.shape[-1] // 2
+                    h = jnp.concatenate(
+                        [h[..., :half] * b, h[..., half:]], axis=-1
+                    )
+                    skip = _fourier_filter(skip, threshold=1, scale=s)
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = block_cls["resnet"](
                     out_channels=out_ch,
