@@ -23,7 +23,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sample_dpmpp_2m"]
+__all__ = ["sample_dpmpp_2m", "sample_dpmpp_2m_sde"]
 
 
 def sample_dpmpp_2m(
@@ -62,5 +62,85 @@ def sample_dpmpp_2m(
     carry = (x, jnp.zeros_like(x))
     (x, _), _ = jax.lax.scan(
         step, carry, (sig_prev, sig, sig_next, is_first)
+    )
+    return x
+
+
+def sample_dpmpp_2m_sde(
+    model: Callable,
+    x: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    rng: jax.Array | None = None,
+    extra_args: dict | None = None,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    solver_type: str = "midpoint",
+    image_to_noise: bool = False,  # unused, API parity
+    callback=None,
+) -> jnp.ndarray:
+    """DPM++ 2M SDE (the community's "dpmpp_2m_sde" default): the 2M
+    multistep update with an exponentially-decayed SDE noise injection —
+    ONE model call per step.  k-diffusion convention (t = -ln sigma):
+
+        h     = t_{i+1} - t_i,   eta_h = eta * h
+        x     = (sig_{i+1}/sig_i) e^{-eta_h} x - expm1(-h - eta_h) d_i
+              [+ 2nd-order correction from d_{i-1}]
+              + sig_{i+1} sqrt(-expm1(-2 eta_h)) s_noise * noise
+
+    ``solver_type``: "midpoint" (default; at ``eta=0`` identical to
+    :func:`sample_dpmpp_2m`, tested) or "heun".  ``eta=0`` is the
+    deterministic ODE; the terminal sigma=0 step collapses to the
+    denoised estimate exactly.
+    """
+    assert solver_type in ("midpoint", "heun")
+    extra_args = extra_args or {}
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    s_in = jnp.ones((x.shape[0],), x.dtype)
+    n = sigmas.shape[0] - 1
+    sig, sig_next = sigmas[:-1], sigmas[1:]
+    sig_prev = jnp.concatenate([sigmas[:1], sigmas[:-2]])  # [0] unused
+    is_first = jnp.arange(n) == 0
+    keys = jax.random.split(rng, n)
+
+    def t_of(sigma):
+        return -jnp.log(jnp.maximum(sigma, 1e-20))
+
+    def step(carry, inputs):
+        x, old_denoised = carry
+        sigma_prev, sigma, sigma_next, first, key = inputs
+        denoised, _u = model(x, sigma * s_in, **extra_args)
+        t, t_next = t_of(sigma), t_of(sigma_next)
+        h = t_next - t
+        eta_h = eta * h
+        x_new = (
+            (sigma_next / sigma) * jnp.exp(-eta_h) * x
+            - jnp.expm1(-h - eta_h) * denoised
+        )
+        h_last = t - t_of(sigma_prev)
+        r = jnp.where(first, 1.0, h_last / h)
+        if solver_type == "midpoint":
+            corr = 0.5 * -jnp.expm1(-h - eta_h) / r * (denoised - old_denoised)
+        else:  # heun
+            corr = (
+                (jnp.expm1(-h - eta_h) / (-h - eta_h) + 1.0)
+                / r
+                * (denoised - old_denoised)
+            )
+        x_new = x_new + jnp.where(first, 0.0, 1.0) * corr
+        if eta:
+            noise = jax.random.normal(key, x.shape, x.dtype)
+            x_new = x_new + (
+                noise
+                * sigma_next
+                * jnp.sqrt(-jnp.expm1(-2.0 * eta_h))
+                * s_noise
+            )
+        # terminal step: k-diffusion returns the denoised estimate
+        x_new = jnp.where(sigma_next == 0.0, denoised, x_new)
+        return (x_new, denoised), None
+
+    carry = (x, jnp.zeros_like(x))
+    (x, _), _ = jax.lax.scan(
+        step, carry, (sig_prev, sig, sig_next, is_first, keys)
     )
     return x
