@@ -80,6 +80,17 @@ def main():
         if isinstance(val, dict) and ("_target_" in val or "class" in val):
             sampling_kwargs[key] = instantiate_any(val)
 
+    # SD3.5 skip-layer guidance: clone the model with blocks bypassed
+    # (shares the trained params; cfg.build_slg_cfg_fn combines)
+    skip_layers = sampling_kwargs.pop("skip_layers", None)
+    if skip_layers is not None:
+        skip_unet = trainer.unet.clone(skip_layers=tuple(skip_layers))
+
+        def unet_skip_fn(params, x, t, ctx, mask, added):
+            return skip_unet.apply({"params": params}, x, t, ctx, mask, added)
+
+        sampling_kwargs["unet_skip_fn"] = unet_skip_fn
+
     if "denoiser_cls" not in sampling_kwargs:
         # train/sample parameterization lock-step: RF losses sample via
         # RFDenoiser, v-prediction via VDenoiser, eps via the default

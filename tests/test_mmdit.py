@@ -266,3 +266,71 @@ def test_mmdit_txt2img_sampling():
     )
     assert latents.shape == (2, 8, 8, 4)
     assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_mmdit_skip_layers():
+    """skip_layers bypasses exactly the named blocks: unrolled matches
+    a manual forward that omits block 1; scanned matches unrolled on
+    restacked params; () is bitwise the baseline."""
+    x, t, ctx, mask, pooled = _inputs()
+    added = {"text_embeds": pooled}
+    base = MMDiT.from_config("tiny", depth=3)
+    params = base.init(jax.random.PRNGKey(3), x, t, ctx, mask, added)["params"]
+    # the zero-init output head hides everything — give it real weights
+    params = jax.tree_util.tree_map(
+        lambda leaf: (
+            leaf
+            + 0.02
+            * jax.random.normal(jax.random.PRNGKey(9), leaf.shape, leaf.dtype)
+            if leaf.ndim >= 1
+            else leaf
+        ),
+        params,
+    )
+    ref = base.apply({"params": params}, x, t, ctx, mask, added)
+
+    noskip = MMDiT.from_config("tiny", depth=3, skip_layers=())
+    np.testing.assert_array_equal(
+        np.asarray(noskip.apply({"params": params}, x, t, ctx, mask, added)),
+        np.asarray(ref),
+    )
+
+    skip1 = MMDiT.from_config("tiny", depth=3, skip_layers=(1,))
+    out_skip = skip1.apply({"params": params}, x, t, ctx, mask, added)
+    assert not np.allclose(np.asarray(out_skip), np.asarray(ref), atol=1e-5)
+
+    # manual oracle: run blocks 0 and 2 only
+    def manual(m, sample, tt, ctx_in, msk, add):
+        xx, cc, c = m.embed(sample, tt, ctx_in, add.get("text_embeds"))
+        p = m.patch_size
+        n_img = (sample.shape[1] // p) * (sample.shape[2] // p)
+        bias = m.joint_bias(msk, n_img)
+        for i, blk in enumerate(m.blocks):
+            if i == 1:
+                continue
+            xx, cc = blk(xx, cc, c, bias)
+        return m.head(xx, c, sample.shape)
+
+    out_manual = base.apply(
+        {"params": params}, x, t, ctx, mask, added, method=manual
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_skip), np.asarray(out_manual), atol=1e-6
+    )
+
+    # scanned layout agrees with the unrolled skip
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        params["blocks_0"], params["blocks_1"], params["blocks_2"],
+    )
+    params_s = {
+        k: v for k, v in params.items() if not k.startswith("blocks_")
+    }
+    params_s["blocks"] = stacked
+    m_s = MMDiT.from_config(
+        "tiny", depth=3, scan_blocks=True, skip_layers=(1,)
+    )
+    out_s = m_s.apply({"params": params_s}, x, t, ctx, mask, added)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_skip), atol=1e-5
+    )

@@ -943,3 +943,82 @@ def test_dpmpp_2m_sde_matches_kdiffusion_recurrence(sched, solver_type):
         rng=rng, eta=eta, s_noise=s_noise, solver_type=solver_type,
     )
     np.testing.assert_allclose(np.asarray(out), xr, rtol=2e-4, atol=2e-5)
+
+
+def test_slg_cfg_math():
+    """out = uncond + cfg*(cond-uncond) + slg*(cond-cond_skip), with the
+    window zeroing only the slg term."""
+    from uwudiff_tpu.sampling.cfg import build_slg_cfg_fn
+
+    def unet(x, sigma, sigma_cond=None, **kw):
+        n = x.shape[0] // 2
+        return jnp.concatenate(
+            [jnp.full_like(x[:n], 2.0), jnp.full_like(x[n:], 1.0)]
+        )  # cond=2, uncond=1
+
+    def unet_skip(x, sigma, sigma_cond=None, **kw):
+        return jnp.full_like(x, 1.5)  # degraded cond
+
+    enc = {"ctx": jnp.ones((4, 7, 8)), "mask": None, "added_cond": None}
+    fn = build_slg_cfg_fn(unet, unet_skip, enc, cfg=4.0, slg_scale=2.0)
+    x = jnp.zeros((2, 4, 4, 1))
+    out, uncond = fn(x, jnp.asarray([1.0, 1.0]))
+    # 1 + (2-1)*4 + (2-1.5)*2 = 6
+    np.testing.assert_allclose(np.asarray(out), 6.0)
+    np.testing.assert_allclose(np.asarray(uncond), 1.0)
+
+    fn_w = build_slg_cfg_fn(
+        unet, unet_skip, enc, cfg=4.0, slg_scale=2.0,
+        slg_interval=(0.5, 2.0),
+    )
+    out, _ = fn_w(x, jnp.asarray([1.0, 10.0]))
+    np.testing.assert_allclose(np.asarray(out[0]), 6.0)  # in window
+    np.testing.assert_allclose(np.asarray(out[1]), 5.0)  # slg off: plain CFG
+
+
+def test_slg_end_to_end_mmdit(sched):
+    """diffusion_sampling with unet_skip_fn: SLG changes the samples,
+    slg_scale=0 is exactly the plain CFG result."""
+    from uwudiff_tpu.models.mmdit import MMDiT
+
+    mmdit = MMDiT.from_config(
+        "tiny", depth=3, context_dim=32, pooled_dim=32, in_channels=4
+    )
+    skip_mmdit = mmdit.clone(skip_layers=(1,))
+    x = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 8, 32))
+    params = mmdit.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((1,)), ctx, None,
+        {"text_embeds": jnp.zeros((1, 32))},
+    )["params"]
+    params = jax.tree_util.tree_map(
+        lambda leaf: leaf + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(9), leaf.shape, leaf.dtype
+        ),
+        params,
+    )
+
+    def unet_fn(x, t, ctx, mask, added):
+        return mmdit.apply({"params": params}, x, t, ctx, mask, added)
+
+    def unet_skip_fn(x, t, ctx, mask, added):
+        return skip_mmdit.apply({"params": params}, x, t, ctx, mask, added)
+
+    te = _tiny_pipeline()
+    common = dict(
+        te=te, vae_decode=None, train_schedule=sched, prompt="a cat",
+        neg_prompt="", num_steps=3, num_samples=1, cfg_scale=3.0,
+        width=64, height=64, seed=0,
+    )
+    plain = diffusion_sampling(unet_fn, **common)
+    slg_zero = diffusion_sampling(
+        unet_fn, unet_skip_fn=unet_skip_fn, slg_scale=0.0, **common
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain), np.asarray(slg_zero), atol=1e-6
+    )
+    slg = diffusion_sampling(
+        unet_fn, unet_skip_fn=unet_skip_fn, slg_scale=2.8, **common
+    )
+    assert np.isfinite(np.asarray(slg)).all()
+    assert not np.allclose(np.asarray(plain), np.asarray(slg), atol=1e-4)

@@ -242,12 +242,17 @@ class MMDiTBlock(nn.Module):
 
 
 class _MMDiTScanCell(MMDiTBlock):
-    """(carry=(x, ctx), broadcast=(c, joint_bias)) convention for
-    ``nn.scan``."""
+    """(carry=(x, ctx), scanned=skip flag, broadcast=(c, joint_bias))
+    convention for ``nn.scan``. ``skip`` is the per-layer SLG bypass
+    (the block still computes under the scan's single traced body; its
+    output is discarded when skipped)."""
 
-    def __call__(self, carry, c, joint_bias):
+    def __call__(self, carry, skip, c, joint_bias):
         x, ctx = carry
-        return super().__call__(x, ctx, c, joint_bias), None
+        x2, ctx2 = super().__call__(x, ctx, c, joint_bias)
+        x = jnp.where(skip, x, x2)
+        ctx = ctx if ctx2 is None else jnp.where(skip, ctx, ctx2)
+        return (x, ctx), None
 
 
 class MMDiT(nn.Module):
@@ -281,6 +286,13 @@ class MMDiT(nn.Module):
     moe_router_type: str = "top_k"
     gradient_checkpointing: bool = False
     scan_blocks: bool = False
+    # SD3.5 skip-layer guidance: indices of joint blocks BYPASSED in
+    # this instance's forward (the degraded pass; published SD3.5-medium
+    # recipe skips layers (7, 8, 9)). Adds no params — build a second
+    # module via ``unet.clone(skip_layers=...)`` on trained weights and
+    # combine through ``cfg.build_slg_cfg_fn``. The context_pre_only
+    # final block is never skippable.
+    skip_layers: tuple[int, ...] = ()
     dtype: Any = jnp.float32
 
     @classmethod
@@ -337,7 +349,7 @@ class MMDiT(nn.Module):
                 variable_axes={"params": 0, "moe_losses": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=n_blocks,
-                in_axes=(nn.broadcast, nn.broadcast),
+                in_axes=(0, nn.broadcast, nn.broadcast),
             )(**block_kwargs)
         else:
             block_cls = (
@@ -423,10 +435,18 @@ class MMDiT(nn.Module):
 
     def backbone(self, x, ctx, c, joint_bias=None):
         if isinstance(self.blocks, (list, tuple)):
-            for blk in self.blocks:
+            assert all(0 <= i < len(self.blocks) for i in self.skip_layers)
+            for i, blk in enumerate(self.blocks):
+                if i in self.skip_layers:
+                    continue
                 x, ctx = blk(x, ctx, c, joint_bias)
         else:
-            (x, ctx), _ = self.blocks((x, ctx), c, joint_bias)
+            n = self.depth - 1 if self.context_pre_only else self.depth
+            assert all(0 <= i < n for i in self.skip_layers)
+            skip = jnp.asarray(
+                [i in self.skip_layers for i in range(n)], bool
+            )
+            (x, ctx), _ = self.blocks((x, ctx), skip, c, joint_bias)
         if self.context_pre_only:
             x, ctx = self.final_block(x, ctx, c, joint_bias)
         return x, ctx

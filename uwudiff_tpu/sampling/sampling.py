@@ -61,6 +61,13 @@ def diffusion_sampling(
     prompt_weighting: bool = False,
     # guidance only at sigma in [lo, hi] (Kynkaanniemi et al. 2024)
     cfg_interval: tuple[float, float] | None = None,
+    # SD3.5 skip-layer guidance: a second params-sharing model with
+    # selected blocks bypassed (e.g. trainer.unet.clone(skip_layers=
+    # (7,8,9)) bound like unet_fn); adds slg_scale*(cond - cond_skip)
+    # (cfg.build_slg_cfg_fn), optionally windowed by slg_interval
+    unet_skip_fn: Callable | None = None,
+    slg_scale: float = 0.0,
+    slg_interval: tuple[float, float] | None = None,
     # multi-chip serving: a NamedSharding for the latent batch (e.g.
     # parallel.mesh.batch_sharding(mesh)) — params keep whatever
     # sharding they carry (FSDP/TP), GSPMD emits the collectives
@@ -83,7 +90,11 @@ def diffusion_sampling(
         neg_prompt, num_samples, padding_mode=padding_mode
     )
 
-    from uwudiff_tpu.sampling.cfg import build_cfg_fn, encode_cfg_inputs
+    from uwudiff_tpu.sampling.cfg import (
+        build_cfg_fn,
+        build_slg_cfg_fn,
+        encode_cfg_inputs,
+    )
 
     enc = encode_cfg_inputs(
         prompt, neg_prompt, width, height, te,
@@ -91,19 +102,27 @@ def diffusion_sampling(
     )
 
     def make_cfg_fn(params):
-        def eps_fn(x, t, **kwargs):
-            args = (
-                x,
-                t,
-                kwargs.get("encoder_hidden_states"),
-                kwargs.get("encoder_attention_mask"),
-                kwargs.get("added_cond"),
-            )
-            return unet_fn(params, *args) if params is not None else unet_fn(*args)
+        def bind(fn):
+            def eps_fn(x, t, **kwargs):
+                args = (
+                    x,
+                    t,
+                    kwargs.get("encoder_hidden_states"),
+                    kwargs.get("encoder_attention_mask"),
+                    kwargs.get("added_cond"),
+                )
+                return fn(params, *args) if params is not None else fn(*args)
 
-        model_wrapper = denoiser_cls(
-            model_fn=eps_fn, schedule=train_schedule, quantize=False
-        )
+            return denoiser_cls(
+                model_fn=eps_fn, schedule=train_schedule, quantize=False
+            )
+
+        model_wrapper = bind(unet_fn)
+        if slg_scale and unet_skip_fn is not None:
+            return build_slg_cfg_fn(
+                model_wrapper, bind(unet_skip_fn), enc, cfg_scale,
+                slg_scale, cfg_rescale, slg_interval=slg_interval,
+            )
         return build_cfg_fn(
             model_wrapper, enc, cfg_scale, cfg_rescale,
             cfg_interval=cfg_interval,
