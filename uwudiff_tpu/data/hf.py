@@ -24,6 +24,12 @@ class HfImageDataset(UwUBaseDataset):
         image_size: tuple[int, int] = (1024, 1024),
         tokenizers: Sequence = (),
         default_caption: str = "",
+        # tag-level caption augmentation (same knobs as the local
+        # datasets; data/utils.py::augment_caption)
+        shuffle_tags: bool = False,
+        keep_tokens: int = 0,
+        tag_dropout: float = 0.0,
+        caption_seed: int | None = None,
         **load_kwargs,
     ):
         import datasets
@@ -36,6 +42,10 @@ class HfImageDataset(UwUBaseDataset):
         self.image_size = tuple(image_size)
         self.tokenizers = list(tokenizers)
         self.default_caption = default_caption
+        self.shuffle_tags = shuffle_tags
+        self.keep_tokens = keep_tokens
+        self.tag_dropout = tag_dropout
+        self.caption_seed = caption_seed
 
     def __len__(self):
         return len(self.ds)
@@ -52,6 +62,19 @@ class HfImageDataset(UwUBaseDataset):
         )
         if isinstance(caption, (list, tuple)):
             caption = caption[0]
+        if self.shuffle_tags or self.tag_dropout:
+            from uwudiff_tpu.data.utils import augment_caption
+
+            rng = np.random.default_rng(
+                None if self.caption_seed is None
+                else self.caption_seed + index
+            )
+            caption = augment_caption(
+                caption, rng,
+                shuffle_tags=self.shuffle_tags,
+                keep_tokens=self.keep_tokens,
+                tag_dropout=self.tag_dropout,
+            )
         w, h = self.image_size
         return {
             "sample": sample,
