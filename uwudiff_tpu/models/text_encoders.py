@@ -121,12 +121,35 @@ class ConcatTextEncoders(nn.Module):
                 attn_masks[bucket] = attn_mask
 
             if isinstance(text_model, CLIPTextModel):
-                out: CLIPTextOutput = text_model(
-                    input_ids, attn_mask, layer_idx=config.layer_idx
-                )
-                embedding = out.embedding
-                normed_embedding = out.normed_embedding
-                pooled = out.pooler_output
+                b, s = input_ids.shape
+                win = text_model.max_position_embeddings
+                if s > win:
+                    # long-prompt windows (``models/long_prompt.py``):
+                    # [B, n*win] -> [B*n, win], one encoder pass with the
+                    # batch axis carrying the windows, hidden states
+                    # seq-concat back; pooled = FIRST window's pooled.
+                    if s % win:
+                        raise ValueError(
+                            f"sequence {s} is not a multiple of the CLIP "
+                            f"window {win} — tokenize long prompts with "
+                            "tokenize_long/encode(long_prompt=True)"
+                        )
+                    n = s // win
+                    out: CLIPTextOutput = text_model(
+                        input_ids.reshape(b * n, win),
+                        attn_mask.reshape(b * n, win),
+                        layer_idx=config.layer_idx,
+                    )
+                    embedding = out.embedding.reshape(b, s, -1)
+                    normed_embedding = out.normed_embedding.reshape(b, s, -1)
+                    pooled = out.pooler_output.reshape(b, n, -1)[:, 0]
+                else:
+                    out = text_model(
+                        input_ids, attn_mask, layer_idx=config.layer_idx
+                    )
+                    embedding = out.embedding
+                    normed_embedding = out.normed_embedding
+                    pooled = out.pooler_output
             else:  # T5-style: last hidden state, no pooled
                 out = text_model(input_ids, attn_mask)
                 embedding = out.last_hidden_state
@@ -233,6 +256,8 @@ class TextEncodingPipeline:
         nested: bool = False,
         pad_to_n_elements: int | None = None,
         prompt_weighting: bool = False,
+        long_prompt: bool = False,
+        max_chunks: int | None = None,
         **kwargs,
     ):
         """str | list[str] | (nested) list[list[str]] -> conditioning.
@@ -241,7 +266,20 @@ class TextEncodingPipeline:
         ragged results with the fixed-shape aggregation ops
         (``text_encoders.py:101-137``). ``prompt_weighting=True`` parses
         A1111-style ``(emphasis:1.3)`` syntax and scales token
-        embeddings (``models/prompt_weights.py``)."""
+        embeddings (``models/prompt_weights.py``). ``long_prompt=True``
+        chunks prompts beyond the CLIP window into independently encoded
+        77-token windows, seq-concatenated (``models/long_prompt.py``);
+        the two compose."""
+        if long_prompt:
+            if nested:
+                raise NotImplementedError(
+                    "long_prompt with nested caption lists is not supported"
+                )
+            from uwudiff_tpu.models.long_prompt import encode_long
+
+            return encode_long(
+                self, text, max_chunks=max_chunks, weighted=prompt_weighting
+            )
         if prompt_weighting:
             if nested:
                 raise NotImplementedError(

@@ -85,18 +85,31 @@ def encode_cfg_inputs(
     te,  # TextEncodingPipeline
     time_ids: jnp.ndarray | None = None,
     prompt_weighting: bool = False,
+    long_prompt: bool = False,
 ) -> dict:
     """Host-side half of CFG: encode cond/uncond prompts and assemble the
     doubled-batch conditioning tensors (``cfg.py:68-111``).
     ``prompt_weighting=True`` parses ``(emphasis:1.3)`` syntax in BOTH
-    prompts (``models/prompt_weights.py``)."""
+    prompts (``models/prompt_weights.py``); ``long_prompt=True`` chunks
+    beyond the CLIP window — cond and uncond are padded to a COMMON
+    window count with empty-prompt windows, so both halves of the
+    doubled batch share one shape (``models/long_prompt.py``)."""
+    max_chunks = None
+    if long_prompt:
+        from uwudiff_tpu.models.long_prompt import required_chunks
+
+        max_chunks = max(
+            required_chunks(te, prompt), required_chunks(te, neg_prompt)
+        )
     emb, normed_emb, pool, mask = te.encode(
         prompt, padding=True, truncation=True,
         prompt_weighting=prompt_weighting,
+        long_prompt=long_prompt, max_chunks=max_chunks,
     )
     neg_emb, normed_neg_emb, neg_pool, neg_mask = te.encode(
         neg_prompt, padding=True, truncation=True,
         prompt_weighting=prompt_weighting,
+        long_prompt=long_prompt, max_chunks=max_chunks,
     )
     if te.use_normed_ctx:
         emb = normed_emb

@@ -112,6 +112,7 @@ def image_to_image_sampling(
     unet_params=None,
     denoiser_cls: type = KDiffusionDenoiser,
     prompt_weighting: bool = False,
+    long_prompt: bool = False,
     cfg_interval: tuple[float, float] | None = None,
 ):
     """SDEdit img2img / inpainting (contract mirrors
@@ -155,6 +156,7 @@ def image_to_image_sampling(
     enc = encode_cfg_inputs(
         prompt, neg_prompt, w_lat * vae_downscale, h_lat * vae_downscale, te,
         prompt_weighting=prompt_weighting,
+        long_prompt=long_prompt,
     )
 
     sigmas = img2img_sigmas(

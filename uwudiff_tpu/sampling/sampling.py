@@ -59,6 +59,8 @@ def diffusion_sampling(
     denoiser_cls: type = KDiffusionDenoiser,
     # A1111-style (emphasis:1.3) syntax in prompt/neg_prompt
     prompt_weighting: bool = False,
+    # chunk prompts beyond the CLIP window (models/long_prompt.py)
+    long_prompt: bool = False,
     # guidance only at sigma in [lo, hi] (Kynkaanniemi et al. 2024)
     cfg_interval: tuple[float, float] | None = None,
     # SD3.5 skip-layer guidance: a second params-sharing model with
@@ -99,6 +101,7 @@ def diffusion_sampling(
     enc = encode_cfg_inputs(
         prompt, neg_prompt, width, height, te,
         prompt_weighting=prompt_weighting,
+        long_prompt=long_prompt,
     )
 
     def make_cfg_fn(params):

@@ -278,6 +278,7 @@ class Txt2ImgPipeline:
         seed: int = 42,
         return_latents: bool = False,
         prompt_weighting: bool = False,
+        long_prompt: bool = False,
         cfg_rescale: float = 0.0,
         **kwargs: Any,
     ):
@@ -304,6 +305,7 @@ class Txt2ImgPipeline:
                 unet_params=self.unet_params,
                 latent_sharding=self.latent_sharding,
                 prompt_weighting=prompt_weighting,
+                long_prompt=long_prompt,
                 cfg_rescale=cfg_rescale,
                 **(
                     {"denoiser_cls": self.denoiser_cls}
@@ -333,6 +335,7 @@ class Txt2ImgPipeline:
         enc = encode_cfg_inputs(
             prompt, neg_prompt, width, height, self.te,
             prompt_weighting=prompt_weighting,
+            long_prompt=long_prompt,
         )
         sigmas = self.schedule.sample_sigmas_descending(num_steps)
         rng = jax.random.PRNGKey(seed)
@@ -386,6 +389,9 @@ class Request:
     # only (shape-identical program) but part of the group key so one
     # batch's encode applies one setting
     prompt_weighting: bool = False
+    # chunk prompts beyond the CLIP window (models/long_prompt.py);
+    # in the group key — the context seq length depends on it
+    long_prompt: bool = False
     # a pipeline-registered adapter name (or tuple of names, merged in
     # order), hot-swapped per group with zero recompiles; None = base
     adapter: str | tuple[str, ...] | None = None
@@ -477,7 +483,7 @@ class BatchingServer:
         )
         return (
             w, h, r.num_steps, r.cfg_scale, r.return_latents, r.seed,
-            r.prompt_weighting, adapter,
+            r.prompt_weighting, r.long_prompt, adapter,
         )
 
     def _loop(self):
@@ -529,7 +535,7 @@ class BatchingServer:
 
     def _run_group(self, key, group):
         (w, h, steps, cfg, return_latents, seed, prompt_weighting,
-         adapter) = key
+         long_prompt, adapter) = key
         reqs = [r for r, _ in group]
         futs = [f for _, f in group]
         # pad to the warmed batch size so partial groups reuse the
@@ -557,6 +563,7 @@ class BatchingServer:
                 seed=seed,
                 return_latents=return_latents,
                 prompt_weighting=prompt_weighting,
+                long_prompt=long_prompt,
             )
             for i, fut in enumerate(futs):
                 fut.set_result(out[i])
