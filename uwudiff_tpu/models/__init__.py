@@ -12,6 +12,7 @@ from uwudiff_tpu.models.vae import AutoencoderKL
 from uwudiff_tpu.models.text_encoders import ConcatTextEncoders, TextModelExtraConfig
 from uwudiff_tpu.models.dit import DiT, DIT_PRESETS
 from uwudiff_tpu.models.mmdit import MMDiT, MMDIT_PRESETS
+from uwudiff_tpu.models.flux import Flux, FLUX_PRESETS
 
 __all__ = [
     "UNet2DConditionModel",
@@ -28,4 +29,6 @@ __all__ = [
     "DIT_PRESETS",
     "MMDiT",
     "MMDIT_PRESETS",
+    "Flux",
+    "FLUX_PRESETS",
 ]

@@ -34,6 +34,7 @@ __all__ = [
     "inception_key_map",
     "dit_key_map",
     "mmdit_key_map",
+    "flux_key_map",
     "stack_block_params",
     "unstack_block_params",
 ]
@@ -425,6 +426,94 @@ def mmdit_key_map(our_path: str, depth: int | None = None):
     raise KeyError(f"no torch mapping for MMDiT param {our_path!r}")
 
 
+# diffusers FluxTransformer2DModel top-level keys. The double-stream
+# blocks share the SD3 JointTransformerBlock leaf names exactly
+# (_MMDIT_BLOCK_LEAVES); Flux's norm_out is AdaLayerNormContinuous
+# (scale-first) and models/flux.py's final head is ALSO scale-first,
+# so no halves swap (unlike MMDiT's shift-first DiT-convention head).
+_FLUX_TOP_RULES: list[tuple[str, str, Callable]] = [
+    (r"^x_embedder/kernel$", "x_embedder.weight", _t_linear),
+    (r"^x_embedder/bias$", "x_embedder.bias", _identity),
+    (r"^context_embedder/kernel$", "context_embedder.weight", _t_linear),
+    (r"^context_embedder/bias$", "context_embedder.bias", _identity),
+    (r"^t_fc1/kernel$",
+     "time_text_embed.timestep_embedder.linear_1.weight", _t_linear),
+    (r"^t_fc1/bias$",
+     "time_text_embed.timestep_embedder.linear_1.bias", _identity),
+    (r"^t_fc2/kernel$",
+     "time_text_embed.timestep_embedder.linear_2.weight", _t_linear),
+    (r"^t_fc2/bias$",
+     "time_text_embed.timestep_embedder.linear_2.bias", _identity),
+    (r"^g_fc1/kernel$",
+     "time_text_embed.guidance_embedder.linear_1.weight", _t_linear),
+    (r"^g_fc1/bias$",
+     "time_text_embed.guidance_embedder.linear_1.bias", _identity),
+    (r"^g_fc2/kernel$",
+     "time_text_embed.guidance_embedder.linear_2.weight", _t_linear),
+    (r"^g_fc2/bias$",
+     "time_text_embed.guidance_embedder.linear_2.bias", _identity),
+    (r"^pool_fc1/kernel$",
+     "time_text_embed.text_embedder.linear_1.weight", _t_linear),
+    (r"^pool_fc1/bias$",
+     "time_text_embed.text_embedder.linear_1.bias", _identity),
+    (r"^pool_fc2/kernel$",
+     "time_text_embed.text_embedder.linear_2.weight", _t_linear),
+    (r"^pool_fc2/bias$",
+     "time_text_embed.text_embedder.linear_2.bias", _identity),
+    (r"^final_modulation/kernel$", "norm_out.linear.weight", _t_linear),
+    (r"^final_modulation/bias$", "norm_out.linear.bias", _identity),
+    (r"^final_proj/kernel$", "proj_out.weight", _t_linear),
+    (r"^final_proj/bias$", "proj_out.bias", _identity),
+]
+
+# single-stream block leaves (diffusers FluxSingleTransformerBlock):
+# one pre-norm modulation, q/k/v with per-head RMSNorm (no to_out),
+# parallel proj_mlp, fused proj_out
+_FLUX_SINGLE_LEAVES: list[tuple[str, str, Callable]] = [
+    (r"^adaLN/kernel$", "norm.linear.weight", _t_linear),
+    (r"^adaLN/bias$", "norm.linear.bias", _identity),
+    (r"^attn1/to_(q|k|v)/kernel$", r"attn.to_\1.weight", _t_linear),
+    (r"^attn1/to_(q|k|v)/bias$", r"attn.to_\1.bias", _identity),
+    (r"^attn1/norm_(q|k)/scale$", r"attn.norm_\1.weight", _identity),
+    (r"^proj_mlp/kernel$", "proj_mlp.weight", _t_linear),
+    (r"^proj_mlp/bias$", "proj_mlp.bias", _identity),
+    (r"^proj_out/kernel$", "proj_out.weight", _t_linear),
+    (r"^proj_out/bias$", "proj_out.bias", _identity),
+]
+
+
+def flux_key_map(our_path: str):
+    """``models/flux.py::Flux`` paths -> diffusers
+    ``FluxTransformer2DModel`` state-dict keys (the released
+    flux-dev/schnell checkpoints). Double-stream blocks reuse the SD3
+    joint-block leaf names; single-stream blocks map here. schnell
+    (guidance_embeds=False) simply has no ``g_fc*`` leaves on either
+    side."""
+    for pat, repl, tr in _FLUX_TOP_RULES:
+        if re.match(pat, our_path):
+            return re.sub(pat, repl, our_path), tr
+    m = re.match(r"^single_blocks_(\d+)/(.*)$", our_path)
+    if m:
+        idx, rest = int(m.group(1)), m.group(2)
+        for pat, repl, tr in _FLUX_SINGLE_LEAVES:
+            if re.match(pat, rest):
+                return (
+                    f"single_transformer_blocks.{idx}."
+                    + re.sub(pat, repl, rest),
+                    tr,
+                )
+    m = re.match(r"^blocks_(\d+)/(.*)$", our_path)
+    if m:
+        idx, rest = int(m.group(1)), m.group(2)
+        for pat, repl, tr in _MMDIT_BLOCK_LEAVES:
+            if re.match(pat, rest):
+                return (
+                    f"transformer_blocks.{idx}." + re.sub(pat, repl, rest),
+                    tr,
+                )
+    raise KeyError(f"no torch mapping for Flux param {our_path!r}")
+
+
 def dit_key_map(our_path: str):
     """``models/dit.py::DiT`` paths -> facebookresearch-DiT torch keys
     (scanned ``blocks`` stacks go through the generic per-layer
@@ -629,21 +718,23 @@ def stack_block_params(params: Any) -> Any:
         if not isinstance(node, dict):
             return node
         node = {k: convert(v) for k, v in node.items()}
-        idx = sorted(
-            (int(k.split("_")[-1]), k)
-            for k in node
-            if re.fullmatch(r"blocks_\d+", k)
-        )
-        # 1-layer stacks stay unrolled in the model (Transformer2DModel
-        # only scans num_layers > 1), so only stack >= 2 blocks
-        if len(idx) > 1 and [i for i, _ in idx] == list(range(len(idx))):
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]),
-                *[node[k] for _, k in idx],
+        for prefix in ("blocks", "single_blocks"):
+            idx = sorted(
+                (int(k.rsplit("_", 1)[-1]), k)
+                for k in node
+                if re.fullmatch(rf"{prefix}_\d+", k)
             )
-            for _, k in idx:
-                del node[k]
-            node["blocks"] = stacked
+            # 1-layer stacks stay unrolled in the model
+            # (Transformer2DModel only scans num_layers > 1), so only
+            # stack >= 2 blocks
+            if len(idx) > 1 and [i for i, _ in idx] == list(range(len(idx))):
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                    *[node[k] for _, k in idx],
+                )
+                for _, k in idx:
+                    del node[k]
+                node[prefix] = stacked
         return node
 
     return convert(params)
@@ -657,16 +748,17 @@ def unstack_block_params(params: Any, to_numpy: bool = True) -> Any:
         if not isinstance(node, dict):
             return node
         node = {k: convert(v) for k, v in node.items()}
-        if "blocks" in node and isinstance(node["blocks"], dict):
-            stacked = node.pop("blocks")
-            leaves = jax.tree_util.tree_leaves(stacked)
-            if leaves:
-                n = int(leaves[0].shape[0])
-                for i in range(n):
-                    node[f"blocks_{i}"] = jax.tree_util.tree_map(
-                        lambda x: np.asarray(x)[i] if to_numpy else x[i],
-                        stacked,
-                    )
+        for prefix in ("blocks", "single_blocks"):
+            if prefix in node and isinstance(node[prefix], dict):
+                stacked = node.pop(prefix)
+                leaves = jax.tree_util.tree_leaves(stacked)
+                if leaves:
+                    n = int(leaves[0].shape[0])
+                    for i in range(n):
+                        node[f"{prefix}_{i}"] = jax.tree_util.tree_map(
+                            lambda x: np.asarray(x)[i] if to_numpy else x[i],
+                            stacked,
+                        )
         return node
 
     return convert(params)
@@ -674,14 +766,15 @@ def unstack_block_params(params: Any, to_numpy: bool = True) -> Any:
 
 # an nn.scan layer stack: a `blocks` subtree either nested (UNet
 # Transformer2DModel: ".../blocks/...") or at the tree root (DiT/MMDiT:
-# "blocks/...")
-_SCAN_STACK_RE = re.compile(r"(^|/)blocks/")
+# "blocks/..."); Flux adds a second root-level `single_blocks` stack
+_SCAN_STACK_RE = re.compile(r"(^|/)(single_)?blocks/")
 
 
 def _unroll_path(our: str, i: int) -> str:
     """``.../blocks/leaf`` -> ``.../blocks_i/leaf`` (layer ``i`` of a
-    scanned stack), handling the root-level ``blocks/`` spelling."""
-    return _SCAN_STACK_RE.sub(rf"\g<1>blocks_{i}/", our, count=1)
+    scanned stack), handling the root-level ``blocks/`` and
+    ``single_blocks/`` spellings."""
+    return _SCAN_STACK_RE.sub(rf"\g<1>\g<2>blocks_{i}/", our, count=1)
 
 
 def _inv_linear(w):  # [in, out] -> [out, in]

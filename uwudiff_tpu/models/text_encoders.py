@@ -37,6 +37,9 @@ class TextModelExtraConfig:
     use_pooled: bool = False
     layer_idx: int = -1
     need_mask: bool = False
+    # contribute ONLY the pooled vector (Flux-style CLIP-L slot: the
+    # sequence features stay out of the cross/joint-attention context)
+    pooled_only: bool = False
 
 
 def _build_text_model(cfg) -> nn.Module:
@@ -117,7 +120,11 @@ class ConcatTextEncoders(nn.Module):
             input_ids = tokens["input_ids"]
             attn_mask = tokens["attention_mask"]
             bucket = config.concat_bucket
-            if attn_masks[bucket] is None and config.need_mask:
+            if (
+                attn_masks[bucket] is None
+                and config.need_mask
+                and not config.pooled_only
+            ):
                 attn_masks[bucket] = attn_mask
 
             if isinstance(text_model, CLIPTextModel):
@@ -161,8 +168,9 @@ class ConcatTextEncoders(nn.Module):
                 embedding = embedding * m
                 normed_embedding = normed_embedding * m
 
-            text_embeddings[bucket].append(embedding)
-            normed_text_embeddings[bucket].append(normed_embedding)
+            if not config.pooled_only:
+                text_embeddings[bucket].append(embedding)
+                normed_text_embeddings[bucket].append(normed_embedding)
             if config.use_pooled and pooled is not None:
                 pooled_text_embeddings[bucket].append(pooled)
 
@@ -172,7 +180,13 @@ class ConcatTextEncoders(nn.Module):
             if not text_embeddings[i]:
                 emb_b.append(None)
                 normed_b.append(None)
-                pooled_b.append(None)
+                # a bucket can still contribute pooled vectors when all
+                # its models are pooled_only (Flux CLIP-L slot)
+                pooled_b.append(
+                    jnp.concatenate(pooled_text_embeddings[i], axis=-1)
+                    if pooled_text_embeddings[i]
+                    else None
+                )
                 continue
             emb_b.append(jnp.concatenate(text_embeddings[i], axis=-1))
             normed_b.append(jnp.concatenate(normed_text_embeddings[i], axis=-1))
