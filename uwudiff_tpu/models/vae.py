@@ -19,7 +19,58 @@ from flax import linen as nn
 from uwudiff_tpu.models.layers import ResnetBlock2D, Downsample2D, Upsample2D
 from uwudiff_tpu.ops import dot_product_attention
 
-__all__ = ["AutoencoderKL", "DiagonalGaussian", "VAE_PRESETS"]
+__all__ = [
+    "AutoencoderKL",
+    "DiagonalGaussian",
+    "VAE_PRESETS",
+    "overlap_add",
+]
+
+
+def _tile_starts(size: int, tile: int, stride: int) -> list[int]:
+    if size <= tile:
+        return [0]
+    s = list(range(0, size - tile, stride))
+    s.append(size - tile)  # snap the last tile to the border
+    return s
+
+
+def _ramp_window(n: int, ov: int) -> jnp.ndarray:
+    """1-D blend weights: linear ramps of width ``ov`` at both ends
+    (never reaching 0, so border pixels covered by one tile keep full
+    weight after normalization)."""
+    w = jnp.ones((n,), jnp.float32)
+    if ov > 0:
+        r = (jnp.arange(ov, dtype=jnp.float32) + 1.0) / (ov + 1.0)
+        w = w.at[:ov].set(r).at[n - ov :].set(r[::-1])
+    return w
+
+
+def overlap_add(
+    tiles: jnp.ndarray,  # [n_tiles * B, th, tw, C], row-major tile order
+    batch: int,
+    positions: list[tuple[int, int]],  # top-left (i, j) per tile
+    out_hw: tuple[int, int],
+    overlap: int,
+) -> jnp.ndarray:
+    """Normalized windowed overlap-add: each tile is weighted by a
+    separable linear-ramp window and scatter-added; dividing by the
+    accumulated window makes the blend exact wherever tiles agree (a
+    constant field reassembles exactly constant) and renormalizes
+    borders automatically."""
+    th, tw = tiles.shape[1], tiles.shape[2]
+    win = _ramp_window(th, overlap)[:, None] * _ramp_window(tw, overlap)[None]
+    win = win[None, :, :, None]
+    out = jnp.zeros(
+        (batch, out_hw[0], out_hw[1], tiles.shape[-1]), jnp.float32
+    )
+    wsum = jnp.zeros((1, out_hw[0], out_hw[1], 1), jnp.float32)
+    for idx, (i, j) in enumerate(positions):
+        out = out.at[:, i : i + th, j : j + tw].add(
+            tiles[idx * batch : (idx + 1) * batch] * win
+        )
+        wsum = wsum.at[:, i : i + th, j : j + tw].add(win)
+    return out / wsum
 
 
 class DiagonalGaussian(NamedTuple):
@@ -220,6 +271,78 @@ class AutoencoderKL(nn.Module):
         dist = self.encode(x)
         z = dist.sample(rng)
         return self.decode(z), dist
+
+    # -- tiled paths (large-resolution memory relief) -------------------
+
+    @property
+    def downscale(self) -> int:
+        return 2 ** (len(self.block_out_channels) - 1)
+
+    def decode_tiled(
+        self, z: jnp.ndarray, tile: int = 64, overlap: int = 16
+    ) -> jnp.ndarray:
+        """Decode in overlapping spatial tiles (the community "VAE
+        tiling" memory staple — at 2048px the full decoder's level-0
+        activations alone are ~4GB fp32; tiles bound that to the tile
+        footprint).
+
+        TPU-first redesign of the sequential diffusers blend: all tiles
+        fold into the BATCH axis of ONE decoder call (same XLA program
+        regardless of tile count), then a separable linear-ramp window
+        does normalized weighted overlap-add — borders renormalize
+        automatically, no per-edge cases. ``tile``/``overlap`` are in
+        latent units; seams are approximate by nature (conv halos and
+        per-tile GroupNorm statistics), matching the accepted community
+        trade-off."""
+        b, h, w, _ = z.shape
+        if h <= tile and w <= tile:
+            return self.decode(z)
+        stride = tile - overlap
+        f = self.downscale
+        hs = _tile_starts(h, tile, stride)
+        ws = _tile_starts(w, tile, stride)
+        crops = [
+            z[:, i : i + min(tile, h), j : j + min(tile, w)]
+            for i in hs
+            for j in ws
+        ]
+        dec = self.decode(jnp.concatenate(crops, axis=0))  # batch-folded
+        return overlap_add(
+            dec,
+            b,
+            [(i * f, j * f) for i in hs for j in ws],
+            (h * f, w * f),
+            overlap * f,
+        )
+
+    def encode_tiled(
+        self, x: jnp.ndarray, tile: int = 512, overlap: int = 128
+    ) -> DiagonalGaussian:
+        """Tiled encode (``tile``/``overlap`` in PIXEL units); the
+        Gaussian moments blend with the same normalized window."""
+        b, h, w, _ = x.shape
+        if h <= tile and w <= tile:
+            return self.encode(x)
+        stride = tile - overlap
+        f = self.downscale
+        hs = _tile_starts(h, tile, stride)
+        ws = _tile_starts(w, tile, stride)
+        crops = [
+            x[:, i : i + min(tile, h), j : j + min(tile, w)]
+            for i in hs
+            for j in ws
+        ]
+        dist = self.encode(jnp.concatenate(crops, axis=0))
+        moments = jnp.concatenate([dist.mean, dist.logvar], axis=-1)
+        blended = overlap_add(
+            moments,
+            b,
+            [(i // f, j // f) for i in hs for j in ws],
+            (h // f, w // f),
+            overlap // f,
+        )
+        mean, logvar = jnp.split(blended, 2, axis=-1)
+        return DiagonalGaussian(mean, logvar)
 
 
 VAE_PRESETS: dict[str, dict] = {

@@ -158,7 +158,9 @@ class Txt2ImgPipeline:
         return self
 
     @classmethod
-    def from_trainer(cls, trainer, **kwargs) -> "Txt2ImgPipeline":
+    def from_trainer(
+        cls, trainer, vae_tiling: int | None = None, **kwargs
+    ) -> "Txt2ImgPipeline":
         """Build from a (possibly adapter-)trained DMTrainer. On a
         meshed trainer the params keep their FSDP/TP shardings and the
         latent batch is constrained over the data-like axes — the
@@ -187,11 +189,21 @@ class Txt2ImgPipeline:
         if trainer.vae is not None:
             vae_params = trainer.frozen["vae"]
 
-            def vae_decode(latents):
-                return trainer.vae.apply(
-                    {"params": vae_params}, latents,
-                    method=trainer.vae.decode,
-                )
+            if vae_tiling:
+                # overlapping-tile decode (models/vae.py::decode_tiled):
+                # bounds decoder activations to the tile footprint for
+                # large-resolution serving; `vae_tiling` = latent tile
+                def vae_decode(latents):
+                    return trainer.vae.apply(
+                        {"params": vae_params}, latents, tile=vae_tiling,
+                        method=trainer.vae.decode_tiled,
+                    )
+            else:
+                def vae_decode(latents):
+                    return trainer.vae.apply(
+                        {"params": vae_params}, latents,
+                        method=trainer.vae.decode,
+                    )
 
         downs = (
             2 ** (len(trainer.vae.block_out_channels) - 1)
