@@ -57,6 +57,9 @@ _MODEL_DEFAULTS = {
     "dit_moe_b_2_8e": (64, "0", "adamw", None, "0", "1.0"),
     "sd3_medium": (8, "1", "adamw_factored", "bfloat16", "0", "0"),
     "sd3_medium_8e": (8, "1", "adamw_factored", "bfloat16", "0", "0"),
+    # Flux family: flux_1b is the single-chip-measurable scale point
+    # (true flux_dev is 12B — beyond one 16GB v5e for training)
+    "flux_1b": (8, "1", "adamw_factored", "bfloat16", "0", "0"),
 }
 (_DEF_BATCH, _DEF_REMAT, _DEF_OPT, _DEF_PDTYPE, _DEF_GN,
  _DEF_CLIP) = _MODEL_DEFAULTS.get(
@@ -203,6 +206,11 @@ def bench_sampler():
         preset = MODEL[6:] if MODEL.startswith("mmdit_") else MODEL
         unet = MMDiT.from_config(preset, dtype=jnp.bfloat16)
         family, ctx_dim = "mmdit", unet.context_dim
+    elif MODEL.startswith("flux"):
+        from uwudiff_tpu.models.flux import Flux
+
+        unet = Flux.from_config(MODEL, dtype=jnp.bfloat16)
+        family, ctx_dim = "mmdit", unet.context_dim  # same conditioning
     else:
         unet = UNet2DConditionModel.from_config(MODEL, dtype=jnp.bfloat16)
         family, ctx_dim = "unet", unet.cross_attention_dim
@@ -391,6 +399,17 @@ def build_trainer_and_batch():
         preset = MODEL[6:] if MODEL.startswith("mmdit_") else MODEL
         unet = MMDiT.from_config(
             preset,
+            dtype=jnp.bfloat16,
+            gradient_checkpointing=REMAT,
+            scan_blocks=scan,
+        )
+        ctx_dim = unet.context_dim
+    elif MODEL.startswith("flux"):
+        # Flux family: dual+single-stream RF transformer
+        from uwudiff_tpu.models.flux import Flux
+
+        unet = Flux.from_config(
+            MODEL,
             dtype=jnp.bfloat16,
             gradient_checkpointing=REMAT,
             scan_blocks=scan,

@@ -35,6 +35,7 @@ _KEY_MAPS = {
     "clip_vision": "clip_vision_key_map",
     "t5": "t5_key_map",
     "dit": "dit_key_map",
+    "flux": "flux_key_map",
 }
 
 

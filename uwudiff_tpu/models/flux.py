@@ -463,6 +463,11 @@ class Flux(nn.Module):
                 guidance = added_cond.get("guidance")
             if guidance is None:
                 guidance = jnp.full((b,), self.default_guidance)
+            else:
+                # accept a scalar (python float / 0-d array) per batch
+                guidance = jnp.broadcast_to(
+                    jnp.atleast_1d(jnp.asarray(guidance, jnp.float32)), (b,)
+                )
             # published convention embeds guidance x1000 (same
             # sinusoid scale as the [0,1000) timesteps)
             g_emb = get_timestep_embedding(
@@ -521,9 +526,17 @@ FLUX_PRESETS: dict[str, dict] = {
         in_channels=16, context_dim=4096, pooled_dim=768,
         guidance_embeds=False, axes_dims=(16, 56, 56),
     ),
+    # single-chip-measurable scale point (~1B): flux block anatomy and
+    # 16ch latents at a size one 16GB v5e can train
+    "flux_1b": dict(
+        hidden_size=1536, depth=6, depth_single=12, num_heads=12,
+        in_channels=16, context_dim=4096, pooled_dim=768,
+        guidance_embeds=True, axes_dims=(16, 56, 56),
+    ),
     "tiny": dict(
         hidden_size=32, depth=2, depth_single=2, num_heads=2,
         in_channels=4, context_dim=48, pooled_dim=24,
         guidance_embeds=True, axes_dims=(4, 6, 6),
     ),
 }
+FLUX_PRESETS["flux_tiny"] = FLUX_PRESETS["tiny"]  # BENCH_MODEL alias
