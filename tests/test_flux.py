@@ -283,3 +283,55 @@ def test_flux_txt2img_sampling():
     )
     assert latents.shape == (2, 16, 16, 4)
     assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_flux_lora_adapter_training():
+    """LoRA preset targets Flux's attention/MLP kernels (incl. the
+    single-block fused proj_mlp/proj_out) through the standard adapter
+    machinery; only adapter params train."""
+    from uwudiff_tpu.diffusion import NoiseSchedule, RectifiedFlowLoss
+    from uwudiff_tpu.training import DMTrainer
+
+    trainer = DMTrainer(
+        model_config={
+            "unet": Flux.from_config("tiny", context_dim=32, pooled_dim=32),
+            "te": None,
+            "vae": None,
+        },
+        lr=1e-2,
+        use_warm_up=False,
+        loss_config=RectifiedFlowLoss(schedule=NoiseSchedule.sdxl()),
+        lycoris_config={
+            "targets": [
+                {
+                    "pattern": r".*attn\d/(to_q|to_k|to_v|to_out)/kernel$",
+                    "algo": "lora",
+                    "dim": 2,
+                },
+                {
+                    "pattern": r".*(proj_mlp|proj_out)/kernel$",
+                    "algo": "lora",
+                    "dim": 2,
+                },
+            ]
+        },
+        seed=0,
+    )
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "sample": rng_np.standard_normal((2, 16, 16, 4)).astype(np.float32)
+        * 0.2,
+        "ctx": rng_np.standard_normal((2, 5, 32)).astype(np.float32),
+        "tokenizer_outputs": [],
+        "added_cond": {
+            "text_embeds": rng_np.standard_normal((2, 32)).astype(np.float32)
+        },
+    }
+    losses = [
+        float(trainer.train_step(batch)[0]["train/loss"]) for _ in range(10)
+    ]
+    assert losses[-1] < losses[0], losses
+    # adapter specs actually latched onto flux paths (incl. single blocks)
+    names = list(trainer.adapter.params)
+    assert any("single_blocks" in n for n in names), names[:5]
+    assert any("attn1" in n for n in names), names[:5]
