@@ -50,6 +50,7 @@ _MODEL_DEFAULTS = {
     # activations instead (bs=16 OOMs by 2.5GB fused) -> XLA GN.
     "sdxl": (8, "1", "adamw_factored", "bfloat16", "1", "0"),
     "sd15": (16, "0", "adamw_fp16", None, "0", "1.0"),
+    "sd21": (16, "0", "adamw_fp16", None, "0", "1.0"),
     # DiT family (class-conditional, 32x32 latents = 256px by default;
     # BENCH_LATENT overrides). No A100 anchor -> vs_baseline = 1.0.
     "dit_xl_2": (64, "0", "adamw", None, "0", "1.0"),

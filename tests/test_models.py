@@ -377,3 +377,25 @@ def test_freeu():
     assert not np.allclose(
         np.asarray(out_base), np.asarray(out_active), atol=1e-3
     )
+
+
+def test_sd21_preset_and_clip_h():
+    """SD2.1 family point: per-block head counts follow the
+    64-dim-per-head rule, OpenCLIP-H text tower shape (23 layers as
+    released). Import rides the same unet/clip key maps."""
+    from uwudiff_tpu.models.clip import CLIP_PRESETS, CLIPTextModel
+    from uwudiff_tpu.models.unet import UNET_PRESETS, UNet2DConditionModel
+
+    cfg = UNET_PRESETS["sd21"]
+    assert cfg["cross_attention_dim"] == 1024
+    assert cfg["num_attention_heads"] == (5, 10, 20, 20)
+    assert cfg["use_linear_projection"]
+    m = UNet2DConditionModel.from_config("sd21")
+    assert m.block_out_channels == (320, 640, 1280, 1280)
+
+    h = CLIP_PRESETS["clip_h"]
+    assert (h["hidden_size"], h["num_layers"], h["hidden_act"]) == (
+        1024, 23, "gelu",
+    )
+    te = CLIPTextModel.from_config("clip_h")
+    assert te.intermediate_size == 4096

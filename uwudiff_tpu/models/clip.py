@@ -263,6 +263,13 @@ CLIP_PRESETS: dict[str, dict] = {
         hidden_size=1280, num_layers=32, num_heads=20, intermediate_size=5120,
         hidden_act="gelu",
     ),
+    # OpenCLIP ViT-H text tower as shipped with SD2.x (23 layers — the
+    # released text_encoder drops the last block; penultimate
+    # conditioning via layer_idx=-2 like SDXL)
+    "clip_h": dict(
+        hidden_size=1024, num_layers=23, num_heads=16,
+        intermediate_size=4096, hidden_act="gelu",
+    ),
     "tiny": dict(
         vocab_size=1024, hidden_size=32, num_layers=2, num_heads=2,
         intermediate_size=64, max_position_embeddings=77,

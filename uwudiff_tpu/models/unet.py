@@ -480,6 +480,24 @@ UNET_PRESETS: dict[str, dict] = {
         cross_attention_dim=768,
         use_linear_projection=False,
     ),
+    # SD2.1-class UNet (1024-dim OpenCLIP-H context, v-prediction
+    # training convention; head count follows the 64-dim-per-head rule)
+    "sd21": dict(
+        in_channels=4,
+        out_channels=4,
+        block_out_channels=(320, 640, 1280, 1280),
+        down_block_types=(
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "DownBlock2D",
+        ),
+        layers_per_block=2,
+        transformer_layers_per_block=1,
+        num_attention_heads=(5, 10, 20, 20),
+        cross_attention_dim=1024,
+        use_linear_projection=True,
+    ),
     # SDXL-base-class UNet (2048-dim dual-CLIP context + micro-conditioning)
     "sdxl": dict(
         in_channels=4,
