@@ -195,6 +195,53 @@ bool load_one(const char* path, int th, int tw, float* dst) {
   return true;
 }
 
+// --- in-memory decode (tar-shard / webdataset members) --------------
+
+bool decode_image_mem(const uint8_t* buf, size_t len, Image* out) {
+  if (len >= 3 && buf[0] == 0xFF && buf[1] == 0xD8) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jump)) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    out->w = cinfo.output_width;
+    out->h = cinfo.output_height;
+    out->rgb.resize(size_t(out->w) * out->h * 3);
+    while (cinfo.output_scanline < cinfo.output_height) {
+      uint8_t* row =
+          out->rgb.data() + size_t(cinfo.output_scanline) * out->w * 3;
+      jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return true;
+  }
+  if (len >= 8 && std::memcmp(buf, "\x89PNG\r\n\x1a\n", 8) == 0) {
+    png_image img;
+    std::memset(&img, 0, sizeof(img));
+    img.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_memory(&img, buf, len)) return false;
+    img.format = PNG_FORMAT_RGB;
+    out->w = img.width;
+    out->h = img.height;
+    out->rgb.resize(PNG_IMAGE_SIZE(img));
+    if (!png_image_finish_read(&img, nullptr, out->rgb.data(), 0, nullptr)) {
+      png_image_free(&img);
+      return false;
+    }
+    return true;
+  }
+  return false;
+}
+
 // --- threaded batch ring (same scheme as uwu_dataio's BatchLoader) --
 
 struct ImgBatch {
@@ -254,6 +301,17 @@ int uwu_img_probe(const char* path, int* w, int* h) {
 
 int uwu_img_load(const char* path, int th, int tw, float* dst) {
   return load_one(path, th, tw, dst) ? 0 : -1;
+}
+
+// decode+preprocess from an in-memory buffer (tar members etc.)
+int uwu_img_load_mem(const uint8_t* buf, int64_t len, int th, int tw,
+                     float* dst) {
+  Image img;
+  if (!decode_image_mem(buf, size_t(len), &img)) return -1;
+  std::vector<float> out;
+  resize_rgb(img, th, tw, &out);
+  std::memcpy(dst, out.data(), out.size() * sizeof(float));
+  return 0;
 }
 
 void* uwu_imgload_start(const char** paths, int n, int th, int tw,

@@ -16,6 +16,7 @@ from uwudiff_tpu.data.aspect_buckets import (
     make_buckets,
 )
 from uwudiff_tpu.data.dreambooth import PriorPreservationDataset
+from uwudiff_tpu.data.webdataset import TarIndex, WebDatasetTarDataset
 
 __all__ = [
     "UwUBaseDataset",
@@ -30,4 +31,6 @@ __all__ = [
     "BucketBatchLoader",
     "make_buckets",
     "PriorPreservationDataset",
+    "TarIndex",
+    "WebDatasetTarDataset",
 ]

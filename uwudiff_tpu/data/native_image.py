@@ -19,7 +19,12 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["load_library", "decode_image", "NativeImageLoader"]
+__all__ = [
+    "load_library",
+    "decode_image",
+    "decode_image_bytes",
+    "NativeImageLoader",
+]
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO_ROOT / "native" / "uwu_imageio.cpp"
@@ -58,6 +63,14 @@ def load_library() -> ctypes.CDLL:
         lib.uwu_img_load.restype = ctypes.c_int
         lib.uwu_img_load.argtypes = [
             ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.uwu_img_load_mem.restype = ctypes.c_int
+        lib.uwu_img_load_mem.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
             ctypes.c_int,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
@@ -106,6 +119,22 @@ def decode_image(path: str, target_hw: tuple[int, int]) -> np.ndarray:
     )
     if rc != 0:
         raise IOError(f"cannot decode {path}")
+    return out
+
+
+def decode_image_bytes(buf: bytes, target_hw: tuple[int, int]) -> np.ndarray:
+    """In-memory counterpart of :func:`decode_image` (tar-shard /
+    webdataset members): JPEG/PNG bytes -> [H, W, 3] float32 in
+    [-1, 1]."""
+    lib = load_library()
+    th, tw = target_hw
+    out = np.empty((th, tw, 3), np.float32)
+    rc = lib.uwu_img_load_mem(
+        buf, len(buf), th, tw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise IOError("cannot decode image bytes")
     return out
 
 
