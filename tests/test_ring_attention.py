@@ -192,3 +192,79 @@ def test_ring_attention_gradients():
     gt = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gr, gt):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("family", ["mmdit", "flux"])
+def test_trainer_seq_parallel_joint_attention(monkeypatch, family):
+    """The sequence_parallel context is model-agnostic: MMDiT/Flux JOINT
+    attention (one unmasked self-attention over [text; image]) also
+    rides the ring when the joint token count divides the seq axis —
+    loss parity vs the data-parallel-only run, and the ring must
+    actually engage on the joint length."""
+    import uwudiff_tpu.ops.attention as att
+    from uwudiff_tpu.diffusion import NoiseSchedule, RectifiedFlowLoss
+    from uwudiff_tpu.training import DMTrainer
+
+    def make_model():
+        if family == "mmdit":
+            from uwudiff_tpu.models.mmdit import MMDiT
+
+            return MMDiT.from_config("tiny")
+        from uwudiff_tpu.models.flux import Flux
+
+        return Flux.from_config("tiny")
+
+    def make_trainer(mesh_axes):
+        return DMTrainer(
+            model_config={"unet": make_model(), "te": None, "vae": None},
+            lr=1e-3,
+            use_warm_up=False,
+            loss_config=RectifiedFlowLoss(schedule=NoiseSchedule.sdxl()),
+            grad_clip=1.0,
+            mesh_axes=mesh_axes,
+            seed=0,
+        )
+
+    rng = np.random.default_rng(0)
+    # 16x16 latents @ patch 2 -> 64 image tokens; 8 text tokens -> the
+    # 72-token joint sequence divides seq=4
+    batch = {
+        "sample": rng.standard_normal((4, 16, 16, 4)).astype(np.float32)
+        * 0.1,
+        "ctx": rng.standard_normal((4, 8, 48)).astype(np.float32),
+        "tokenizer_outputs": [],
+        "added_cond": {
+            "text_embeds": rng.standard_normal((4, 24)).astype(np.float32)
+        },
+    }
+
+    ring_hits = []
+    orig = att._maybe_ring
+
+    def spy(q, k, v, bias, scale, use_flash=None):
+        out = orig(q, k, v, bias, scale, use_flash)
+        if out is not None:
+            ring_hits.append(tuple(q.shape))
+        return out
+
+    monkeypatch.setattr(att, "_maybe_ring", spy)
+
+    key = jax.random.PRNGKey(7)
+    t_ref = make_trainer({"data": 2})
+    ref_losses = [
+        float(t_ref.train_step(batch, key)[0]["train/loss"])
+        for _ in range(3)
+    ]
+    assert not ring_hits
+
+    t_seq = make_trainer({"data": 2, "seq": 4})
+    seq_losses = [
+        float(t_seq.train_step(batch, key)[0]["train/loss"])
+        for _ in range(3)
+    ]
+    assert ring_hits, "seq mesh active but ring never engaged"
+    assert all(s[1] == 72 for s in ring_hits), ring_hits  # joint length
+    np.testing.assert_allclose(seq_losses, ref_losses, rtol=2e-4)
