@@ -103,16 +103,20 @@ def main():
         )
         added = added_cond_for(eff)
 
-        def fwd(x, params=params, t=t, ctx=ctx, added=added):
-            out = unet.apply({"params": params}, x, t, ctx, None, added)
+        # params must be an ARGUMENT, not a closure capture: jit bakes
+        # captured trees into the program as constants — 10GB of SDXL
+        # weights uploaded per compile over the tunnel (and warned as
+        # "large amount of constants captured during lowering")
+        def fwd(x, p, t=t, ctx=ctx, added=added):
+            out = unet.apply({"params": p}, x, t, ctx, None, added)
             return out.astype(x.dtype)
 
         # analytic matmul flops of the compiled forward
-        compiled = jax.jit(fwd).lower(x).compile()
+        compiled = jax.jit(fwd).lower(x, params).compile()
         per_instr, _ = sp.matmul_flops_from_hlo(compiled.as_text())
         flops = float(sum(f for f, *_ in per_instr))
 
-        dt = chained_op_time(fwd, x, iters=10)
+        dt = chained_op_time(fwd, x, params, iters=10)
         print(
             json.dumps(
                 {
