@@ -36,6 +36,7 @@ _KEY_MAPS = {
     "t5": "t5_key_map",
     "dit": "dit_key_map",
     "flux": "flux_key_map",
+    "mmdit": "mmdit_key_map",  # needs --depth (final_block placement)
 }
 
 
@@ -66,11 +67,22 @@ def main():
     ap.add_argument("--out", required=True, help=".pt (torch.save) or .npz")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float16", "bfloat16"])
+    ap.add_argument(
+        "--depth", type=int, default=None,
+        help="total MMDiT depth (places final_block at depth-1); "
+        "required for --model mmdit",
+    )
     args = ap.parse_args()
 
     from uwudiff_tpu.models import import_torch as it
 
     key_map = getattr(it, _KEY_MAPS[args.model])
+    if args.model == "mmdit":
+        if args.depth is None:
+            ap.error("--model mmdit requires --depth")
+        import functools
+
+        key_map = functools.partial(key_map, depth=args.depth)
     tree = _tree_from_npz(np.load(args.params))
     sd = it.export_params(tree, key_map, dtype=np.float32)
 

@@ -263,3 +263,55 @@ def test_encode_cfg_inputs_long_prompt_aligns_cond_uncond():
     )
     # cond needs 2 windows -> uncond padded to 2 EMPTY windows, one shape
     assert enc["ctx"].shape == (2, 2 * WIN, enc["ctx"].shape[-1])
+
+
+def test_serving_pipeline_long_prompt_end_to_end():
+    """Zero-retrace serving with long_prompt=True: a prompt beyond the
+    CLIP window produces a [2*win]-token context and still samples;
+    short prompts keep the single-window signature."""
+    from uwudiff_tpu.models.unet import UNet2DConditionModel
+    from uwudiff_tpu.serving import Txt2ImgPipeline
+    from uwudiff_tpu.training import DMTrainer
+
+    te = ConcatTextEncoders.from_config(
+        [(
+            {"model_type": "clip", "preset": "tiny",
+             "max_position_embeddings": WIN},
+            {"use_pooled": False, "layer_idx": -2},
+        )]
+    )
+    trainer = DMTrainer(
+        model_config={
+            "unet": UNet2DConditionModel.from_config("tiny"),
+            "te": te,
+            "vae": None,
+        },
+        lr=1e-4,
+        use_warm_up=False,
+        seed=0,
+    )
+    trainer.tokenizers = [SimpleTokenizer(model_max_length=WIN)]
+    rng = np.random.default_rng(0)
+    batch = {
+        "sample": rng.standard_normal((2, 16, 16, 4)).astype(np.float32)
+        * 0.1,
+        "captions": ["a", "b"],
+        "tokenizer_outputs": [
+            trainer.tokenizers[0](["a", "b"], padding=True, truncation=True)
+        ],
+    }
+    trainer.train_step(batch)
+    pipe = Txt2ImgPipeline.from_trainer(trainer)
+    long_text = " ".join(f"w{i}" for i in range(10))
+    lat = pipe(
+        prompt=long_text, num_steps=2, num_samples=1, width=32, height=32,
+        seed=0, return_latents=True, long_prompt=True,
+    )
+    assert lat.shape == (1, 4, 4, 4)
+    assert np.isfinite(np.asarray(lat)).all()
+    # short prompt through the same pipeline still works (n=1 signature)
+    lat2 = pipe(
+        prompt="a cat", num_steps=2, num_samples=1, width=32, height=32,
+        seed=0, return_latents=True, long_prompt=True,
+    )
+    assert lat2.shape == (1, 4, 4, 4)
