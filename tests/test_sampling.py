@@ -1022,3 +1022,221 @@ def test_slg_end_to_end_mmdit(sched):
     )
     assert np.isfinite(np.asarray(slg)).all()
     assert not np.allclose(np.asarray(plain), np.asarray(slg), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# DPM++ 2S ancestral / SDE / 3M SDE
+# --------------------------------------------------------------------------
+
+
+def _np_ancestral(sigma, sigma_next, eta):
+    up = min(
+        sigma_next,
+        eta * np.sqrt(max(sigma_next**2 * (sigma**2 - sigma_next**2) / max(sigma**2, 1e-20), 0.0)),
+    )
+    down = np.sqrt(max(sigma_next**2 - up**2, 0.0))
+    return down, up
+
+
+def test_dpmpp_2s_ancestral_converges(sched):
+    from uwudiff_tpu.sampling import sample_dpmpp_2s_ancestral
+
+    sigmas = sched.sample_sigmas_descending(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 1)) * sigmas[0]
+    out = sample_dpmpp_2s_ancestral(
+        _perfect_model, x, sigmas, rng=jax.random.PRNGKey(1), eta=1.0
+    )
+    np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+def test_dpmpp_2s_ancestral_matches_kdiffusion_recurrence(sched):
+    """Step-for-step vs a plain-python transcription of k-diffusion's
+    sample_dpmpp_2s_ancestral with identical per-step noise."""
+    from uwudiff_tpu.sampling import sample_dpmpp_2s_ancestral
+
+    def model(x, sigma, sigma_cond=None):
+        d = 0.9 * x - 0.1
+        return d, d
+
+    eta, s_noise = 0.8, 1.05
+    sigmas = np.asarray(sched.sample_sigmas_descending(7), np.float64)
+    rng = jax.random.PRNGKey(7)
+    xr0 = np.random.default_rng(4).standard_normal((2, 4, 4, 1)).astype(
+        np.float32
+    ) * sigmas[0]
+
+    keys = jax.random.split(rng, len(sigmas) - 1)
+    noises = [
+        np.asarray(jax.random.normal(k, xr0.shape, jnp.float32), np.float64)
+        for k in keys
+    ]
+
+    t_of = lambda s: -np.log(max(s, 1e-20))
+    xr = np.asarray(xr0, np.float64)
+    for i in range(len(sigmas) - 1):
+        den = 0.9 * xr - 0.1
+        sd, su = _np_ancestral(sigmas[i], sigmas[i + 1], eta)
+        if sd == 0:
+            d = (xr - den) / sigmas[i]
+            xr = xr + d * (sd - sigmas[i])
+        else:
+            t, t_next = t_of(sigmas[i]), t_of(sd)
+            h = t_next - t
+            s_mid = t + 0.5 * h
+            x_mid = np.exp(-(s_mid - t)) * xr - np.expm1(-0.5 * h) * den
+            den_mid = 0.9 * x_mid - 0.1
+            xr = (sd / sigmas[i]) * xr - np.expm1(-h) * den_mid
+        if sigmas[i + 1] > 0:
+            xr = xr + noises[i] * s_noise * su
+
+    out = sample_dpmpp_2s_ancestral(
+        model, jnp.asarray(xr0), jnp.asarray(sigmas, jnp.float32),
+        rng=rng, eta=eta, s_noise=s_noise,
+    )
+    np.testing.assert_allclose(np.asarray(out), xr, rtol=2e-4, atol=2e-5)
+
+
+def test_dpmpp_sde_converges(sched):
+    from uwudiff_tpu.sampling import sample_dpmpp_sde
+
+    sigmas = sched.sample_sigmas_descending(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 1)) * sigmas[0]
+    out = sample_dpmpp_sde(
+        _perfect_model, x, sigmas, rng=jax.random.PRNGKey(1), eta=1.0
+    )
+    np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+def test_dpmpp_sde_matches_kdiffusion_recurrence(sched):
+    """Step-for-step vs a plain-python transcription of k-diffusion's
+    sample_dpmpp_sde (r=1/2, gaussian noise) with identical noise."""
+    from uwudiff_tpu.sampling import sample_dpmpp_sde
+
+    def model(x, sigma, sigma_cond=None):
+        d = 0.9 * x - 0.1
+        return d, d
+
+    eta, s_noise, r = 0.6, 1.1, 0.5
+    sigmas = np.asarray(sched.sample_sigmas_descending(6), np.float64)
+    rng = jax.random.PRNGKey(11)
+    xr0 = np.random.default_rng(6).standard_normal((2, 4, 4, 1)).astype(
+        np.float32
+    ) * sigmas[0]
+
+    keys = jax.random.split(rng, len(sigmas) - 1)
+    noises = []
+    for k in keys:
+        k1, k2 = jax.random.split(k)
+        noises.append(
+            (
+                np.asarray(jax.random.normal(k1, xr0.shape, jnp.float32), np.float64),
+                np.asarray(jax.random.normal(k2, xr0.shape, jnp.float32), np.float64),
+            )
+        )
+
+    t_of = lambda s: -np.log(max(s, 1e-20))
+    fac = 1.0 / (2.0 * r)
+    xr = np.asarray(xr0, np.float64)
+    for i in range(len(sigmas) - 1):
+        den = 0.9 * xr - 0.1
+        if sigmas[i + 1] == 0:
+            d = (xr - den) / sigmas[i]
+            xr = xr + d * (sigmas[i + 1] - sigmas[i])
+        else:
+            t, t_next = t_of(sigmas[i]), t_of(sigmas[i + 1])
+            h = t_next - t
+            s_mid = t + r * h
+            sig_mid = np.exp(-s_mid)
+
+            sd1, su1 = _np_ancestral(sigmas[i], sig_mid, eta)
+            x_mid = (sd1 / sigmas[i]) * xr - np.expm1(t - t_of(sd1)) * den
+            x_mid = x_mid + noises[i][0] * s_noise * su1
+            den_mid = 0.9 * x_mid - 0.1
+
+            sd2, su2 = _np_ancestral(sigmas[i], sigmas[i + 1], eta)
+            den_d = (1 - fac) * den + fac * den_mid
+            xr = (sd2 / sigmas[i]) * xr - np.expm1(t - t_of(sd2)) * den_d
+            xr = xr + noises[i][1] * s_noise * su2
+
+    out = sample_dpmpp_sde(
+        model, jnp.asarray(xr0), jnp.asarray(sigmas, jnp.float32),
+        rng=rng, eta=eta, s_noise=s_noise, r=r,
+    )
+    np.testing.assert_allclose(np.asarray(out), xr, rtol=2e-4, atol=2e-5)
+
+
+def test_dpmpp_3m_sde_converges(sched):
+    from uwudiff_tpu.sampling import sample_dpmpp_3m_sde
+
+    sigmas = sched.sample_sigmas_descending(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 1)) * sigmas[0]
+    out = sample_dpmpp_3m_sde(
+        _perfect_model, x, sigmas, rng=jax.random.PRNGKey(1), eta=1.0
+    )
+    np.testing.assert_allclose(np.asarray(out), X0, atol=1e-4)
+
+
+@pytest.mark.parametrize("eta", [0.0, 1.0])
+def test_dpmpp_3m_sde_matches_kdiffusion_recurrence(sched, eta):
+    """Step-for-step vs a plain-python transcription of k-diffusion's
+    sample_dpmpp_3m_sde with identical per-step noise, covering the
+    1st/2nd/3rd-order history ramp and both eta regimes."""
+    from uwudiff_tpu.sampling import sample_dpmpp_3m_sde
+
+    def model(x, sigma, sigma_cond=None):
+        d = 0.9 * x - 0.1
+        return d, d
+
+    s_noise = 1.07
+    sigmas = np.asarray(sched.sample_sigmas_descending(8), np.float64)
+    rng = jax.random.PRNGKey(13)
+    xr0 = np.random.default_rng(8).standard_normal((2, 4, 4, 1)).astype(
+        np.float32
+    ) * sigmas[0]
+
+    keys = jax.random.split(rng, len(sigmas) - 1)
+    noises = [
+        np.asarray(jax.random.normal(k, xr0.shape, jnp.float32), np.float64)
+        for k in keys
+    ]
+
+    t_of = lambda s: -np.log(max(s, 1e-20))
+    xr = np.asarray(xr0, np.float64)
+    den_1 = den_2 = None
+    h_1 = h_2 = None
+    for i in range(len(sigmas) - 1):
+        den = 0.9 * xr - 0.1
+        if sigmas[i + 1] == 0:
+            xr = den
+            break
+        h = t_of(sigmas[i + 1]) - t_of(sigmas[i])
+        h_eta = h * (eta + 1.0)
+        x_new = np.exp(-h_eta) * xr - np.expm1(-h_eta) * den
+        if den_2 is not None:
+            r0, r1 = h_1 / h, h_2 / h
+            d1_0 = (den - den_1) / r0
+            d1_1 = (den_1 - den_2) / r1
+            d1 = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1)
+            d2 = (d1_0 - d1_1) / (r0 + r1)
+            phi_2 = np.expm1(-h_eta) / h_eta + 1.0
+            phi_3 = phi_2 / h_eta - 0.5
+            x_new = x_new + phi_2 * d1 - phi_3 * d2
+        elif den_1 is not None:
+            r0 = h_1 / h
+            d = (den - den_1) / r0
+            phi_2 = np.expm1(-h_eta) / h_eta + 1.0
+            x_new = x_new + phi_2 * d
+        if eta:
+            x_new = x_new + (
+                noises[i] * sigmas[i + 1]
+                * np.sqrt(-np.expm1(-2.0 * h * eta)) * s_noise
+            )
+        den_2, den_1 = den_1, den
+        h_2, h_1 = h_1, h
+        xr = x_new
+
+    out = sample_dpmpp_3m_sde(
+        model, jnp.asarray(xr0), jnp.asarray(sigmas, jnp.float32),
+        rng=rng, eta=eta, s_noise=s_noise,
+    )
+    np.testing.assert_allclose(np.asarray(out), xr, rtol=2e-4, atol=2e-5)

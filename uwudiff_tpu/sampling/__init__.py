@@ -21,7 +21,13 @@ from uwudiff_tpu.sampling.euler import (
     sample_euler_ancestral_cfgpp,
 )
 from uwudiff_tpu.sampling.dpm2 import sample_dpm2, sample_dpm2_cfgpp
-from uwudiff_tpu.sampling.dpmpp import sample_dpmpp_2m, sample_dpmpp_2m_sde
+from uwudiff_tpu.sampling.dpmpp import (
+    sample_dpmpp_2m,
+    sample_dpmpp_2m_sde,
+    sample_dpmpp_2s_ancestral,
+    sample_dpmpp_sde,
+    sample_dpmpp_3m_sde,
+)
 from uwudiff_tpu.sampling.heun import sample_heun
 from uwudiff_tpu.sampling.lcm import LCMDenoiser, sample_lcm, get_sigmas_lcm
 from uwudiff_tpu.sampling.unipc import sample_unipc
@@ -61,6 +67,9 @@ __all__ = [
     "sample_dpm2",
     "sample_dpm2_cfgpp",
     "sample_dpmpp_2m",
+    "sample_dpmpp_2s_ancestral",
+    "sample_dpmpp_sde",
+    "sample_dpmpp_3m_sde",
     "sample_dpmpp_2m_sde",
     "sample_heun",
     "LCMDenoiser",
