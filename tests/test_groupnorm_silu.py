@@ -116,36 +116,35 @@ def test_gradients_match_reference():
 
 
 def test_wide_channel_scoped_vmem_accounting():
-    """Regression: the [16,1024,1920] concat GN overflowed the 16MB
-    scoped-VMEM limit by 44KB on hardware at chunk=512 because the gate
-    only counted the bf16 in/out tiles. The chunk shrink must cut the
-    fp32 temps so the single-pass kernel's full footprint fits, and
-    wider tiles must route to the chunked-stats path."""
+    """Regression for THREE measured scoped-VMEM overflows: the concat
+    GN [.,1024,1920] hit 16.04M at chunk=512 (adapter13) AND 16.05M at
+    chunk=256 (sampler21 — chunk-independent, so chunk shrink is NOT a
+    fix), and [.,4096,640] hit 20.0M (adapter14). All three equal
+    2*(in+out) + onehot: Mosaic double-buffers the grid-mapped blocks.
+    Every shape Mosaic measured as overflowing must route to the
+    chunked-stats path; the shapes that historically compiled must
+    stay single-pass."""
     import uwudiff_tpu.ops.groupnorm_silu as gns
 
-    x = jnp.zeros((16, 32, 32, 1920), jnp.bfloat16)
-    assert fused_supported(x, 32)
-    # chunk shrinks for wide channels so fp32 temps stay bounded
+    # measured-overflow shapes -> chunked path (still fused_supported)
+    for shape in [(16, 32, 32, 1920), (32, 32, 32, 1920),
+                  (16, 64, 64, 640), (4, 64, 64, 1920)]:
+        x = jnp.zeros(shape, jnp.bfloat16)
+        assert fused_supported(x, 32), shape
+        assert not gns._tile_fits_vmem(x), shape
+        # the double-buffer model predicts each measured overflow
+        hw, c = shape[1] * shape[2], shape[3]
+        assert 4 * hw * c * 2 + c * 128 * 4 > gns._VMEM_TILE_BYTES
+    # historically-compiling single-pass shapes stay admitted
+    for shape in [(8, 64, 64, 320), (8, 32, 32, 1280), (8, 32, 32, 640),
+                  (8, 16, 16, 2560)]:
+        x = jnp.zeros(shape, jnp.bfloat16)
+        assert fused_supported(x, 32), shape
+        assert gns._tile_fits_vmem(x), shape
+    # chunk shrink still bounds the fp32 temps for wide channels
     chunk = gns._chunk_for(1024, 1920)
     assert chunk is not None and 2 * chunk * 1920 * 4 <= gns._CHUNK_TEMP_BYTES
     assert 1024 % chunk == 0  # halving preserves divisibility into hw
-    # with the shrunk chunk the full footprint fits -> single-pass kept
-    assert gns._tile_fits_vmem(x)
-    # the old accounting (in/out only, 7.5MB <= 8MB) admitted it at
-    # chunk=512 for a true 16.3MB footprint; the new gate would reject
-    # that combination
-    io = 2 * 1024 * 1920 * 2
-    assert io + 2 * 512 * 1920 * 4 + 1920 * 128 * 4 > gns._VMEM_TILE_BYTES
-    # wider tiles (1024px concat levels) still route to chunked stats
-    big = jnp.zeros((4, 64, 64, 1920), jnp.bfloat16)
-    assert fused_supported(big, 32)
-    assert not gns._tile_fits_vmem(big)
-    # [16,4096,640] overflowed the limit at 2x the io estimate
-    # (hw_logs/adapter14_cn_fusedgn.log): the io cap must keep any
-    # io > 8MB shape on the chunked path
-    mid = jnp.zeros((16, 64, 64, 640), jnp.bfloat16)
-    assert fused_supported(mid, 32)
-    assert not gns._tile_fits_vmem(mid)
     # narrow channels keep the full 512 chunk
     assert gns._chunk_for(4096, 320) == 512
 

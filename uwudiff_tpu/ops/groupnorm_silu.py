@@ -34,20 +34,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["group_norm_silu", "group_norm_silu_reference", "fused_supported"]
 
-# Scoped-VMEM budgets for the single-pass kernel. Mosaic's stack
-# allocator is not modelable per-kernel — two measured overflows
-# behaved differently: [16,1024,1920] used ~(io + temps + onehot)
-# (16.04M at chunk=512, hw_logs/adapter13_bench.log), while
-# [16,4096,640] used ~2x io (20.0M vs a 13.4M estimate,
-# hw_logs/adapter14_cn_fusedgn.log — more row chunks seem to trigger
-# deeper buffering). So the gate is doubly conservative: the bf16
-# in+out tiles alone must fit _IO_TILE_BYTES (the bound every
-# historically-compiling config satisfied) AND the full estimate
-# (io + fp32 chunk temps + lane-padded onehot) must fit
-# _VMEM_TILE_BYTES; the chunk shrink below keeps wide-channel temps
-# small enough that admitted shapes stay well under the 16MB limit.
-_IO_TILE_BYTES = 8 * 1024 * 1024
-_VMEM_TILE_BYTES = 13 * 1024 * 1024
+# Scoped-VMEM budget for the single-pass kernel, calibrated against
+# Mosaic's OWN reported stack allocations. Three hardware measurements
+# pin the model: [16,1024,1920] -> 16.04M at chunk=512
+# (hw_logs/adapter13_bench.log), [32,1024,1920] -> 16.05M at chunk=256
+# (hw_logs/sampler21_scaling_sd15.log — chunk-INDEPENDENT), and
+# [16,4096,640] -> 20.0M (hw_logs/adapter14_cn_fusedgn.log). All three
+# equal 2*(in_tile + out_tile) + lane-padded onehot + ~0.1M: Mosaic
+# DOUBLE-BUFFERS the grid-mapped in/out blocks for pipelining, and the
+# fori_loop chunk temporaries are stack-reused (they never show up).
+# The gate therefore charges 2x io + onehot + slack against the 16MiB
+# scoped limit; _VMEM_TILE_BYTES leaves 0.5MiB of margin for the
+# gamma/beta blocks and small temps.
+_VMEM_TILE_BYTES = int(15.5 * 1024 * 1024)
 # Cap on the in-kernel fp32 row-chunk temporaries (2 x chunk x C x 4B);
 # the chunk size halves until under this.
 _CHUNK_TEMP_BYTES = 4 * 1024 * 1024
@@ -86,20 +85,19 @@ def _chunk_for(hw: int, c: int = 1) -> int | None:
 
 
 def _tile_fits_vmem(x) -> bool:
-    """True when the single-pass kernel's FULL scoped-VMEM footprint
-    (in+out tiles + fp32 chunk temps + lane-padded onehot) fits the
-    budget; bigger tiles take the chunked-stats kernel."""
+    """True when the single-pass kernel's scoped-VMEM footprint —
+    DOUBLE-BUFFERED in+out tiles plus the lane-padded onehot (the
+    measured model, see the budget comment above) — fits the budget;
+    bigger tiles take the chunked-stats kernel."""
     c = x.shape[-1]
     hw = 1
     for d in x.shape[1:-1]:
         hw *= d
-    chunk = _chunk_for(hw, c)
-    if chunk is None:
+    if _chunk_for(hw, c) is None:
         return False
-    io = 2 * hw * c * x.dtype.itemsize
-    temps = 2 * chunk * c * 4
+    pipelined_io = 2 * 2 * hw * c * x.dtype.itemsize  # 2 buffers each
     onehot = c * 128 * 4  # [C, G] indicator, G lane-padded to 128
-    return io <= _IO_TILE_BYTES and io + temps + onehot <= _VMEM_TILE_BYTES
+    return pipelined_io + onehot <= _VMEM_TILE_BYTES
 
 
 def fused_supported(x, groups: int) -> bool:
