@@ -179,6 +179,10 @@ def bench_sampler():
         KDiffusionDenoiser,
         sample_dpm2,
         sample_dpmpp_2m,
+        sample_dpmpp_2m_sde,
+        sample_dpmpp_2s_ancestral,
+        sample_dpmpp_3m_sde,
+        sample_dpmpp_sde,
         sample_euler_ancestral,
         sample_heun,
         sample_unipc,
@@ -188,6 +192,10 @@ def bench_sampler():
         "euler": sample_euler_ancestral,
         "dpm2": sample_dpm2,
         "dpmpp_2m": sample_dpmpp_2m,
+        "dpmpp_2m_sde": sample_dpmpp_2m_sde,
+        "dpmpp_sde": sample_dpmpp_sde,
+        "dpmpp_2s_ancestral": sample_dpmpp_2s_ancestral,
+        "dpmpp_3m_sde": sample_dpmpp_3m_sde,
         "heun": sample_heun,
         "unipc": sample_unipc,
     }
