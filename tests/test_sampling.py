@@ -1240,3 +1240,72 @@ def test_dpmpp_3m_sde_matches_kdiffusion_recurrence(sched, eta):
         rng=rng, eta=eta, s_noise=s_noise,
     )
     np.testing.assert_allclose(np.asarray(out), xr, rtol=2e-4, atol=2e-5)
+
+
+def test_exponential_and_polyexponential_sigmas():
+    from uwudiff_tpu.sampling import exponential_sigmas, polyexponential_sigmas
+
+    sig = exponential_sigmas(10, 0.03, 14.6)
+    assert sig.shape == (11,)
+    assert sig[-1] == 0.0
+    np.testing.assert_allclose(sig[0], 14.6, rtol=1e-6)
+    np.testing.assert_allclose(sig[-2], 0.03, rtol=1e-6)
+    # evenly spaced in log-sigma
+    logs = np.log(sig[:-1])
+    np.testing.assert_allclose(np.diff(logs), np.diff(logs)[0], rtol=1e-5)
+    # rho=1 polyexponential IS exponential
+    np.testing.assert_allclose(
+        polyexponential_sigmas(10, 0.03, 14.6, rho=1.0), sig, rtol=1e-6
+    )
+    # rho>1 spends more of the ladder at low noise: every interior
+    # sigma is below the exponential grid's at the same index
+    poly = polyexponential_sigmas(10, 0.03, 14.6, rho=2.0)
+    assert (poly[1:-2] < sig[1:-2]).all()
+    assert (np.diff(poly[:-1]) < 0).all()
+
+
+def test_beta_sigmas():
+    from scipy.stats import beta as beta_dist
+
+    from uwudiff_tpu.diffusion import NoiseSchedule
+    from uwudiff_tpu.sampling import beta_sigmas
+
+    sig = beta_sigmas(10, 0.03, 14.6)
+    assert sig.shape == (11,)
+    assert sig[-1] == 0.0
+    np.testing.assert_allclose(sig[0], 14.6, rtol=1e-5)  # ppf(1) = 1
+    assert (np.diff(sig[:-1]) < 0).all()
+    assert (sig[:-1] >= 0.03 - 1e-6).all() and (sig[:-1] <= 14.6 + 1e-4).all()
+    # the quantiles really are Beta(0.6, 0.6) quantiles: invert one
+    frac = np.log(sig[3] / 0.03) / np.log(14.6 / 0.03)
+    ts = 1.0 - np.linspace(0.0, 1.0, 10, endpoint=False)
+    np.testing.assert_allclose(
+        beta_dist.cdf(frac, 0.6, 0.6), ts[3], atol=1e-5
+    )
+    # schedule-indexed form picks from the discrete trained table
+    sched = NoiseSchedule.sd15()
+    sig_d = beta_sigmas(10, schedule=sched)
+    table = np.asarray(sched.sigmas)
+    assert all(s in table for s in sig_d[:-1])
+    np.testing.assert_allclose(sig_d[0], table[-1], rtol=1e-6)
+
+
+def test_ays_sigmas():
+    from uwudiff_tpu.sampling import ays_sigmas
+    from uwudiff_tpu.sampling.get_sigmas import _AYS_TABLES
+
+    for model in ("sd15", "sdxl"):
+        sig = ays_sigmas(10, model)
+        assert sig.shape == (12,)
+        assert sig[-1] == 0.0
+        np.testing.assert_allclose(
+            sig[:-1], np.asarray(_AYS_TABLES[model], np.float32), rtol=1e-6
+        )
+    # resampled count keeps the endpoints and monotonicity
+    sig20 = ays_sigmas(20, "sdxl")
+    assert sig20.shape == (22,)
+    np.testing.assert_allclose(sig20[0], 14.615, rtol=1e-5)
+    np.testing.assert_allclose(sig20[-2], 0.029, rtol=1e-4)
+    assert (np.diff(sig20[:-1]) < 0).all()
+    with pytest.raises(KeyError):
+        ays_sigmas(10, "nope")

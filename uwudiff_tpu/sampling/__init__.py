@@ -15,6 +15,10 @@ from uwudiff_tpu.sampling.get_sigmas import (
     shift_time,
     dynamic_shift_time,
     mu_for_image_seq_len,
+    exponential_sigmas,
+    polyexponential_sigmas,
+    beta_sigmas,
+    ays_sigmas,
 )
 from uwudiff_tpu.sampling.euler import (
     sample_euler_ancestral,
@@ -55,6 +59,10 @@ __all__ = [
     "denoiser_for_loss",
     "append_dims",
     "get_sigmas_for_rf",
+    "exponential_sigmas",
+    "polyexponential_sigmas",
+    "beta_sigmas",
+    "ays_sigmas",
     "karras_sigmas",
     "uniform_time",
     "sigmoid_time",

@@ -23,6 +23,10 @@ __all__ = [
     "dynamic_shift_time",
     "mu_for_image_seq_len",
     "karras_sigmas",
+    "exponential_sigmas",
+    "polyexponential_sigmas",
+    "beta_sigmas",
+    "ays_sigmas",
 ]
 
 # The RF forward process x_t = (1 - t) x0 + t n identifies t with the
@@ -169,3 +173,92 @@ def karras_sigmas(
     inv_rho_max = sigma_max ** (1 / rho)
     sigmas = (inv_rho_max + ramp * (inv_rho_min - inv_rho_max)) ** rho
     return np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+
+def exponential_sigmas(
+    num_steps: int, sigma_min: float = 0.002, sigma_max: float = 80.0
+) -> np.ndarray:
+    """Log-linear (k-diffusion ``get_sigmas_exponential``) grid:
+    ``num_steps`` sigmas evenly spaced in log-sigma, descending,
+    terminal 0 appended."""
+    sigmas = np.exp(
+        np.linspace(np.log(sigma_max), np.log(sigma_min), num_steps)
+    )
+    return np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+
+def polyexponential_sigmas(
+    num_steps: int,
+    sigma_min: float = 0.002,
+    sigma_max: float = 80.0,
+    rho: float = 1.0,
+) -> np.ndarray:
+    """Polynomial-in-log-sigma (k-diffusion ``get_sigmas_
+    polyexponential``): the unit ramp raised to ``rho`` before the
+    log-space interpolation — ``rho > 1`` spends more steps at low
+    noise, ``rho = 1`` is :func:`exponential_sigmas` exactly."""
+    ramp = np.linspace(1.0, 0.0, num_steps) ** rho
+    sigmas = np.exp(
+        ramp * (np.log(sigma_max) - np.log(sigma_min)) + np.log(sigma_min)
+    )
+    return np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+
+def beta_sigmas(
+    num_steps: int,
+    sigma_min: float = 0.002,
+    sigma_max: float = 80.0,
+    alpha: float = 0.6,
+    beta: float = 0.6,
+    schedule=None,
+) -> np.ndarray:
+    """Beta-distribution timestep schedule ("Beta Sampling is All You
+    Need", Lee et al. 2024; the ComfyUI ``beta`` scheduler): timestep
+    fractions are Beta(alpha, beta) quantiles of a uniform grid, which
+    clusters steps at BOTH ends of the noise range.  With ``schedule``
+    (a ``NoiseSchedule``) the fractions index its discrete trained
+    sigma table exactly like the community implementation; without one
+    they interpolate log-linearly between ``sigma_min``/``sigma_max``.
+    Descending, terminal 0 appended."""
+    from scipy.stats import beta as _beta_dist
+
+    ts = 1.0 - np.linspace(0.0, 1.0, num_steps, endpoint=False)
+    frac = _beta_dist.ppf(ts, alpha, beta)
+    if schedule is not None:
+        n = int(schedule.num_train_timesteps)
+        idx = np.rint(frac * (n - 1)).astype(np.int64)
+        table = np.asarray(schedule.sigmas)  # ascending, t=0..N-1
+        sigmas = table[idx]
+    else:
+        sigmas = np.exp(
+            frac * (np.log(sigma_max) - np.log(sigma_min))
+            + np.log(sigma_min)
+        )
+    return np.concatenate([sigmas, [0.0]]).astype(np.float32)
+
+
+# Align Your Steps (Sabour et al. 2024, NVIDIA) published 10-step
+# optimized ladders. Other step counts follow the community rule:
+# log-linear interpolation of the table over a unit ramp.
+_AYS_TABLES = {
+    "sd15": [
+        14.615, 6.475, 3.861, 2.697, 1.886, 1.396, 0.963, 0.652,
+        0.399, 0.152, 0.029,
+    ],
+    "sdxl": [
+        14.615, 6.315, 3.771, 2.181, 1.342, 0.862, 0.555, 0.380,
+        0.234, 0.113, 0.029,
+    ],
+}
+
+
+def ays_sigmas(num_steps: int = 10, model: str = "sdxl") -> np.ndarray:
+    """Align-Your-Steps ladder: the published KL-optimized 10-step
+    table for ``model`` in {"sd15", "sdxl"}, log-linearly resampled to
+    ``num_steps`` when it differs, descending, terminal 0 appended."""
+    table = np.asarray(_AYS_TABLES[model], np.float64)
+    if num_steps + 1 != len(table):
+        xp = np.linspace(0.0, 1.0, len(table))
+        xq = np.linspace(0.0, 1.0, num_steps + 1)
+        table = np.exp(np.interp(xq, xp, np.log(table)))
+    return np.concatenate([table, [0.0]]).astype(np.float32)
