@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Continuous-batching serving benchmark on one chip.
+
+Drives the REAL production path — `BatchingServer` over a
+`Txt2ImgPipeline.from_trainer` at SD-class scale: host tokenize + TE
+encode per group, the zero-retrace jitted CFG sampler, optional VAE
+decode to images, request futures. (The reference has no serving
+layer; this benchmarks the framework's own addition — README "Serving"
+section.)
+
+Measures, after a warmup compile pass:
+  - single-request closed-loop latency (one request, empty server)
+  - saturated throughput: SB_REQUESTS submitted at once, wall-clock
+    from first submit to last future -> imgs/sec, plus per-request
+    p50/p95 latency and the trace_count (MUST equal the warmup count —
+    zero steady-state retraces)
+
+Prints one JSON line:
+  {"metric": ..., "imgs_per_sec": N, "single_latency_s": N,
+   "p50_s": N, "p95_s": N, "trace_count": N, "compile_s": N, ...}
+
+Env knobs:
+  SB_MODEL=sd15|sdxl  SB_RES=512  SB_STEPS=16  SB_REQUESTS=32
+  SB_MAXBATCH=8  SB_WAIT=0.05  SB_VAE=1  SB_QUANT=0
+  UWU_PLATFORM=cpu to run off-chip (use tiny shapes).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uwudiff_tpu.utils import apply_platform_env
+
+apply_platform_env()
+
+# serving = no-remat inference: the fused-GN custom_vjp trade only
+# pays under remat (bench.py sets the same default for sd15)
+os.environ.setdefault("UWU_FUSED_GN", "0")
+
+MODEL = os.environ.get("SB_MODEL", "sd15")
+RES = int(os.environ.get("SB_RES", "512"))
+STEPS = int(os.environ.get("SB_STEPS", "16"))
+N_REQ = int(os.environ.get("SB_REQUESTS", "32"))
+MAX_BATCH = int(os.environ.get("SB_MAXBATCH", "8"))
+WAIT_S = float(os.environ.get("SB_WAIT", "0.05"))
+USE_VAE = os.environ.get("SB_VAE", "1") == "1"
+QUANT = os.environ.get("SB_QUANT", "0") == "1"
+
+
+def _enable_compile_cache():
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                os.pardir,
+                ".jax_cache",
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+def build_pipeline():
+    import jax.numpy as jnp
+
+    from uwudiff_tpu.data import DummyDataset
+    from uwudiff_tpu.diffusion import DiffusionLoss, NoiseSchedule
+    from uwudiff_tpu.models.text_encoders import ConcatTextEncoders
+    from uwudiff_tpu.models.unet import UNet2DConditionModel
+    from uwudiff_tpu.models.vae import AutoencoderKL
+    from uwudiff_tpu.serving import Txt2ImgPipeline
+    from uwudiff_tpu.training import DMTrainer
+
+    if MODEL == "sdxl":
+        te_cfg = [
+            ({"model_type": "clip", "preset": "clip_l", "dtype": "bfloat16"},
+             {"use_pooled": False, "layer_idx": -2}),
+            ({"model_type": "clip", "preset": "clip_bigg", "dtype": "bfloat16"},
+             {"use_pooled": True, "layer_idx": -2}),
+        ]
+        sched = NoiseSchedule.sdxl()
+    elif MODEL == "tiny":
+        te_cfg = [({"model_type": "clip", "preset": "tiny"},
+                   {"use_pooled": False, "layer_idx": -2})]
+        sched = NoiseSchedule.sdxl()
+    else:
+        te_cfg = [({"model_type": "clip", "preset": "clip_l", "dtype": "bfloat16"},
+                   {"use_pooled": False, "layer_idx": -2})]
+        sched = NoiseSchedule.sd15()
+
+    vae = None
+    if USE_VAE:
+        vae_preset = "tiny" if MODEL == "tiny" else (
+            "sdxl" if MODEL == "sdxl" else "sd15"
+        )
+        vae = AutoencoderKL.from_config(vae_preset, dtype=jnp.bfloat16)
+
+    trainer = DMTrainer(
+        model_config={
+            "unet": UNet2DConditionModel.from_config(
+                MODEL, dtype=jnp.bfloat16
+            ),
+            "te": ConcatTextEncoders.from_config(te_cfg),
+            "vae": vae,
+        },
+        loss_config=DiffusionLoss(schedule=sched),
+        optimizer="sgd",  # no moment state — serving only needs params
+        lr=1e-4,
+        use_warm_up=False,
+        seed=0,
+    )
+    # tiny setup batch: shapes at serve time come from the request
+    ds = DummyDataset(
+        sample_size=(64, 64, 3) if USE_VAE else (8, 8, 4), n_samples=2
+    )
+    ds.set_tokenizers(trainer.tokenizers)
+    trainer.setup(ds.collate([ds[0], ds[1]]))
+    return Txt2ImgPipeline.from_trainer(trainer, quantize_weights=QUANT)
+
+
+def main():
+    _enable_compile_cache()
+
+    import numpy as np
+
+    from uwudiff_tpu.serving import BatchingServer, Request
+
+    t0 = time.time()
+    pipe = build_pipeline()
+    server = BatchingServer(
+        pipe, buckets=[(RES, RES)], max_batch=MAX_BATCH, max_wait_s=WAIT_S
+    ).start()
+
+    def req(i, n_steps=STEPS):
+        return Request(
+            prompt=f"a photo of test subject {i}, detailed",
+            neg_prompt="low quality",
+            width=RES,
+            height=RES,
+            num_steps=n_steps,
+            cfg_scale=5.0,
+            seed=i,
+        )
+
+    try:
+        # warmup: full batch (compiles sampler + VAE decode + TE encode
+        # at the serve signature) and a single (the bs=1 signature)
+        list(server.submit(req(i)) for i in range(MAX_BATCH))[-1].result()
+        server.submit(req(0)).result()
+        compile_s = time.time() - t0
+        warm_traces = pipe.trace_count
+
+        # single-request closed-loop latency (empty server)
+        t1 = time.time()
+        server.submit(req(99)).result()
+        single_latency_s = time.time() - t1
+
+        # saturated throughput: N_REQ requests offered at once
+        lat = {}
+        t2 = time.time()
+        futs = []
+        for i in range(N_REQ):
+            lat[i] = time.time()
+            futs.append(server.submit(req(i)))
+        done = []
+        for i, f in enumerate(futs):
+            f.result(timeout=3600)
+            done.append(time.time() - lat[i])
+        wall = time.time() - t2
+    finally:
+        server.stop()
+
+    lats = np.sort(np.asarray(done))
+    out = {
+        "metric": (
+            f"{MODEL} continuous-batching serving"
+            f" ({RES}x{RES}, {STEPS} steps, max_batch={MAX_BATCH}"
+            f"{', int8' if QUANT else ''}{', vae' if USE_VAE else ''})"
+        ),
+        "imgs_per_sec": round(N_REQ / wall, 3),
+        "single_latency_s": round(single_latency_s, 3),
+        "p50_s": round(float(lats[len(lats) // 2]), 3),
+        "p95_s": round(float(lats[int(len(lats) * 0.95)]), 3),
+        "requests": N_REQ,
+        "wall_s": round(wall, 2),
+        "compile_s": round(compile_s, 1),
+        "trace_count": pipe.trace_count,
+        "steady_state_retraces": pipe.trace_count - warm_traces,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
