@@ -46,7 +46,8 @@ def load_library() -> ctypes.CDLL:
             _BUILD_DIR.mkdir(parents=True, exist_ok=True)
             subprocess.run(
                 [
-                    "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                    "g++", "-O3", "-march=native", "-funroll-loops",
+                    "-shared", "-fPIC", "-std=c++17",
                     "-pthread", str(_SRC), "-o", str(_LIB_PATH),
                     "-ljpeg", "-lpng",
                 ],
