@@ -347,12 +347,16 @@ def bench_sampler():
                 )
                 return sampler(cfg_model, init, sigmas, rng=rng)
 
-            run(params, rng).block_until_ready()
+            jax.device_get(run(params, rng))  # compile + honest barrier
             t0 = time.perf_counter()
             reps = 3
             for i in range(reps):
                 out = run(params, jax.random.fold_in(rng, i))
-            out.block_until_ready()
+            # value-fetch sync (block_until_ready returns spuriously
+            # early over the tunnel — see the train-bench _sync note);
+            # the single execution stream serializes reps 1..N-1 before
+            # the fetched one
+            jax.device_get(out)
             dt = (time.perf_counter() - t0) / reps
             steps_per_sec = n_steps / dt
             imgs_per_sec = bs * n_steps / dt / n_steps
@@ -539,13 +543,26 @@ def main():
 
     trainer, batch = build_trainer_and_batch()
 
+    def _sync():
+        """Value-fetch device barrier. block_until_ready alone has
+        returned spuriously early over the axon tunnel TWICE now —
+        first on isolated ops (timing_probe, session 6), then inside
+        this very loop (bench22: every 10-step window 'finished' in
+        one step's wall time, 463% MFU). Fetching a VALUE produced by
+        the newest donated state forces the whole step chain: each
+        train step is one executable, so any output leaf of step N
+        transitively requires steps 1..N."""
+        leaves = jax.tree_util.tree_leaves(trainer.state.params)
+        jax.device_get(min(leaves, key=lambda l: l.size))
+        jax.block_until_ready(trainer.state.params)
+
     # compile + warmup
     t0 = time.perf_counter()
     trainer.train_step(batch)
-    jax.block_until_ready(trainer.state.params)
+    _sync()
     compile_s = time.perf_counter() - t0
     trainer.train_step(batch)
-    jax.block_until_ready(trainer.state.params)
+    _sync()
 
     # variance-aware timing: TRIALS independent windows of STEPS steps;
     # the headline value is the median window (run-to-run spread on this
@@ -556,7 +573,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(STEPS):
             metrics, _ = trainer.train_step(batch)
-        jax.block_until_ready(trainer.state.params)
+        _sync()
         window_dts.append((time.perf_counter() - t0) / STEPS)
     dt = float(np.median(window_dts))
 

@@ -180,19 +180,30 @@ def main():
         mode = mode.strip()
         try:
             trainer, batch = _build(mode)
+
+            def _sync(trainer=trainer):
+                # value-fetch barrier: block_until_ready alone has
+                # returned spuriously early over the axon tunnel
+                # (bench22 measured 10-step windows in one step's wall
+                # time) — fetching a leaf of the newest donated state
+                # forces the whole chain
+                leaves = jax.tree_util.tree_leaves(trainer.state.params)
+                jax.device_get(min(leaves, key=lambda l: l.size))
+                jax.block_until_ready(trainer.state.params)
+
             t0 = time.perf_counter()
             trainer.train_step(batch)
-            jax.block_until_ready(trainer.state.params)
+            _sync()
             compile_s = time.perf_counter() - t0
             trainer.train_step(batch)
-            jax.block_until_ready(trainer.state.params)
+            _sync()
 
             window_dts = []
             for _ in range(TRIALS):
                 t0 = time.perf_counter()
                 for _ in range(STEPS):
                     metrics, _ = trainer.train_step(batch)
-                jax.block_until_ready(trainer.state.params)
+                _sync()
                 window_dts.append((time.perf_counter() - t0) / STEPS)
             dt = float(np.median(window_dts))
 
