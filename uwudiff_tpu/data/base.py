@@ -71,6 +71,10 @@ class UwUBaseDataset:
             out["ip_embeds"] = np.stack(
                 [x["ip_embed"] for x in batch]
             ).astype(np.float32)
+        if "loss_mask" in batch[0]:  # masked loss ([H, W] in [0, 1])
+            out["loss_mask"] = np.stack(
+                [x["loss_mask"] for x in batch]
+            ).astype(np.float32)
         return out
 
 
@@ -95,6 +99,8 @@ class DummyDataset(UwUBaseDataset):
         control_size: tuple[int, ...] | None = None,
         # IP-Adapter fixtures: width of the per-item image embedding
         ip_embed_dim: int | None = None,
+        # masked-loss fixtures: emit a random binary [H, W] loss_mask
+        with_loss_mask: bool = False,
         **kwargs,
     ):
         self.sample_size = tuple(sample_size)
@@ -131,6 +137,14 @@ class DummyDataset(UwUBaseDataset):
             if ip_embed_dim
             else None
         )
+        self.loss_masks = (
+            [
+                (rng.random(self.sample_size[:2]) > 0.5).astype(np.float32)
+                for _ in range(n_samples)
+            ]
+            if with_loss_mask
+            else None
+        )
 
     def __len__(self):
         return len(self.samples)
@@ -154,6 +168,8 @@ class DummyDataset(UwUBaseDataset):
             item["control_cond"] = self.controls[index]
         if self.ip_embeds is not None:
             item["ip_embed"] = self.ip_embeds[index]
+        if self.loss_masks is not None:
+            item["loss_mask"] = self.loss_masks[index]
         return item
 
 

@@ -38,6 +38,12 @@ class LocalImageDataset(UwUBaseDataset):
         keep_tokens: int = 0,
         tag_dropout: float = 0.0,
         caption_seed: int | None = None,
+        # masked loss (community staple): per-image [H, W] masks in
+        # [0, 1] restricting the training loss to the subject.
+        # mask_dir: `<mask_dir>/<image stem>.png` grayscale (missing
+        # file -> all-ones); alpha_mask: the image's own alpha channel
+        mask_dir: str | None = None,
+        alpha_mask: bool = False,
     ):
         self.image_paths = list(image_paths)
         self.image_size = tuple(image_size)
@@ -49,6 +55,8 @@ class LocalImageDataset(UwUBaseDataset):
         self.keep_tokens = keep_tokens
         self.tag_dropout = tag_dropout
         self.caption_seed = caption_seed
+        self.mask_dir = mask_dir
+        self.alpha_mask = alpha_mask
 
     def __len__(self):
         return len(self.image_paths)
@@ -75,6 +83,34 @@ class LocalImageDataset(UwUBaseDataset):
     def _caption_for(self, index: int) -> str:
         return self.caption
 
+    def _mask_for(self, index: int):
+        """[H, W] float32 loss mask in [0, 1] through the SAME
+        aspect-fill + center-crop transform as the image (bicubic on
+        the soft mask, clipped), or None when masking is off."""
+        if self.mask_dir is None and not self.alpha_mask:
+            return None
+        from PIL import Image
+
+        from uwudiff_tpu.data.utils import resize_and_crop_image
+
+        path = Path(self.image_paths[index])
+        m = None
+        if self.mask_dir is not None:
+            mp = Path(self.mask_dir) / (path.stem + ".png")
+            if mp.exists():
+                m = Image.open(mp).convert("L")
+        elif self.alpha_mask:
+            img = Image.open(path)
+            if "A" in img.getbands():
+                m = img.getchannel("A")
+        w, h = self.image_size
+        if m is None:  # missing mask -> train on the whole image
+            return np.ones((h, w), np.float32)
+        m = resize_and_crop_image(m, self.image_size)
+        return np.clip(
+            np.asarray(m, np.float32) / 255.0, 0.0, 1.0
+        )
+
     def __getitem__(self, index: int) -> dict:
         sample = self._load_image(self.image_paths[index])
         caption = self._caption_for(index)
@@ -92,7 +128,7 @@ class LocalImageDataset(UwUBaseDataset):
                 tag_dropout=self.tag_dropout,
             )
         w, h = self.image_size
-        return {
+        item = {
             "sample": sample,
             "caption": caption,
             "tokenizer_out": [
@@ -101,6 +137,10 @@ class LocalImageDataset(UwUBaseDataset):
             ],
             "add_time_ids": np.asarray([h, w, 0, 0, h, w], dtype=np.float32),
         }
+        mask = self._mask_for(index)
+        if mask is not None:
+            item["loss_mask"] = mask
+        return item
 
 
 class LocalImageDatasetFromFolder(LocalImageDataset):

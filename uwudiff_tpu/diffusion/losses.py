@@ -208,8 +208,23 @@ class DiffusionLoss:
         snr_t = jnp.minimum(self.schedule.snr_for_sigma(sigmas), 1000.0)
         return losses / jnp.sqrt(snr_t)
 
-    def _reduce_per_sample(self, losses):
-        return losses.reshape(losses.shape[0], -1).mean(axis=1)
+    def _reduce_per_sample(self, losses, loss_mask=None):
+        """Per-sample mean; with ``loss_mask`` ([B, h, w] or
+        [B, h, w, 1], latent-sized, values in [0, 1]) the masked mean
+        ``Σ m·l / Σ m`` — the community "masked loss" staple (train
+        only where the subject is): a mask value scales the
+        contribution of its pixel, and the normalization keeps the
+        per-sample loss scale independent of mask area."""
+        b = losses.shape[0]
+        if loss_mask is None:
+            return losses.reshape(b, -1).mean(axis=1)
+        m = loss_mask.astype(losses.dtype)
+        while m.ndim < losses.ndim:
+            m = m[..., None]
+        m = jnp.broadcast_to(m, losses.shape)
+        num = (losses * m).reshape(b, -1).sum(axis=1)
+        den = jnp.maximum(m.reshape(b, -1).sum(axis=1), 1e-6)
+        return num / den
 
     # --- main entry (``loss/diffusion.py:169-193``) ---
 
@@ -248,6 +263,7 @@ class DiffusionLoss:
         x: jnp.ndarray,
         model_fn: ModelFn,
         sample_weight: jnp.ndarray | None = None,
+        loss_mask: jnp.ndarray | None = None,
         **model_kwargs: Any,
     ) -> tuple[jnp.ndarray, DiffusionLossAux]:
         rng_t, rng_n = jax.random.split(rng)
@@ -267,7 +283,7 @@ class DiffusionLoss:
             noisy_latent, model_output, timesteps, sigmas
         )
         target = self.get_target(x, noise, timesteps)
-        losses = self._reduce_per_sample(self.loss_fn(pred, target))
+        losses = self._reduce_per_sample(self.loss_fn(pred, target), loss_mask)
         if self.use_snr_weight:
             losses = self.apply_snr_weight(losses, sigmas)
         if self.use_debiased_estimation:
@@ -352,6 +368,7 @@ class RectifiedFlowLoss(DiffusionLoss):
         x: jnp.ndarray,
         model_fn: ModelFn,
         sample_weight: jnp.ndarray | None = None,
+        loss_mask: jnp.ndarray | None = None,
         **model_kwargs: Any,
     ) -> tuple[jnp.ndarray, DiffusionLossAux]:
         rng_t, rng_n = jax.random.split(rng)
@@ -366,7 +383,7 @@ class RectifiedFlowLoss(DiffusionLoss):
             noisy_latent, model_output, sigmas
         )
         pred = pred_eps - pred_x0
-        losses = self._reduce_per_sample(self.loss_fn(pred, target))
+        losses = self._reduce_per_sample(self.loss_fn(pred, target), loss_mask)
         aux = DiffusionLossAux(
             losses=losses,
             timesteps=timesteps,
@@ -408,6 +425,7 @@ class NNWeightedRFLoss(RectifiedFlowLoss):
         model_fn: ModelFn,
         loss_pred_fn: ModelFn | None = None,
         sample_weight: jnp.ndarray | None = None,
+        loss_mask: jnp.ndarray | None = None,
         **model_kwargs: Any,
     ) -> tuple[jnp.ndarray, NNWeightedRFLossAux]:
         assert loss_pred_fn is not None, "NNWeightedRFLoss needs loss_pred_fn"
@@ -423,7 +441,9 @@ class NNWeightedRFLoss(RectifiedFlowLoss):
             noisy_latent, model_output, sigmas
         )
         pred = pred_eps - pred_x0
-        rf_losses = self._reduce_per_sample(self.loss_fn(pred, target))
+        rf_losses = self._reduce_per_sample(
+            self.loss_fn(pred, target), loss_mask
+        )
 
         # Loss predictor regresses log of the (detached) per-sample loss.
         log_ls_pred = loss_pred_fn(noisy_latent, sigmas, **model_kwargs).reshape(
@@ -508,6 +528,7 @@ class EDMLoss:
         x: jnp.ndarray,
         model_fn: ModelFn,
         sample_weight: jnp.ndarray | None = None,
+        loss_mask: jnp.ndarray | None = None,
         **model_kwargs: Any,
     ) -> tuple[jnp.ndarray, DiffusionLossAux]:
         rng_t, rng_n = jax.random.split(rng)
@@ -521,10 +542,8 @@ class EDMLoss:
         denoised = c_skip * x_noisy + c_out * f_out
 
         weight = (sig**2 + self.sigma_data**2) / (sig * self.sigma_data) ** 2
-        losses = (
-            (weight * self.loss_fn(denoised, x))
-            .reshape(x.shape[0], -1)
-            .mean(axis=1)
+        losses = DiffusionLoss._reduce_per_sample(
+            self, weight * self.loss_fn(denoised, x), loss_mask
         )
         # lognormal CDF -> uniform [0, 1000) axis for the val-loss plot
         z = (jnp.log(sigmas) - self.p_mean) / self.p_std

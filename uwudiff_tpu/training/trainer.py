@@ -68,6 +68,21 @@ def _maybe_instantiate_module(node):
     return node, None
 
 
+def _pool_mask_to(mask, hw):
+    """[B, H, W] or [B, H, W, 1] loss mask -> [B, h, w] at the latent
+    grid. Pixel-sized masks average-pool (exact when H, W are integer
+    multiples — the VAE-downscale case); anything else resizes
+    bilinearly. Latent-sized masks pass through."""
+    m = mask[..., 0] if mask.ndim == 4 else mask
+    b, mh, mw = m.shape
+    h, w = int(hw[0]), int(hw[1])
+    if (mh, mw) == (h, w):
+        return m
+    if mh % h == 0 and mw % w == 0:
+        return m.reshape(b, h, mh // h, w, mw // w).mean(axis=(2, 4))
+    return jax.image.resize(m, (b, h, w), method="bilinear")
+
+
 def _strip_non_arrays(batch: dict) -> dict:
     """Drop host-only fields (captions etc.) before device_put."""
     out = {}
@@ -583,12 +598,22 @@ class DMTrainer:
                 def model_fn(noisy, t):
                     return unet_fn(noisy, t, ctx, mask, added_cond)
 
+        # masked loss (community staple): a [B, H, W(, 1)] pixel- or
+        # latent-space mask restricts the loss to the masked region;
+        # pixel-sized masks are average-pooled to the latent grid here
+        # so the loss sees mask fractions, not a hard resample
+        loss_mask = batch.get("loss_mask")
+        if loss_mask is not None:
+            loss_mask = _pool_mask_to(
+                jnp.asarray(loss_mask), x.shape[1:3]
+            )
         loss, aux = self.loss(
             rng_loss, x, model_fn,
             # DreamBooth prior preservation: per-sample weights emitted
             # by PriorPreservationDataset (1 on instance rows, w on
             # class-prior rows) — weighted mean inside the loss
             sample_weight=batch.get("loss_weight"),
+            loss_mask=loss_mask,
         )
         if moe_cell:
             # MoE routing regularizers (coefficient-scaled in MoEMlp)
