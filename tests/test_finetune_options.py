@@ -4,6 +4,7 @@ zero-terminal-SNR schedule, CFG rescale."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from uwudiff_tpu.diffusion import DiffusionLoss, NoiseSchedule
 from uwudiff_tpu.sampling.cfg import apply_cfg_rescale
@@ -162,3 +163,37 @@ def test_cfg_rescale_through_sampling():
     out7 = run(0.7)
     assert np.isfinite(np.asarray(out7)).all()
     assert float(jnp.abs(out7 - out0).max()) > 1e-6
+
+
+def test_timestep_range_restriction():
+    """kohya-style min/max timestep: sampled timesteps stay inside
+    [min, max) and the loss still runs end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    from uwudiff_tpu.diffusion import DiffusionLoss, NoiseSchedule
+
+    loss = DiffusionLoss(
+        schedule=NoiseSchedule.ddpm(num_train_timesteps=100),
+        min_timestep=20,
+        max_timestep=60,
+    )
+    ts, sig = loss.sample_timesteps_and_sigmas(jax.random.PRNGKey(0), 512)
+    ts = np.asarray(ts)
+    assert ts.min() >= 20 and ts.max() < 60
+    sched = loss.schedule
+    np.testing.assert_allclose(
+        np.asarray(sig), np.asarray(sched.sigma_for_timestep(jnp.asarray(ts)))
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    val, aux = loss(jax.random.PRNGKey(2), x, lambda z, t, **kw: z * 0.1)
+    assert np.isfinite(float(val))
+    t_used = np.asarray(aux.timesteps)
+    assert t_used.min() >= 20 and t_used.max() < 60
+
+    with pytest.raises(AssertionError):
+        DiffusionLoss(
+            schedule=NoiseSchedule.ddpm(num_train_timesteps=100),
+            min_timestep=80,
+            max_timestep=70,
+        ).sample_timesteps_and_sigmas(jax.random.PRNGKey(0), 4)

@@ -110,6 +110,12 @@ class DiffusionLoss:
     # noise + gamma * fresh_noise while the target keeps the original
     # noise — a regularizer against sampler-step error accumulation
     input_perturbation: float = 0.0
+    # timestep range restriction (kohya-style min/max timestep):
+    # uniform over [min_timestep, max_timestep) instead of [0, N) —
+    # specialize a model to a noise band (refiner-style splits,
+    # high-noise structure training). max_timestep=None means N.
+    min_timestep: int = 0
+    max_timestep: int | None = None
 
     def __post_init__(self):
         if self.prediction_type is None:
@@ -130,9 +136,16 @@ class DiffusionLoss:
     # --- timestep/sigma sampling (``loss/diffusion.py:64-72``) ---
 
     def sample_timesteps_and_sigmas(self, rng, batch_size: int):
-        timesteps = jax.random.randint(
-            rng, (batch_size,), 0, self.schedule.num_train_timesteps
+        lo = self.min_timestep
+        hi = (
+            self.schedule.num_train_timesteps
+            if self.max_timestep is None
+            else self.max_timestep
         )
+        assert 0 <= lo < hi <= self.schedule.num_train_timesteps, (
+            f"bad timestep range [{lo}, {hi})"
+        )
+        timesteps = jax.random.randint(rng, (batch_size,), lo, hi)
         sigmas = self.schedule.sigma_for_timestep(timesteps)
         return timesteps, sigmas
 
