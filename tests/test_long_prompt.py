@@ -315,3 +315,116 @@ def test_serving_pipeline_long_prompt_end_to_end():
         seed=0, return_latents=True, long_prompt=True,
     )
     assert lat2.shape == (1, 4, 4, 4)
+
+
+# ---- train-time long prompts (dataset-side windows) -----------------
+
+
+def test_dataset_long_prompt_chunks_shapes():
+    from uwudiff_tpu.data import DummyDataset
+    from uwudiff_tpu.models.tokenizers import SimpleTokenizer
+
+    tok = SimpleTokenizer(model_max_length=16)
+    ds = DummyDataset(
+        sample_size=(8, 8, 4), n_samples=4, tokenizers=[tok],
+        caption="word " * 40, long_prompt_chunks=3,
+    )
+    item = ds[0]
+    assert item["tokenizer_out"][0]["input_ids"].shape == (1, 3 * 16)
+    batch = ds.collate([ds[0], ds[1]])
+    assert batch["tokenizer_outputs"][0]["input_ids"].shape == (2, 48)
+    assert batch["tokenizer_outputs"][0]["attention_mask"].shape == (2, 48)
+
+
+def test_trainer_long_prompt_first_window_consistency():
+    """Window 0 of a long-prompt encode equals the single-window encode
+    of the same (short) caption — CLIP windows encode independently."""
+    import jax
+
+    from uwudiff_tpu.data import DummyDataset
+    from uwudiff_tpu.models.text_encoders import ConcatTextEncoders
+    from uwudiff_tpu.models.unet import UNet2DConditionModel
+    from uwudiff_tpu.training import DMTrainer
+
+    def build(chunks):
+        te = ConcatTextEncoders.from_config(
+            [({"model_type": "clip", "preset": "tiny"},
+              {"use_pooled": False, "layer_idx": -2})]
+        )
+        trainer = DMTrainer(
+            model_config={
+                "unet": UNet2DConditionModel.from_config("tiny"),
+                "te": te,
+                "vae": None,
+            },
+            lr=1e-4, use_warm_up=False, seed=0,
+        )
+        ds = DummyDataset(
+            sample_size=(16, 16, 4), n_samples=2,
+            caption="a short caption", long_prompt_chunks=chunks,
+        )
+        ds.set_tokenizers(trainer.tokenizers)
+        batch = ds.collate([ds[0], ds[1]])
+        trainer.setup(batch)
+        return trainer, batch
+
+    t2, b2 = build(2)
+    L = t2.tokenizers[0].model_max_length
+    assert b2["tokenizer_outputs"][0]["input_ids"].shape[1] == 2 * L
+
+    ctx2, _, _, _ = t2.te.apply(
+        {"params": t2.frozen["te"]}, b2["tokenizer_outputs"]
+    )[0], None, None, None
+    t1, b1 = build(None)
+    ctx1 = t1.te.apply(
+        {"params": t1.frozen["te"]}, b1["tokenizer_outputs"]
+    )[0]
+    # same init seed -> same TE params; window 0 must match exactly
+    np.testing.assert_allclose(
+        np.asarray(ctx2[:, :ctx1.shape[1]]), np.asarray(ctx1),
+        atol=1e-5,
+    )
+
+    # the full train step runs with the windowed batch (static shape)
+    metrics, _ = t2.train_step(b2)
+    assert np.isfinite(float(metrics["train/loss"]))
+
+
+def test_trainer_long_prompt_caption_dropout_tiles_empty():
+    """caption_dropout=1 with long-prompt batches must actually drop:
+    the tiled empty encoding matches training on ""-captioned data."""
+    import jax
+
+    from uwudiff_tpu.data import DummyDataset
+    from uwudiff_tpu.models.text_encoders import ConcatTextEncoders
+    from uwudiff_tpu.models.unet import UNet2DConditionModel
+    from uwudiff_tpu.training import DMTrainer
+
+    def build(caption, dropout):
+        te = ConcatTextEncoders.from_config(
+            [({"model_type": "clip", "preset": "tiny"},
+              {"use_pooled": False, "layer_idx": -2})]
+        )
+        trainer = DMTrainer(
+            model_config={
+                "unet": UNet2DConditionModel.from_config(
+                    "tiny", zero_init_stddev=-1.0
+                ),
+                "te": te,
+                "vae": None,
+            },
+            lr=1e-4, use_warm_up=False, seed=0,
+            caption_dropout=dropout,
+        )
+        ds = DummyDataset(
+            sample_size=(16, 16, 4), n_samples=2,
+            caption=caption, long_prompt_chunks=2,
+        )
+        ds.set_tokenizers(trainer.tokenizers)
+        return trainer, ds.collate([ds[0], ds[1]])
+
+    t_drop, b_drop = build("a long caption with many words", 1.0)
+    l_drop = float(t_drop.train_step(b_drop)[0]["train/loss"])
+    t_empty, b_empty = build("", 0.0)
+    l_empty = float(t_empty.train_step(b_empty)[0]["train/loss"])
+    np.testing.assert_allclose(l_drop, l_empty, rtol=1e-4)

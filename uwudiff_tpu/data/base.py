@@ -26,9 +26,40 @@ class UwUBaseDataset:
     """Base dataset with the canonical collate (``data/base.py:9-31``)."""
 
     tokenizers: Sequence = ()
+    # train-time long prompts: tokenize captions into this many
+    # A1111-style 77-token windows ([1, n*L] ids, models/long_prompt.py
+    # — ConcatTextEncoders folds the windows into the batch axis device
+    # side). None = plain single-window tokenization. The count is
+    # FIXED per dataset so every batch keeps one static shape.
+    long_prompt_chunks: int | None = None
 
     def set_tokenizers(self, tokenizers):
         self.tokenizers = list(tokenizers)
+
+    def _tokenize(self, caption: str) -> list[dict]:
+        """Per-item tokenizer outputs; honors ``long_prompt_chunks``."""
+        if self.long_prompt_chunks:
+            from uwudiff_tpu.models.long_prompt import (
+                _is_windowed,
+                tokenize_long,
+            )
+
+            outs = []
+            for tok in self.tokenizers:
+                if _is_windowed(tok):
+                    out, _w, _n = tokenize_long(
+                        tok, [caption], max_chunks=self.long_prompt_chunks
+                    )
+                    outs.append(out)
+                else:  # T5-style long-window tokenizers keep one window
+                    outs.append(
+                        tok(caption, padding="max_length", truncation=True)
+                    )
+            return outs
+        return [
+            tok(caption, padding="max_length", truncation=True)
+            for tok in self.tokenizers
+        ]
 
     def __len__(self) -> int:  # pragma: no cover - abstract
         raise NotImplementedError
@@ -101,8 +132,10 @@ class DummyDataset(UwUBaseDataset):
         ip_embed_dim: int | None = None,
         # masked-loss fixtures: emit a random binary [H, W] loss_mask
         with_loss_mask: bool = False,
+        long_prompt_chunks: int | None = None,
         **kwargs,
     ):
+        self.long_prompt_chunks = long_prompt_chunks
         self.sample_size = tuple(sample_size)
         rng = np.random.default_rng(seed)
         self.samples = [
@@ -155,10 +188,7 @@ class DummyDataset(UwUBaseDataset):
         item = {
             "sample": self.samples[index],
             "caption": self.caption,
-            "tokenizer_out": [
-                tok(self.caption, padding="max_length", truncation=True)
-                for tok in self.tokenizers
-            ],
+            "tokenizer_out": self._tokenize(self.caption),
             # org_h, org_w, crop_top, crop_left, target_h, target_w
             "add_time_ids": np.asarray([h, w, 0, 0, h, w], dtype=np.float32),
         }

@@ -79,10 +79,7 @@ class HfImageDataset(UwUBaseDataset):
         return {
             "sample": sample,
             "caption": caption,
-            "tokenizer_out": [
-                tok(caption, padding="max_length", truncation=True)
-                for tok in self.tokenizers
-            ],
+            "tokenizer_out": self._tokenize(caption),
             "add_time_ids": np.asarray([h, w, 0, 0, h, w], dtype=np.float32),
         }
 

@@ -44,6 +44,8 @@ class LocalImageDataset(UwUBaseDataset):
         # file -> all-ones); alpha_mask: the image's own alpha channel
         mask_dir: str | None = None,
         alpha_mask: bool = False,
+        # train-time long prompts: fixed window count (UwUBaseDataset)
+        long_prompt_chunks: int | None = None,
     ):
         self.image_paths = list(image_paths)
         self.image_size = tuple(image_size)
@@ -57,6 +59,7 @@ class LocalImageDataset(UwUBaseDataset):
         self.caption_seed = caption_seed
         self.mask_dir = mask_dir
         self.alpha_mask = alpha_mask
+        self.long_prompt_chunks = long_prompt_chunks
 
     def __len__(self):
         return len(self.image_paths)
@@ -131,10 +134,7 @@ class LocalImageDataset(UwUBaseDataset):
         item = {
             "sample": sample,
             "caption": caption,
-            "tokenizer_out": [
-                tok(caption, padding="max_length", truncation=True)
-                for tok in self.tokenizers
-            ],
+            "tokenizer_out": self._tokenize(caption),
             "add_time_ids": np.asarray([h, w, 0, 0, h, w], dtype=np.float32),
         }
         mask = self._mask_for(index)

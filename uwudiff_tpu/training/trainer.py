@@ -410,6 +410,17 @@ class DMTrainer:
                 {"params": frozen["te"]}, self._empty_tok
             )
             e_ctx = e_normed if self.te_use_normed_ctx else e_emb
+            if (
+                e_ctx.shape[1] != ctx.shape[1]
+                and ctx.shape[1] % e_ctx.shape[1] == 0
+            ):
+                # long-prompt batches ([B, n*L] windows): the empty
+                # encoding of n A1111 windows is n identical copies of
+                # the single empty window — tile instead of re-encoding
+                reps = ctx.shape[1] // e_ctx.shape[1]
+                e_ctx = jnp.tile(e_ctx, (1, reps, 1))
+                if e_mask is not None:
+                    e_mask = jnp.tile(e_mask, (1, reps))
             if e_ctx.shape[1:] == ctx.shape[1:]:
                 empty = (e_ctx, e_mask, e_pooled)
         if empty is not None:
