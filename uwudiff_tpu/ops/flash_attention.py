@@ -56,6 +56,10 @@ NEG_INF = -1e30
 BLOCK_TABLE: dict[tuple[int, int], tuple[int, int]] = {
     (1024, 1024): (1024, 1024),
     (4096, 4096): (1024, 1024),
+    # 16384-token 1024px sweep (hw_logs/flash_tune5.log): (1024, 1024)
+    # 150.3ms fwd+bwd vs the (512, 2048) defaults' 154.7ms; bk>=2048
+    # with bq=1024 fails VMEM at this seq
+    (16384, 16384): (1024, 1024),
 }
 
 
