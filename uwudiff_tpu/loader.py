@@ -40,6 +40,10 @@ class ModelLoadConfig:
     importer: str | None = None
     param_dtype: str | None = None
     to_freeze: bool = False
+    # single-file LDM/A1111 checkpoints bundle several text encoders;
+    # te_index picks which tower this module loads (SDXL: 0 = CLIP-L,
+    # 1 = OpenCLIP-bigG)
+    te_index: int = 0
     # strict=False keeps initialized values for params absent from the
     # checkpoint (IP-Adapter projections inside a pretrained UNet,
     # enlarged TI vocabs, new heads) instead of raising
@@ -84,6 +88,10 @@ def _auto_importer(module) -> str:
 
     if isinstance(module, MMDiT):
         return "mmdit"
+    from uwudiff_tpu.models.flux import Flux
+
+    if isinstance(module, Flux):
+        return "flux"
     return "npz"
 
 
@@ -116,6 +124,7 @@ def apply_load_config(
                 controlnet_key_map,
                 dit_key_map,
                 extract_state_dict,
+                flux_key_map,
                 import_params,
                 load_torch_state_dict,
                 mmdit_key_map,
@@ -128,12 +137,39 @@ def apply_load_config(
                 sd, cfg.state_dict_key, cfg.state_dict_prefix
             )
             importer = cfg.importer or _auto_importer(module)
+            from uwudiff_tpu.models.ldm_checkpoint import (
+                is_ldm_checkpoint,
+                ldm_to_diffusers,
+            )
+
+            if is_ldm_checkpoint(sd):
+                # single-file A1111/ComfyUI checkpoint: convert the
+                # component this module needs to diffusers naming
+                parts = ldm_to_diffusers(sd)
+                if importer in ("unet", "controlnet"):
+                    sd = parts["unet"]
+                elif importer == "vae":
+                    sd = parts["vae"]
+                elif importer == "clip":
+                    tes = parts.get("text_encoders", [])
+                    if cfg.te_index >= len(tes):
+                        raise ValueError(
+                            f"checkpoint has {len(tes)} text encoder(s); "
+                            f"te_index={cfg.te_index} out of range"
+                        )
+                    sd = tes[cfg.te_index]
+                else:
+                    raise ValueError(
+                        f"single-file LDM checkpoints carry unet/vae/clip "
+                        f"components; importer {importer!r} cannot load one"
+                    )
             key_map = {
                 "unet": unet_key_map,
                 "controlnet": controlnet_key_map,
                 "vae": vae_key_map,
                 "clip": clip_text_key_map,
                 "dit": dit_key_map,
+                "flux": flux_key_map,
                 # final_block (context_pre_only) resolves to torch index
                 # depth-1
                 "mmdit": functools.partial(

@@ -806,28 +806,33 @@ def export_params(
 
     def emit(our, torch_key, tr, w):
         w = np.asarray(w)
+        # np.astype(order='K') preserves the source's (transposed)
+        # memory layout, and safetensors.numpy silently serializes the
+        # RAW buffer of an F-contiguous array under its C-order shape —
+        # every emitted tensor must be C-contiguous or a user calling
+        # save_file(export_params(...)) writes corrupt weights.
         if isinstance(torch_key, (list, tuple)):  # fused concat -> split
             parts = np.split(w, len(torch_key), axis=-1)
             for tk, part in zip(torch_key, parts):
-                out[tk] = _inv_linear(part).astype(dtype)
+                out[tk] = np.ascontiguousarray(_inv_linear(part).astype(dtype))
             return
         if isinstance(tr, _SplitLinear):
             parts = pending.setdefault(torch_key, [None] * tr.n)
-            parts[tr.j] = tr.inverse_part(w).astype(dtype)
+            parts[tr.j] = np.ascontiguousarray(tr.inverse_part(w).astype(dtype))
             return
         if tr == "proj":
             tr = _t_conv if w.ndim == 4 else _t_linear
         if tr is _t_linear:
-            out[torch_key] = _inv_linear(w).astype(dtype)
+            out[torch_key] = np.ascontiguousarray(_inv_linear(w).astype(dtype))
         elif tr is _t_conv:
-            out[torch_key] = _inv_conv(w).astype(dtype)
+            out[torch_key] = np.ascontiguousarray(_inv_conv(w).astype(dtype))
         elif tr is _t_swap_halves_linear:
             # inverse of (swap output halves, transpose)
-            out[torch_key] = _swap_halves(_inv_linear(w)).astype(dtype)
+            out[torch_key] = np.ascontiguousarray(_swap_halves(_inv_linear(w)).astype(dtype))
         elif tr is _swap_halves:  # self-inverse
-            out[torch_key] = _swap_halves(w).astype(dtype)
+            out[torch_key] = np.ascontiguousarray(_swap_halves(w).astype(dtype))
         elif tr is _identity:
-            out[torch_key] = w.astype(dtype)
+            out[torch_key] = np.ascontiguousarray(w.astype(dtype))
         else:
             raise ValueError(
                 f"no inverse for transform {tr!r} of {our} -> {torch_key}"
