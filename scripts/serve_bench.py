@@ -126,6 +126,68 @@ def build_pipeline():
     return Txt2ImgPipeline.from_trainer(trainer, quantize_weights=QUANT)
 
 
+def phase_breakdown(pipe):
+    """One warmed batch, phase by phase with explicit syncs: where does
+    a request's latency actually go? (VERDICT r3: the 9.2s/request
+    pathology needed per-phase attribution.) Prints one JSON line."""
+    import jax
+    import numpy as np
+
+    from uwudiff_tpu.data.utils import vae_image_postprocess
+    from uwudiff_tpu.sampling.cfg import encode_cfg_inputs
+    from uwudiff_tpu.sampling.noise import expand_seeds
+
+    prompts = [f"a photo of test subject {i}, detailed"
+               for i in range(MAX_BATCH)]
+    negs = ["low quality"] * MAX_BATCH
+    t = {}
+    t0 = time.perf_counter()
+    enc = encode_cfg_inputs(prompts, negs, RES, RES, pipe.te)
+    jax.block_until_ready(enc)
+    t["te_encode_s"] = time.perf_counter() - t0
+
+    sigmas = pipe._sigma_cache.get(STEPS)
+    if sigmas is None:
+        sigmas = np.asarray(
+            pipe.schedule.sample_sigmas_descending(STEPS), np.float32
+        )
+    seeds = expand_seeds(0, MAX_BATCH)
+    key = (MAX_BATCH, RES, RES, STEPS, 5.0, 0.0)
+    fn = pipe._compiled_sampler(key)
+    # warm
+    jax.block_until_ready(fn(pipe.unet_params, enc, sigmas, seeds))
+    t0 = time.perf_counter()
+    latents = fn(pipe.unet_params, enc, sigmas, seeds)
+    jax.block_until_ready(latents)
+    t["sampler_s"] = time.perf_counter() - t0
+
+    if pipe.vae_decode_u8 is not None:
+        jax.block_until_ready(pipe.vae_decode_u8(latents))  # warm
+        t0 = time.perf_counter()
+        img_dev = pipe.vae_decode_u8(latents)
+        jax.block_until_ready(img_dev)
+        t["vae_decode_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        host = np.asarray(img_dev)
+        t["fetch_s"] = time.perf_counter() - t0
+        t["fetch_mb"] = round(host.nbytes / 1e6, 2)
+        t0 = time.perf_counter()
+        _ = [vae_image_postprocess(h) for h in host]
+        t["pil_s"] = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        _ = np.asarray(latents)
+        t["fetch_s"] = time.perf_counter() - t0
+    t = {k: (round(v, 4) if isinstance(v, float) else v)
+         for k, v in t.items()}
+    t["batch"] = MAX_BATCH
+    t["per_image_total_s"] = round(
+        sum(v for k, v in t.items()
+            if isinstance(v, float) and k.endswith("_s")) / MAX_BATCH, 4
+    )
+    print(json.dumps({"phases": t}), flush=True)
+
+
 def main():
     _enable_compile_cache()
 
@@ -135,6 +197,9 @@ def main():
 
     t0 = time.time()
     pipe = build_pipeline()
+    if os.environ.get("SB_PHASES", "0") == "1":
+        phase_breakdown(pipe)
+        return
     server = BatchingServer(
         pipe, buckets=[(RES, RES)], max_batch=MAX_BATCH, max_wait_s=WAIT_S
     ).start()

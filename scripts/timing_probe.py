@@ -41,8 +41,13 @@ def main():
     b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
     flops_one = 2 * n**3
 
+    fetch_tfs: list[float] = []  # chain fetch-implied TF/s (the verdict)
+
     def report(tag, dt, fl):
-        print(f"{tag:44s} {dt*1e3:10.3f} ms  {fl/dt/1e12:8.1f} TF/s")
+        tfs = fl / dt / 1e12
+        if "(fetch)" in tag:
+            fetch_tfs.append(tfs)
+        print(f"{tag:44s} {dt*1e3:10.3f} ms  {tfs:8.1f} TF/s")
 
     # 1. single huge matmul
     f1 = jax.jit(lambda a, b: a @ b)
@@ -128,6 +133,26 @@ def main():
     x.block_until_ready()
     dt = time.perf_counter() - t0
     report("donated loop x10 (block)", dt, flops_one * 10)
+
+    # ---- verdict + session marker (VERDICT r3 #8: every hardware
+    # number must trace to a probe that PASSED in the same session).
+    # PASS = every value-fetch-implied chain throughput is physically
+    # sane: above a dead-relay floor and at/below the chip's bf16 peak
+    # (a >peak reading is the bench22-style async-dedup corruption).
+    peak_tfs = 197.0 if "v5 lite" in jax.devices()[0].device_kind.lower() \
+        else 460.0
+    ok = bool(fetch_tfs) and all(5.0 < t <= peak_tfs for t in fetch_tfs)
+    marker = Path(__file__).resolve().parent.parent / "hw_logs" / \
+        ".timing_probe_ok"
+    if ok:
+        marker.parent.mkdir(exist_ok=True)
+        marker.write_text(f"{time.time()}\n")
+        print(f"PROBE PASS — marker {marker}")
+    else:
+        if marker.exists():
+            marker.unlink()
+        print(f"PROBE FAIL — fetch-implied TF/s: {fetch_tfs}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

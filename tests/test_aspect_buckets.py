@@ -142,3 +142,80 @@ def test_train_data_module_returns_bucket_loader(image_paths):
     assert isinstance(loader, BucketBatchLoader)
     batch = next(iter(loader))
     assert batch["sample"].ndim == 4
+
+
+def test_bucket_loader_per_host_sharding(image_paths):
+    """Multi-host bucket sharding: every host emits the SAME bucket
+    shape at the same step with disjoint rows (the contract
+    ``trainer._put_batch_multihost`` needs to assemble a global batch
+    without cross-host gathers); unsharded behavior is unchanged."""
+    # 12 rows over the fixture's buckets: reuse paths to bulk up
+    paths = list(image_paths) * 2
+    buckets = [(64, 64), (96, 64), (64, 96)]
+    ds = AspectBucketDataset(paths, buckets=buckets)
+    ds.set_tokenizers([])
+
+    def plan(loader):
+        return loader._batches()
+
+    shards = [
+        BucketBatchLoader(ds, batch_size=2, seed=3, num_shards=2,
+                          shard_id=k)
+        for k in range(2)
+    ]
+    p0, p1 = plan(shards[0]), plan(shards[1])
+    assert len(p0) == len(p1) and len(p0) > 0
+    for b0, b1 in zip(p0, p1):
+        assert len(b0) == len(b1) == 2
+        # same bucket (static shape) on both hosts at this step
+        assert ds.bucket_of(b0[0]) == ds.bucket_of(b1[0])
+        # disjoint rows
+        assert not (set(b0) & set(b1))
+    # union covers at most the dataset, every index at most once/host
+    flat0 = [i for b in p0 for i in b]
+    assert len(flat0) == len(set(flat0))
+
+    # resume state keeps working on a sharded loader
+    it = iter(shards[0])
+    first = next(it)
+    state = shards[0].state_dict()
+    resumed = BucketBatchLoader(ds, batch_size=2, seed=3, num_shards=2,
+                                shard_id=0)
+    resumed.load_state_dict(state)
+    np.testing.assert_array_equal(
+        next(iter(resumed))["sample"], next(it)["sample"]
+    )
+
+    # unsharded == num_shards=1 (identity)
+    base = plan(BucketBatchLoader(ds, batch_size=2, seed=3))
+    one = plan(BucketBatchLoader(ds, batch_size=2, seed=3, num_shards=1))
+    assert base == one
+
+    # guard rails
+    with pytest.raises(ValueError):
+        BucketBatchLoader(ds, batch_size=2, num_shards=2, drop_last=False)
+    with pytest.raises(ValueError):
+        BucketBatchLoader(ds, batch_size=2, num_shards=2, shard_id=2)
+
+
+def test_train_data_module_sharded_bucket_loader(image_paths):
+    """TrainDataModule routes shard_per_process to the bucket loader
+    (the round-3 NotImplementedError stub is gone)."""
+    from uwudiff_tpu.data.base import TrainDataModule
+
+    dm = TrainDataModule(
+        dataset_config={
+            "_target_": "uwudiff_tpu.data.aspect_buckets."
+            "AspectBucketDataset",
+            "image_paths": list(image_paths),
+            "buckets": [(64, 64), (96, 64), (64, 96)],
+        },
+        dataloader_config={
+            "batch_size": 1, "shard_per_process": True, "seed": 0,
+        },
+    )
+    loader = dm.train_dataloader()
+    assert isinstance(loader, BucketBatchLoader)
+    # single-process run: 1 shard, id 0
+    assert loader.num_shards == 1 and loader.shard_id == 0
+    assert len(loader) > 0

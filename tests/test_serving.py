@@ -82,7 +82,7 @@ def test_batching_server_groups_and_resolves():
     try:
         reqs = [
             Request(prompt=f"cat {i}", width=130, height=126, num_steps=2,
-                    return_latents=True)
+                    seed=i, return_latents=True)
             for i in range(3)
         ] + [
             Request(prompt="wide", width=256, height=128, num_steps=2,
@@ -96,7 +96,9 @@ def test_batching_server_groups_and_resolves():
     for o in outs[:3]:
         assert o.shape == (16, 16, 4)
     assert outs[3].shape == (16, 32, 4)
-    # different prompts in one batch produce different samples
+    # different requests (per-sample seed lanes) produce different
+    # samples inside one batch. (The prompt's effect alone is invisible
+    # on this tiny zero-init UNet — seeds carry the distinction.)
     assert not np.allclose(np.asarray(outs[0]), np.asarray(outs[1]))
 
 
@@ -108,10 +110,11 @@ def test_batching_server_nearest_bucket():
     assert srv.nearest_bucket(1344, 700) == (1280, 768)
 
 
-def test_batching_server_seed_isolation_and_stop_drains():
-    """Different seeds never share a batch (seed is in the group key);
-    stop() fails leftover futures instead of hanging their waiters;
-    partial groups are padded to the single warmed batch size."""
+def test_batching_server_seed_batching_and_stop_drains():
+    """Different-seed requests SHARE a batch (per-sample seed lanes —
+    seed is not in the group key); each future resolves with its own
+    seed's sample; stop() fails leftover futures instead of hanging
+    their waiters; partial groups are padded to the warmed batch size."""
     import time
 
     from uwudiff_tpu.serving import BatchingServer, Request
@@ -122,11 +125,10 @@ def test_batching_server_seed_isolation_and_stop_drains():
         def __call__(self, prompt, neg_prompt, num_steps, num_samples,
                      cfg_scale, width, height, seed, return_latents,
                      **kwargs):
-            calls.append({"n": num_samples, "seed": seed,
+            calls.append({"n": num_samples, "seeds": list(seed),
                           "prompts": list(prompt)})
             time.sleep(0.05)
-            return [np.full((2, 2, 4), seed, np.float32)
-                    for _ in range(num_samples)]
+            return [np.full((2, 2, 4), s, np.float32) for s in seed]
 
     server = BatchingServer(
         FakePipeline(), buckets=[(64, 64)], max_batch=4, max_wait_s=0.2
@@ -138,10 +140,10 @@ def test_batching_server_seed_isolation_and_stop_drains():
         r2 = f2.result(timeout=30)
     finally:
         server.stop()
-    # two groups ran (seeds differ), both padded to max_batch
-    assert len(calls) == 2
-    assert all(c["n"] == 4 for c in calls)
-    assert {c["seed"] for c in calls} == {1, 2}
+    # ONE group ran (different seeds batch together), padded to max_batch
+    assert len(calls) == 1
+    assert calls[0]["n"] == 4
+    assert calls[0]["seeds"][:2] == [1, 2]
     assert float(r1[0, 0, 0]) == 1.0 and float(r2[0, 0, 0]) == 2.0
 
     # stop() with work still queued: futures must resolve (not hang)
@@ -161,6 +163,42 @@ def test_batching_server_seed_isolation_and_stop_drains():
         except Exception:
             done += 1  # failed-fast is acceptable; hanging is not
     assert done == 10
+
+
+def test_seed_reproducible_across_batch_composition():
+    """The production-reproducibility contract: a request's latents
+    depend ONLY on its own seed — identical whether it ran solo, in a
+    mixed-seed batch, or in a different lane position."""
+    from uwudiff_tpu.serving import BatchingServer, Request
+
+    trainer = _tiny_text_pipe_trainer()
+    pipe = Txt2ImgPipeline.from_trainer(trainer)
+
+    kw = dict(prompt="a cat", width=32, height=32, num_steps=2,
+              return_latents=True)
+    server = BatchingServer(pipe, buckets=[(32, 32)], max_batch=2,
+                            max_wait_s=0.3).start()
+    try:
+        # batch [seed 5, seed 9]
+        fa = server.submit(Request(seed=5, **kw))
+        fb = server.submit(Request(seed=9, **kw))
+        lat5_batched = np.asarray(fa.result(timeout=300))
+        lat9_batched = np.asarray(fb.result(timeout=300))
+        # seed 9 solo (padded lane) AND in the opposite lane order
+        fc = server.submit(Request(seed=9, **kw))
+        lat9_solo = np.asarray(fc.result(timeout=300))
+        fd = server.submit(Request(seed=9, **kw))
+        fe = server.submit(Request(seed=5, **kw))
+        lat9_lane0 = np.asarray(fd.result(timeout=300))
+        lat5_lane1 = np.asarray(fe.result(timeout=300))
+    finally:
+        server.stop()
+    assert not np.allclose(lat5_batched, lat9_batched)
+    np.testing.assert_allclose(lat9_batched, lat9_solo, atol=0)
+    np.testing.assert_allclose(lat9_batched, lat9_lane0, atol=0)
+    np.testing.assert_allclose(lat5_batched, lat5_lane1, atol=0)
+    # and the whole sweep reused one compiled program
+    assert pipe.trace_count == 1
 
 
 def test_pipeline_lcm_few_step_serving():

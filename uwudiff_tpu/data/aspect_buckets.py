@@ -153,6 +153,15 @@ class BucketBatchLoader:
         shuffle: bool = True,
         drop_last: bool = True,
         collate_fn=None,
+        # multi-host training: host ``shard_id`` of ``num_shards`` takes
+        # its slice of each bucket batch GROUP — every host sees the
+        # SAME bucket (static shape) at the same step, with disjoint
+        # rows, so the per-host local batches assemble into one global
+        # array (``trainer._put_batch_multihost``). Group = num_shards
+        # consecutive same-bucket batches; incomplete groups are
+        # dropped (requires drop_last).
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -160,6 +169,15 @@ class BucketBatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.collate_fn = collate_fn or type(dataset).collate
+        if num_shards > 1 and not drop_last:
+            raise ValueError(
+                "sharded bucket loading requires drop_last=True (every "
+                "host must emit an identically-shaped batch each step)"
+            )
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        self.num_shards = int(num_shards)
+        self.shard_id = int(shard_id)
         self.epoch = 0
         self.batch_idx = 0
 
@@ -176,13 +194,22 @@ class BucketBatchLoader:
         order = list(by_bucket)
         if self.shuffle:
             rng.shuffle(order)
+        group = self.batch_size * self.num_shards
         batches = []
         for b in order:
             rows = by_bucket[b]
-            for lo in range(0, len(rows), self.batch_size):
-                chunk = rows[lo : lo + self.batch_size]
-                if len(chunk) == self.batch_size or not self.drop_last:
-                    batches.append(chunk)
+            for lo in range(0, len(rows), group):
+                chunk = rows[lo : lo + group]
+                if len(chunk) == group or (
+                    self.num_shards == 1 and not self.drop_last
+                ):
+                    # this host's slice of the group (identity when
+                    # unsharded: group == batch_size, slice is all)
+                    sub = chunk[
+                        self.shard_id * self.batch_size:
+                        (self.shard_id + 1) * self.batch_size
+                    ]
+                    batches.append(sub)
         return batches
 
     def __len__(self):

@@ -342,18 +342,15 @@ class TrainDataModule:
         )
 
         if isinstance(self.dataset, AspectBucketDataset):
-            # bucketed datasets get the single-bucket-batch loader
-            if (
-                cfg.pop("shard_per_process", False)
-                or cfg.pop("num_shards", None)
-                or cfg.pop("shard_id", None) is not None
-            ):
-                # silently ignoring the shard request would feed every
-                # host the identical batch stream (duplicated data)
-                raise NotImplementedError(
-                    "per-host sharding is not implemented for "
-                    "aspect-bucketed datasets yet"
-                )
+            # bucketed datasets get the single-bucket-batch loader;
+            # per-host sharding slices bucket batch GROUPS so every
+            # host sees the same static shape per step with disjoint
+            # rows (BucketBatchLoader num_shards/shard_id)
+            if cfg.pop("shard_per_process", False):
+                import jax
+
+                cfg.setdefault("shard_id", jax.process_index())
+                cfg.setdefault("num_shards", jax.process_count())
             return BucketBatchLoader(
                 self.dataset, collate_fn=self.dataset.collate, **cfg
             )

@@ -19,7 +19,8 @@ def vae_image_postprocess(image_tensor) -> "PIL.Image.Image":
     arr = np.asarray(image_tensor)
     if arr.ndim == 4:
         arr = arr[0]
-    arr = ((np.clip(arr, -1.0, 1.0) + 1.0) * 127.5).astype(np.uint8)
+    if arr.dtype != np.uint8:  # already-u8 input: device-side convert
+        arr = ((np.clip(arr, -1.0, 1.0) + 1.0) * 127.5).astype(np.uint8)
     return Image.fromarray(arr)
 
 

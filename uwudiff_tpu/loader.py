@@ -143,14 +143,24 @@ def apply_load_config(
             )
 
             if is_ldm_checkpoint(sd):
-                # single-file A1111/ComfyUI checkpoint: convert the
-                # component this module needs to diffusers naming
-                parts = ldm_to_diffusers(sd)
+                # single-file A1111/ComfyUI checkpoint: convert ONLY
+                # the component this module needs to diffusers naming
+                # (an SDXL pipeline loads unet+vae+2 TEs from the same
+                # file — converting everything per component would
+                # quadruple the work)
                 if importer in ("unet", "controlnet"):
-                    sd = parts["unet"]
+                    part = "unet"
                 elif importer == "vae":
-                    sd = parts["vae"]
+                    part = "vae"
                 elif importer == "clip":
+                    part = "text_encoders"
+                else:
+                    raise ValueError(
+                        f"single-file LDM checkpoints carry unet/vae/clip "
+                        f"components; importer {importer!r} cannot load one"
+                    )
+                parts = ldm_to_diffusers(sd, only=part)
+                if part == "text_encoders":
                     tes = parts.get("text_encoders", [])
                     if cfg.te_index >= len(tes):
                         raise ValueError(
@@ -159,10 +169,12 @@ def apply_load_config(
                         )
                     sd = tes[cfg.te_index]
                 else:
-                    raise ValueError(
-                        f"single-file LDM checkpoints carry unet/vae/clip "
-                        f"components; importer {importer!r} cannot load one"
-                    )
+                    sd = parts.get(part)
+                    if sd is None:
+                        raise ValueError(
+                            f"single-file checkpoint {path!r} carries no "
+                            f"{part} component (importer {importer!r})"
+                        )
             key_map = {
                 "unet": unet_key_map,
                 "controlnet": controlnet_key_map,

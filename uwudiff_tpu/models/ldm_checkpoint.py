@@ -606,25 +606,30 @@ def hf_text_to_openclip(sd: dict) -> dict:
 # ---------------------------------------------------------------------
 
 
-def ldm_to_diffusers(sd: dict) -> dict[str, Any]:
+def ldm_to_diffusers(sd: dict, only: str | None = None) -> dict[str, Any]:
     """Full single-file checkpoint -> diffusers-named component dicts:
     ``{"unet": ..., "vae": ..., "text_encoders": [...]}`` (components
-    absent from the file are empty/omitted)."""
+    absent from the file are empty/omitted). ``only`` restricts the
+    conversion to one of ``unet``/``vae``/``text_encoders`` — an SDXL
+    pipeline loading 4 components from one file would otherwise
+    re-convert everything (incl. the copying OpenCLIP in_proj splits)
+    per component load."""
     parts = split_ldm_checkpoint(sd)
     out: dict[str, Any] = {}
-    if parts["unet"]:
+    if parts["unet"] and only in (None, "unet"):
         out["unet"] = ldm_unet_to_diffusers(parts["unet"])
-    if parts["vae"]:
+    if parts["vae"] and only in (None, "vae"):
         out["vae"] = ldm_vae_to_diffusers(parts["vae"])
-    tes = []
-    for sub, is_hf in parts["text_encoders"]:
-        if is_hf:
-            tes.append({k: v for k, v in sub.items()
-                        if not k.endswith("position_ids")})
-        else:
-            tes.append(openclip_text_to_hf(sub))
-    if tes:
-        out["text_encoders"] = tes
+    if only in (None, "text_encoders"):
+        tes = []
+        for sub, is_hf in parts["text_encoders"]:
+            if is_hf:
+                tes.append({k: v for k, v in sub.items()
+                            if not k.endswith("position_ids")})
+            else:
+                tes.append(openclip_text_to_hf(sub))
+        if tes:
+            out["text_encoders"] = tes
     return out
 
 
@@ -641,7 +646,22 @@ def diffusers_to_ldm(
     ``conditioner.embedders.{0,1}``), or ``auto`` (sdxl iff two TEs,
     else sd1)."""
     if arch == "auto":
-        arch = "sdxl" if (text_encoders and len(text_encoders) > 1) else "sd1"
+        if text_encoders and len(text_encoders) > 1:
+            arch = "sdxl"
+        elif text_encoders:
+            # single TE: distinguish SD1 (CLIP-L, hidden 768 / 12
+            # layers) from SD2 (OpenCLIP-H, hidden 1024 / 23 layers) —
+            # defaulting SD2 exports to sd1 would write HF-named CLIP
+            # keys a single-file SD2 loader can't read
+            te = text_encoders[0]
+            emb = te.get("text_model.embeddings.token_embedding.weight")
+            hidden = None if emb is None else int(np.shape(emb)[-1])
+            n_layers = len({
+                k.split(".")[3]
+                for k in te
+                if k.startswith("text_model.encoder.layers.")
+            })
+            arch = "sd2" if (hidden or 0) > 768 or n_layers > 12 else "sd1"
     out: dict[str, Any] = {}
     if unet:
         for k, v in diffusers_unet_to_ldm(unet).items():

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -245,11 +246,18 @@ class TextEncodingPipeline:
         params: Any,
         tokenizers: Sequence,
         apply_fn=None,
+        jit: bool = True,
     ):
         self.module = module
         self.params = params
         self.tokenizers = list(tokenizers)
         self._apply = apply_fn or module.apply
+        # jit the TE forward (params as argument -> one compile per
+        # token-batch signature, zero retraces on new prompts). Without
+        # this, serving paid seconds per request running the CLIP tower
+        # EAGERLY — hundreds of per-op round trips over a remote-TPU
+        # link (round-3 serve_bench: 9.2s/request vs a 0.7s sampler).
+        self._jit_apply = jax.jit(self._apply) if jit else self._apply
 
     @property
     def use_normed_ctx(self) -> bool:
@@ -262,7 +270,7 @@ class TextEncodingPipeline:
         tokenizer_outputs = [
             {k: jnp.asarray(v) for k, v in t.items()} for t in tokenizer_outputs
         ]
-        return self._apply({"params": self.params}, tokenizer_outputs)
+        return self._jit_apply({"params": self.params}, tokenizer_outputs)
 
     def encode(
         self,

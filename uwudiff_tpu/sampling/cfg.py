@@ -101,16 +101,34 @@ def encode_cfg_inputs(
         max_chunks = max(
             required_chunks(te, prompt), required_chunks(te, neg_prompt)
         )
-    emb, normed_emb, pool, mask = te.encode(
-        prompt, padding=True, truncation=True,
-        prompt_weighting=prompt_weighting,
-        long_prompt=long_prompt, max_chunks=max_chunks,
-    )
-    neg_emb, normed_neg_emb, neg_pool, neg_mask = te.encode(
-        neg_prompt, padding=True, truncation=True,
-        prompt_weighting=prompt_weighting,
-        long_prompt=long_prompt, max_chunks=max_chunks,
-    )
+    # ONE TE forward for cond+uncond (both lists are already padded to
+    # a common length by the callers, and CLIP pads/truncates every
+    # prompt to its fixed window) — halves the serving-path encode
+    # latency vs two calls
+    n = len(prompt)
+    if len(neg_prompt) == n:
+        both = te.encode(
+            list(prompt) + list(neg_prompt), padding=True, truncation=True,
+            prompt_weighting=prompt_weighting,
+            long_prompt=long_prompt, max_chunks=max_chunks,
+        )
+        emb, normed_emb, pool, mask = (
+            None if t is None else t[:n] for t in both
+        )
+        neg_emb, normed_neg_emb, neg_pool, neg_mask = (
+            None if t is None else t[n:] for t in both
+        )
+    else:  # ragged cond/uncond counts: two forwards
+        emb, normed_emb, pool, mask = te.encode(
+            prompt, padding=True, truncation=True,
+            prompt_weighting=prompt_weighting,
+            long_prompt=long_prompt, max_chunks=max_chunks,
+        )
+        neg_emb, normed_neg_emb, neg_pool, neg_mask = te.encode(
+            neg_prompt, padding=True, truncation=True,
+            prompt_weighting=prompt_weighting,
+            long_prompt=long_prompt, max_chunks=max_chunks,
+        )
     if te.use_normed_ctx:
         emb = normed_emb
         neg_emb = normed_neg_emb

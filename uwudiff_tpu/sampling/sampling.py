@@ -75,7 +75,6 @@ def diffusion_sampling(
     # sharding they carry (FSDP/TP), GSPMD emits the collectives
     latent_sharding=None,
 ):
-    rng = jax.random.PRNGKey(seed)
     internal_sampling_func = internal_sampling_func or sample_euler_ancestral
     vae_std = vae_std if vae_std is not None else 1.0
     vae_mean = vae_mean or 0.0
@@ -139,14 +138,28 @@ def diffusion_sampling(
     else:
         sigmas = jnp.asarray(np.asarray(get_sigma_func(num_steps), np.float32))
 
-    rng, rng_init, rng_samp = jax.random.split(rng, 3)
+    # per-sample seed isolation (sampling/noise.py): each lane's init +
+    # step noise depend ONLY on its own seed, so a sample reproduces
+    # regardless of batch composition — the contract continuous-batching
+    # serving needs, and the same scheme the zero-retrace serving path
+    # compiles (keeping the two paths numerically identical)
+    from uwudiff_tpu.sampling.noise import (
+        expand_seeds,
+        make_per_sample_noise_sampler,
+        per_sample_init_noise,
+        per_sample_keys,
+        supports_noise_sampler,
+    )
 
-    def sample_latents(params, rng_init, rng_samp, sigmas):
+    seeds = expand_seeds(seed, num_samples)
+    stochastic = supports_noise_sampler(internal_sampling_func)
+
+    def sample_latents(params, seeds, sigmas):
         cfg_fn = make_cfg_fn(params)
-        init_x = jax.random.normal(
-            rng_init,
+        keys = per_sample_keys(seeds)
+        init_x = per_sample_init_noise(
+            keys,
             (
-                num_samples,
                 height // vae_downscale,
                 width // vae_downscale,
                 latent_channels,
@@ -156,7 +169,14 @@ def diffusion_sampling(
             init_x = jax.lax.with_sharding_constraint(
                 init_x, latent_sharding
             )
-        latents = internal_sampling_func(cfg_fn, init_x, sigmas, rng=rng_samp)
+        kw = (
+            {"noise_sampler": make_per_sample_noise_sampler(keys)}
+            if stochastic
+            else {}
+        )
+        latents = internal_sampling_func(
+            cfg_fn, init_x, sigmas, rng=jax.random.PRNGKey(0), **kw
+        )
         if rescale:
             std = latents.reshape(latents.shape[0], -1).std(axis=1)
             latents = latents / std[:, None, None, None]
@@ -164,7 +184,7 @@ def diffusion_sampling(
 
     if jit_compile:  # the whole sigma loop is one XLA program
         sample_latents = jax.jit(sample_latents)
-    latents = sample_latents(unet_params, rng_init, rng_samp, sigmas)
+    latents = sample_latents(unet_params, jnp.asarray(seeds), sigmas)
     if return_latents or vae_decode is None:
         return latents
     images = vae_decode(latents)

@@ -72,6 +72,19 @@ class Txt2ImgPipeline:
         self.vae_decode = (
             jax.jit(vae_decode) if vae_decode is not None else None
         )
+        # device-side [-1,1]->uint8: the serving path fetches 4x fewer
+        # bytes over the device link (u8 vs f32) and skips the host
+        # clip/scale per image
+        self.vae_decode_u8 = (
+            jax.jit(
+                lambda lat: (
+                    (jnp.clip(vae_decode(lat), -1.0, 1.0) + 1.0) * 127.5
+                ).astype(jnp.uint8)
+            )
+            if vae_decode is not None
+            else None
+        )
+        self._sigma_cache: dict[int, Any] = {}
         self.schedule = schedule
         self.vae_std = vae_std
         self.vae_mean = vae_mean
@@ -234,6 +247,12 @@ class Txt2ImgPipeline:
         (num_samples, height, width, num_steps, cfg_scale,
          cfg_rescale) = key
         from uwudiff_tpu.sampling.cfg import build_cfg_fn
+        from uwudiff_tpu.sampling.noise import (
+            make_per_sample_noise_sampler,
+            per_sample_init_noise,
+            per_sample_keys,
+            supports_noise_sampler,
+        )
         from uwudiff_tpu.sampling.wrapper import KDiffusionDenoiser
 
         denoiser_cls = self.denoiser_cls or KDiffusionDenoiser
@@ -241,8 +260,9 @@ class Txt2ImgPipeline:
         schedule, latent_sharding = self.schedule, self.latent_sharding
         down, ch = self.vae_downscale, self.latent_channels
         vae_std, vae_mean = self.vae_std, self.vae_mean
+        stochastic = supports_noise_sampler(sampler)
 
-        def run(params, enc, sigmas, rng_init, rng_samp):
+        def run(params, enc, sigmas, seeds):
             self._trace_counts[key] = self._trace_counts.get(key, 0) + 1
 
             def eps_fn(x, t, **kw):
@@ -263,15 +283,25 @@ class Txt2ImgPipeline:
                 model_fn=eps_fn, schedule=schedule, quantize=False
             )
             cfg_fn = build_cfg_fn(wrapper, enc, cfg_scale, cfg_rescale)
-            init_x = jax.random.normal(
-                rng_init,
-                (num_samples, height // down, width // down, ch),
+            # per-sample seed isolation (sampling/noise.py): lane j's
+            # whole trajectory depends on seeds[j] only, so requests
+            # batched together by the server reproduce independently
+            keys = per_sample_keys(seeds)
+            init_x = per_sample_init_noise(
+                keys, (height // down, width // down, ch)
             ) * jnp.sqrt(1 + sigmas[0] ** 2)
             if latent_sharding is not None:
                 init_x = jax.lax.with_sharding_constraint(
                     init_x, latent_sharding
                 )
-            latents = sampler(cfg_fn, init_x, sigmas, rng=rng_samp)
+            kw = (
+                {"noise_sampler": make_per_sample_noise_sampler(keys)}
+                if stochastic
+                else {}
+            )
+            latents = sampler(
+                cfg_fn, init_x, sigmas, rng=jax.random.PRNGKey(0), **kw
+            )
             return latents * vae_std + vae_mean
 
         fn = jax.jit(run)
@@ -327,9 +357,41 @@ class Txt2ImgPipeline:
                 **kwargs,
             )
 
-        # -- zero-retrace request path (numerics identical to
-        #    diffusion_sampling: same prompt normalization, rng split,
-        #    sigma ladder and init scaling) --
+        out, is_images = self.sample_device(
+            prompt, neg_prompt, num_steps=num_steps,
+            num_samples=num_samples, cfg_scale=cfg_scale,
+            width=width, height=height, seed=seed,
+            return_latents=return_latents,
+            prompt_weighting=prompt_weighting, long_prompt=long_prompt,
+            cfg_rescale=cfg_rescale,
+        )
+        if not is_images:
+            return out
+        return [vae_image_postprocess(img) for img in np.asarray(out)]
+
+    def sample_device(
+        self,
+        prompt,
+        neg_prompt="",
+        num_steps: int = 16,
+        num_samples: int = 1,
+        cfg_scale: float = 3.0,
+        width: int = 1024,
+        height: int = 1024,
+        seed=42,
+        return_latents: bool = False,
+        prompt_weighting: bool = False,
+        long_prompt: bool = False,
+        cfg_rescale: float = 0.0,
+    ):
+        """The zero-retrace request path, ASYNC: returns ``(device
+        array, is_images)`` without a host sync, so a server can
+        overlap the host fetch/encode of one batch with the device
+        compute of the next. Numerics identical to
+        ``diffusion_sampling`` (same prompt normalization, per-sample
+        seed scheme — sampling/noise.py — sigma ladder and init
+        scaling). ``seed`` is an int (sample j uses seed+j) or a
+        per-sample sequence."""
         from uwudiff_tpu.utils import truncate_or_pad_to_length
 
         if isinstance(prompt, str):
@@ -343,38 +405,48 @@ class Txt2ImgPipeline:
             list(neg_prompt), num_samples, padding_mode="cycling"
         )
         from uwudiff_tpu.sampling.cfg import encode_cfg_inputs
+        from uwudiff_tpu.sampling.noise import expand_seeds
 
         enc = encode_cfg_inputs(
             prompt, neg_prompt, width, height, self.te,
             prompt_weighting=prompt_weighting,
             long_prompt=long_prompt,
         )
-        sigmas = self.schedule.sample_sigmas_descending(num_steps)
-        rng = jax.random.PRNGKey(seed)
-        rng, rng_init, rng_samp = jax.random.split(rng, 3)
+        # host-cached sigma ladder: building it eagerly is a handful of
+        # device round trips per request on a remote link
+        sigmas = self._sigma_cache.get(num_steps)
+        if sigmas is None:
+            sigmas = np.asarray(
+                self.schedule.sample_sigmas_descending(num_steps),
+                np.float32,
+            )
+            self._sigma_cache[num_steps] = sigmas
+        seeds = expand_seeds(seed, num_samples)
         key = (num_samples, height, width, num_steps, cfg_scale,
                cfg_rescale)
         latents = self._compiled_sampler(key)(
-            self.unet_params, enc, sigmas, rng_init, rng_samp
+            self.unet_params, enc, sigmas, seeds
         )
         if return_latents or self.vae_decode is None:
-            return latents
-        images = self.vae_decode(latents)
-        return [vae_image_postprocess(img) for img in np.asarray(images)]
+            return latents, False
+        return self.vae_decode_u8(latents), True
 
     def warmup(self, widths_heights_batches: list[tuple[int, int, int]],
                num_steps: int = 16):
-        """Pre-compile the serving signatures (cold-start elimination)."""
+        """Pre-compile the serving signatures (cold-start elimination),
+        including the u8 VAE decode when images are served."""
         for w, h, b in widths_heights_batches:
-            self(
+            out = self(
                 prompt="warmup",
                 neg_prompt="",
                 num_steps=num_steps,
                 num_samples=b,
                 width=w,
                 height=h,
-                return_latents=True,
+                return_latents=self.vae_decode is None,
             )
+            if not isinstance(out, list):
+                np.asarray(out)  # force the compile+run to finish
 
 
 # ---------------------------------------------------------------------
@@ -441,6 +513,12 @@ class BatchingServer:
         )
         self._thread: threading.Thread | None = None
         self._running = False
+        # host fetch/postprocess runs on its own thread so the
+        # dispatcher can enqueue the NEXT batch's device work while
+        # this batch's images cross the device link (jax dispatch is
+        # async; only np.asarray blocks)
+        self._fetch_queue: "queue.Queue" = queue.Queue()
+        self._fetch_thread: threading.Thread | None = None
 
     # -- lifecycle --
 
@@ -451,6 +529,10 @@ class BatchingServer:
                 num_steps=warmup_steps,
             )
         self._running = True
+        self._fetch_thread = threading.Thread(
+            target=self._fetch_loop, daemon=True
+        )
+        self._fetch_thread.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self
@@ -461,6 +543,10 @@ class BatchingServer:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._fetch_thread is not None:
+            self._fetch_queue.put(None)
+            self._fetch_thread.join()
+            self._fetch_thread = None
 
     # -- client API --
 
@@ -487,14 +573,17 @@ class BatchingServer:
 
     def _group_key(self, r: Request):
         w, h = self.nearest_bucket(r.width, r.height)
-        # seed is part of the key: one batch shares one rng stream, so
-        # grouping different seeds would silently ignore them
+        # seed is NOT in the key: the pipeline's per-sample seed scheme
+        # (sampling/noise.py) gives every request its own noise lanes,
+        # so different-seed requests batch together — without this,
+        # saturated throughput degenerates to single-request latency
+        # (round-3 serve_bench: 0.128 imgs/s, every "batch" one request)
         adapter = (
             (r.adapter,) if isinstance(r.adapter, str) else
             tuple(r.adapter) if r.adapter is not None else None
         )
         return (
-            w, h, r.num_steps, r.cfg_scale, r.return_latents, r.seed,
+            w, h, r.num_steps, r.cfg_scale, r.return_latents,
             r.prompt_weighting, r.long_prompt, adapter,
         )
 
@@ -546,7 +635,7 @@ class BatchingServer:
                 fut.set_exception(RuntimeError("BatchingServer stopped"))
 
     def _run_group(self, key, group):
-        (w, h, steps, cfg, return_latents, seed, prompt_weighting,
+        (w, h, steps, cfg, return_latents, prompt_weighting,
          long_prompt, adapter) = key
         reqs = [r for r, _ in group]
         futs = [f for _, f in group]
@@ -557,6 +646,7 @@ class BatchingServer:
         pad = self.max_batch - n_real
         prompts = [r.prompt for r in reqs] + [reqs[-1].prompt] * pad
         negs = [r.neg_prompt for r in reqs] + [reqs[-1].neg_prompt] * pad
+        seeds = [r.seed for r in reqs] + [reqs[-1].seed] * pad
         try:
             if adapter is not None or getattr(
                 self.pipeline, "_active_adapter", None
@@ -564,7 +654,7 @@ class BatchingServer:
                 self.pipeline.set_adapter(
                     list(adapter) if adapter is not None else None
                 )
-            out = self.pipeline(
+            kwargs = dict(
                 prompt=prompts,
                 neg_prompt=negs,
                 num_steps=steps,
@@ -572,14 +662,42 @@ class BatchingServer:
                 cfg_scale=cfg,
                 width=w,
                 height=h,
-                seed=seed,
+                seed=seeds,
                 return_latents=return_latents,
                 prompt_weighting=prompt_weighting,
                 long_prompt=long_prompt,
             )
-            for i, fut in enumerate(futs):
-                fut.set_result(out[i])
+            sample_device = getattr(self.pipeline, "sample_device", None)
+            if sample_device is not None:
+                # async path: enqueue device work, hand the (pending)
+                # device arrays to the fetch thread, move on to the
+                # next group immediately
+                out, is_images = sample_device(**kwargs)
+                self._fetch_queue.put((out, is_images, futs))
+            else:  # duck-typed pipelines (tests): sync in-thread
+                out = self.pipeline(**kwargs)
+                for i, fut in enumerate(futs):
+                    fut.set_result(out[i])
         except Exception as e:  # pragma: no cover - surfaced to callers
             for fut in futs:
                 if not fut.done():
                     fut.set_exception(e)
+
+    def _fetch_loop(self):
+        while True:
+            item = self._fetch_queue.get()
+            if item is None:
+                break
+            out, is_images, futs = item
+            try:
+                host = np.asarray(out)  # ONE device->host transfer
+                for i, fut in enumerate(futs):
+                    fut.set_result(
+                        vae_image_postprocess(host[i])
+                        if is_images
+                        else host[i]
+                    )
+            except Exception as e:  # pragma: no cover
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(e)

@@ -35,9 +35,18 @@ import numpy as np
 
 from uwudiff_tpu.models.import_torch import (
     _SCAN_STACK_RE,
+    _t_conv,
+    _t_linear,
     _unroll_path,
     unet_key_map,
 )
+
+# kohya LoRA deltas compose with the BASE kernel's layout only when the
+# key map's transform is a plain linear transpose, a conv OIHW->HWIO, or
+# the proj conv1x1/linear dual ("proj"). Anything else (e.g. mmdit's
+# norm_out swap-halves) would round-trip deltas with silently permuted
+# rows — those layers are not kohya-addressable and must be skipped.
+_KOHYA_SAFE_TRANSFORMS = (_t_linear, _t_conv, "proj", None)
 from uwudiff_tpu.training.adapters import LycorisAdapter, _path_str
 
 __all__ = [
@@ -76,21 +85,33 @@ def _module_table(
         if _SCAN_STACK_RE.search(name) and leaf.ndim >= 3:
             for i in range(int(leaf.shape[0])):
                 try:
-                    torch_key, _ = key_map(_unroll_path(name, i))
+                    torch_key, tr = key_map(_unroll_path(name, i))
                 except KeyError:
                     break
                 if isinstance(torch_key, (list, tuple)):
                     continue  # fused qkv has no kohya convention
+                if not _kohya_safe(tr):
+                    continue  # layout-permuting transform (see above)
                 table[kohya_module_name(torch_key, prefix)] = (name, i)
             continue
         try:
-            torch_key, _ = key_map(name)
+            torch_key, tr = key_map(name)
         except KeyError:
             continue
         if isinstance(torch_key, (list, tuple)):
             continue
+        if not _kohya_safe(tr):
+            continue
         table[kohya_module_name(torch_key, prefix)] = (name, None)
     return table
+
+
+def _kohya_safe(tr) -> bool:
+    import functools
+
+    if isinstance(tr, functools.partial):
+        tr = tr.func
+    return tr in _KOHYA_SAFE_TRANSFORMS
 
 
 # ---------------------------------------------------------------------
@@ -229,6 +250,16 @@ def import_kohya_lora(
             "stack": (shape[0],) if layer is not None else (),
         }
         if layer is not None:
+            # same fit check as the non-stacked branch — a mismatched
+            # file would otherwise fail deep in np.stack/merge with an
+            # opaque shape error
+            if down.shape[0] != int(np.prod(kernel_shape[:-1])) or \
+                    up.shape[1] != kernel_shape[-1]:
+                raise ValueError(
+                    f"{mod}: LoRA shapes {down.shape}/{up.shape} do not "
+                    f"fit stacked base kernel {kernel_shape} "
+                    f"(layer {layer} of {shape[0]})"
+                )
             prev = specs.get(name)
             if prev is not None and (prev["alpha"], prev["dim"]) != (
                     alpha, rank):

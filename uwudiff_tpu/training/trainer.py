@@ -142,6 +142,12 @@ class DMTrainer:
     # classifier-free guidance samples against. Device-side (branchless
     # where over the encoded rows) so the step stays one program.
     caption_dropout: float = 0.0
+    # log train/grad_norm (a full-grad-tree global norm) every step.
+    # Off, XLA can schedule per-leaf grad freeing without keeping the
+    # whole tree live for the reduction — the same memory effect round
+    # 2 measured for global-norm *clipping* (README); flip off to probe
+    # batch-size headroom on memory-bound configs.
+    log_grad_norm: bool = True
 
     def __post_init__(self):
         mc = dict(self.model_config)
@@ -767,9 +773,10 @@ class DMTrainer:
         metrics = {
             "train/loss": loss,
             "train/ema_loss": ema,
-            "train/grad_norm": optax.global_norm(grads),
             "train/lr": self.lr_schedule(state.step),
         }
+        if self.log_grad_norm:
+            metrics["train/grad_norm"] = optax.global_norm(grads)
         return new_state, metrics, aux
 
     def _val_step_impl(self, state, frozen, batch, rng):
