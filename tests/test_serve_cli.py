@@ -143,3 +143,29 @@ def test_adapter_field_roundtrip():
         assert list(stub.seen[-1].adapter) == ["style_a", "style_b"]
     finally:
         httpd.shutdown()
+
+
+def test_serve_bench_phase_breakdown_smoke(capsys, monkeypatch):
+    """SB_PHASES=1 drives the per-phase latency instrumentation on the
+    tiny model and prints one JSON line with every phase key."""
+    import importlib.util
+    import json as _json
+    from pathlib import Path
+
+    for k, v in {"SB_MODEL": "tiny", "SB_RES": "32", "SB_STEPS": "2",
+                 "SB_MAXBATCH": "2", "SB_PHASES": "1"}.items():
+        monkeypatch.setenv(k, v)
+    spec = importlib.util.spec_from_file_location(
+        "serve_bench_cli",
+        Path(__file__).parent.parent / "scripts" / "serve_bench.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    out = _json.loads(lines[-1])["phases"]
+    for key in ("te_encode_s", "sampler_s", "vae_decode_s", "fetch_s",
+                "pil_s", "per_image_total_s"):
+        assert key in out and out[key] >= 0
+    assert out["batch"] == 2
