@@ -319,3 +319,35 @@ def test_tensor_parallel_loss_matches_unsharded():
         np.testing.assert_allclose(
             float(m_tp["train/loss"]), float(m_pl["train/loss"]), rtol=2e-5
         )
+
+
+def test_parallel_perf_model_sanity():
+    """The analytical scale-out model (scripts/parallel_perf_model.py)
+    stays runnable and self-consistent: bubble formula, monotonicity in
+    mesh size, and comm ratios in (0, 1) for the documented configs."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "ppm", Path(__file__).parent.parent / "scripts" /
+        "parallel_perf_model.py",
+    )
+    m = importlib.util.module_from_spec(spec)
+    import sys
+
+    sys.modules["ppm"] = m  # dataclasses resolve cls.__module__
+    spec.loader.exec_module(m)
+
+    s = m.SDXL
+    f8 = m.fsdp_model(s, 8)
+    assert 0 < f8["comm_to_compute"] < 1
+    # more chips -> more total comm per chip ((n-1)/n grows)
+    assert (m.fsdp_model(s, 16)["comm_s_per_step"]
+            > m.fsdp_model(s, 2)["comm_s_per_step"])
+    g = m.gpipe_model(s, 4, 16)
+    assert abs(g["bubble_fraction"] - 3 / 19) < 1e-3
+    assert m.gpipe_model(s, 4, 64)["bubble_fraction"] < g["bubble_fraction"]
+    r = m.ring_model(s, 4)
+    assert r["hop_comm_s"] > 0 and r["hop_compute_s"] > 0
+    e = m.ep_model(s, 8)
+    assert 0 < e["comm_to_compute"] < 0.2
