@@ -297,6 +297,10 @@ class AutoencoderKL(nn.Module):
         b, h, w, _ = z.shape
         if h <= tile and w <= tile:
             return self.decode(z)
+        # a small tile with the default overlap would give stride<=0
+        # (observed: from_trainer(vae_tiling=16) + overlap 16); cap the
+        # overlap at half the tile so the stride stays positive
+        overlap = min(overlap, tile // 2)
         stride = tile - overlap
         f = self.downscale
         hs = _tile_starts(h, tile, stride)
@@ -323,6 +327,7 @@ class AutoencoderKL(nn.Module):
         b, h, w, _ = x.shape
         if h <= tile and w <= tile:
             return self.encode(x)
+        overlap = min(overlap, tile // 2)  # keep stride positive
         stride = tile - overlap
         f = self.downscale
         hs = _tile_starts(h, tile, stride)
