@@ -450,3 +450,58 @@ def test_server_adapter_routing():
         server.stop()
     assert lat_base.shape == lat_style.shape
     assert not np.allclose(lat_base, lat_style)
+
+
+def test_pipeline_serves_mmdit_rf_family():
+    """from_trainer on an RF-trained MMDiT (SD3-class): the pipeline
+    auto-picks RFDenoiser (denoiser_for_loss), threads pooled-text
+    added_cond, batches through the server, and is seed-reproducible."""
+    from uwudiff_tpu.diffusion import NoiseSchedule
+    from uwudiff_tpu.diffusion.losses import RectifiedFlowLoss
+    from uwudiff_tpu.models.mmdit import MMDiT
+    from uwudiff_tpu.sampling.wrapper import RFDenoiser
+    from uwudiff_tpu.serving import BatchingServer, Request
+
+    te = ConcatTextEncoders.from_config(
+        [({"model_type": "clip", "preset": "tiny"},
+          {"use_pooled": True, "layer_idx": -2})]
+    )
+    trainer = DMTrainer(
+        model_config={
+            "unet": MMDiT.from_config("tiny"),
+            "te": te,
+            "vae": None,
+        },
+        loss_config=RectifiedFlowLoss(schedule=NoiseSchedule.sd15()),
+        lr=1e-4,
+        use_warm_up=False,
+        seed=0,
+    )
+    ds = DummyDataset(sample_size=(16, 16, 4), n_samples=4)
+    ds.set_tokenizers(trainer.tokenizers)
+    trainer.setup(ds.collate([ds[0], ds[1]]))
+
+    pipe = Txt2ImgPipeline.from_trainer(trainer)
+    assert pipe.denoiser_cls is RFDenoiser
+
+    server = BatchingServer(pipe, buckets=[(64, 64)], max_batch=2,
+                            max_wait_s=0.3).start()
+    try:
+        fa = server.submit(Request(prompt="a cat", width=64, height=64,
+                                   num_steps=2, seed=3,
+                                   return_latents=True))
+        fb = server.submit(Request(prompt="a dog", width=64, height=64,
+                                   num_steps=2, seed=4,
+                                   return_latents=True))
+        la = np.asarray(fa.result(timeout=600))
+        lb = np.asarray(fb.result(timeout=600))
+        fc = server.submit(Request(prompt="a cat", width=64, height=64,
+                                   num_steps=2, seed=3,
+                                   return_latents=True))
+        la2 = np.asarray(fc.result(timeout=600))
+    finally:
+        server.stop()
+    assert la.shape == (8, 8, 4) and np.isfinite(la).all()
+    assert not np.allclose(la, lb)
+    np.testing.assert_allclose(la, la2, atol=0)  # seed-reproducible
+    assert pipe.trace_count == 1
