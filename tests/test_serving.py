@@ -176,8 +176,10 @@ def test_seed_reproducible_across_batch_composition():
 
     kw = dict(prompt="a cat", width=32, height=32, num_steps=2,
               return_latents=True)
+    # single-signature mode: every group pads to max_batch, so solo and
+    # batched runs share ONE compiled program (bitwise comparability)
     server = BatchingServer(pipe, buckets=[(32, 32)], max_batch=2,
-                            max_wait_s=0.3).start()
+                            max_wait_s=0.3, batch_sizes=(2,)).start()
     try:
         # batch [seed 5, seed 9]
         fa = server.submit(Request(seed=5, **kw))
@@ -503,5 +505,46 @@ def test_pipeline_serves_mmdit_rf_family():
         server.stop()
     assert la.shape == (8, 8, 4) and np.isfinite(la).all()
     assert not np.allclose(la, lb)
-    np.testing.assert_allclose(la, la2, atol=0)  # seed-reproducible
-    assert pipe.trace_count == 1
+    # seed-reproducible ACROSS batch sizes: fc ran solo on the bs=1
+    # ladder signature, fa in the bs=2 batch — tolerance covers the
+    # different-program accumulation order
+    np.testing.assert_allclose(la, la2, rtol=2e-4, atol=2e-5)
+    # exactly the two ladder signatures (bs=1, bs=2), no retraces
+    assert pipe.trace_count == 2
+
+
+def test_batch_size_ladder_lone_requests_run_small():
+    """The warmed batch-size ladder: a lone request runs the bs=1
+    program instead of padding to max_batch; fuller groups pick the
+    smallest warmed size that fits."""
+    import time
+
+    from uwudiff_tpu.serving import BatchingServer, Request
+
+    calls = []
+
+    class FakePipeline:
+        def __call__(self, prompt, neg_prompt, num_steps, num_samples,
+                     cfg_scale, width, height, seed, return_latents,
+                     **kwargs):
+            calls.append(num_samples)
+            time.sleep(0.02)
+            return [np.full((2, 2, 4), s, np.float32) for s in seed]
+
+    server = BatchingServer(
+        FakePipeline(), buckets=[(64, 64)], max_batch=4, max_wait_s=0.15
+    ).start()
+    try:
+        # lone request -> bs=1 program
+        r = server.submit(
+            Request(prompt="solo", seed=7, return_latents=True)
+        ).result(timeout=30)
+        assert float(r[0, 0, 0]) == 7.0
+        # pair -> smallest warmed size >= 2 is max_batch (ladder (1,4))
+        f1 = server.submit(Request(prompt="a", seed=1, return_latents=True))
+        f2 = server.submit(Request(prompt="b", seed=2, return_latents=True))
+        f1.result(timeout=30), f2.result(timeout=30)
+    finally:
+        server.stop()
+    assert calls[0] == 1
+    assert calls[1] == 4
