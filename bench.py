@@ -110,6 +110,9 @@ def _device_peak_flops_bf16():
     return None
 
 
+_FLASH_FLOPS = None  # analytic flash-call share, set by _compiled_step_flops
+
+
 def _compiled_step_flops(trainer, batch):
     """(cost_model_flops, matmul_flops) of the one compiled train step.
 
@@ -150,6 +153,13 @@ def _compiled_step_flops(trainer, batch):
         per_instr, _ = sp.matmul_flops_from_hlo(compiled.as_text())
         total = float(sum(f for f, *_ in per_instr))
         matmul_flops = total or None
+        # flash custom-call matmuls are analytic estimates (XLA's cost
+        # model can't see inside Pallas calls); included since round 4
+        # — without them every flash program under-reported mfu_matmul
+        global _FLASH_FLOPS
+        _FLASH_FLOPS = float(
+            sum(f for f, kind, *_ in per_instr if kind == "flash")
+        ) or None
     except Exception as e:
         print(f"# analytic matmul flops unavailable: {e}", file=sys.stderr)
     return cost_flops, matmul_flops
@@ -617,6 +627,9 @@ def main():
         # the SDXL step
         result["mfu_matmul"] = round(mfu_matmul, 4)
         result["matmul_flops_per_step"] = matmul_flops
+        if _FLASH_FLOPS:
+            # analytic share inside Pallas flash calls (see step_profile)
+            result["flash_flops_per_step"] = _FLASH_FLOPS
     if (mfu is not None or mfu_matmul is not None) and (
         os.environ.get("BENCH_SCAN", "0") == "1"
     ):

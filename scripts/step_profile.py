@@ -131,7 +131,8 @@ def _dot_flops(line: str, out_elems: int, table: dict) -> int | None:
 
 
 _GROUPS = [
-    ("flash-attention (pallas)", r"flash|custom-call"),
+    ("flash-attention (pallas)",
+     r"flash|custom-call|dot_product_attention/pallas"),
     ("attention QK/PV (xla einsum)", r"dot_product_attention"),
     ("self-attn qkv/out proj", r"attn1/"),
     ("cross-attn proj", r"attn2/"),
@@ -154,8 +155,49 @@ def _group_for(op_name: str) -> str:
 
 
 _INSTR_RE = re.compile(
-    r"(?:ROOT )?%[\w.\-]+ = (\S+)\s+(convolution|dot|custom-call)\("
+    # result type may be a tuple "(bf16[...], f32[...])" with spaces
+    r"(?:ROOT )?%[\w.\-]+ = (\([^)]*\)|\S+)\s+(convolution|dot|custom-call)\("
 )
+
+
+def _flash_call_flops(line: str, op_name: str) -> float | None:
+    """Analytic MXU FLOPs of a flash-attention Pallas custom call (the
+    XLA cost model can't see inside custom calls, so without this the
+    reported matmul-MFU silently undercounts every flash program).
+
+    Kernel roles are identified by result arity/dtypes
+    (ops/flash_attention.py): fwd -> (out bf16[bh,sq,d], lse
+    f32[bh,1,sq]) = 2 matmuls; dq -> bf16[bh,sq,d] (+optional dbias) =
+    3 matmuls; dkv -> (dk, dv) = 4 matmuls (s/dp recompute + two grad
+    dots). FLOPs per matmul = 2*bh*sq*sk*d. Estimate, labeled "flash"
+    in per_instr."""
+    if "dot_product_attention" not in op_name or "pallas" not in op_name:
+        return None
+    # operand segment: typed shapes inside custom-call(...)
+    call = line.split("custom-call(", 1)
+    if len(call) != 2:
+        return None
+    result_part, operand_part = call[0], call[1].split(")", 1)[0]
+    opnds = [d for _, d in _TYPED_SHAPE_RE.findall(operand_part)]
+    three_d = [s for s in opnds if s.count(",") == 2]
+    if len(three_d) < 3:
+        return None
+    q = [int(x) for x in three_d[0].split(",")]
+    k = [int(x) for x in three_d[1].split(",")]
+    bh, sq, d = q
+    sk = k[1]
+    res_shapes = _TYPED_SHAPE_RE.findall(result_part)
+    n_bf16_3d = sum(
+        1 for dt, s in res_shapes if dt == "bf16" and s.count(",") == 2
+    )
+    has_lse = any(dt == "f32" for dt, _ in res_shapes)
+    if has_lse and n_bf16_3d >= 1:
+        n_matmuls = 2  # forward (out + lse)
+    elif n_bf16_3d >= 2:
+        n_matmuls = 4  # dk/dv kernel
+    else:
+        n_matmuls = 3  # dq kernel
+    return float(n_matmuls) * 2.0 * bh * sq * sk * d
 
 
 def matmul_flops_from_hlo(txt: str) -> tuple[list, dict]:
@@ -180,6 +222,9 @@ def matmul_flops_from_hlo(txt: str) -> tuple[list, dict]:
         if kind == "custom-call":
             tgt = re.search(r'custom_call_target="([^"]*)"', line)
             custom_calls[(tgt.group(1) if tgt else "?", op_name)] += 1
+            flops = _flash_call_flops(line, op_name)
+            if flops:
+                per_instr.append((flops, "flash", op_name, line[:120]))
             continue
         flops = (
             _conv_flops(line, out_elems, table)

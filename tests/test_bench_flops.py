@@ -51,3 +51,39 @@ def test_conv_flops_counted():
     batch = {"x": jnp.ones((2, 16, 16, 8), jnp.bfloat16)}
     _, matmul_flops = bench._compiled_step_flops(t, batch)
     assert matmul_flops == 2 * 2 * 16 * 16 * 16 * 3 * 3 * 8
+
+
+def test_flash_custom_call_flops_estimated():
+    """Pallas flash custom calls contribute analytic matmul FLOPs to
+    matmul_flops_from_hlo (kernel role from result arity: fwd 2 /
+    dq 3 / dkv 4 matmuls) — without this every flash program
+    under-reports mfu_matmul."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "sp_test", Path(__file__).parent.parent / "scripts" /
+        "step_profile.py",
+    )
+    sp = importlib.util.module_from_spec(spec)
+    sys.modules["sp_test"] = sp
+    spec.loader.exec_module(sp)
+
+    opn = 'op_name="jit(f)/attn1/dot_product_attention/pallas_call[x]"'
+    args = ("bf16[160,1024,64]{2,1,0} %p0, bf16[160,1024,64]{2,1,0} %p1, "
+            "bf16[160,1024,64]{2,1,0} %p2")
+    fwd = (f"%custom-call.1 = (bf16[160,1024,64]{{2,1,0}}, "
+           f"f32[160,1,1024]{{2,1,0}}) custom-call({args}), "
+           f'custom_call_target="tpu_custom_call", {opn}')
+    dq = (f"%custom-call.2 = bf16[160,1024,64]{{2,1,0}} "
+          f'custom-call({args}), custom_call_target="tpu_custom_call", '
+          f"{opn}")
+    dkv = (f"%custom-call.3 = (bf16[160,1024,64]{{2,1,0}}, "
+           f"bf16[160,1024,64]{{2,1,0}}) custom-call({args}), "
+           f'custom_call_target="tpu_custom_call", {opn}')
+    per, calls = sp.matmul_flops_from_hlo("\n".join([fwd, dq, dkv]))
+    unit = 2 * 160 * 1024 * 1024 * 64
+    got = sorted(int(f / unit) for f, kind, *_ in per if kind == "flash")
+    assert got == [2, 3, 4]
+    assert sum(calls.values()) == 3
