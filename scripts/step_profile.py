@@ -160,7 +160,7 @@ _INSTR_RE = re.compile(
 )
 
 
-def _flash_call_flops(line: str, op_name: str) -> float | None:
+def _flash_call_flops(line: str, op_name: str, table=None) -> float | None:
     """Analytic MXU FLOPs of a flash-attention Pallas custom call (the
     XLA cost model can't see inside custom calls, so without this the
     reported matmul-MFU silently undercounts every flash program).
@@ -173,27 +173,38 @@ def _flash_call_flops(line: str, op_name: str) -> float | None:
     in per_instr."""
     if "dot_product_attention" not in op_name or "pallas" not in op_name:
         return None
-    # operand segment: typed shapes inside custom-call(...)
+    # operand segment inside custom-call(...): typed shapes when the
+    # dump inlines them, bare %name references (resolved through the
+    # definition table) otherwise — optimized-HLO dumps use the latter
     call = line.split("custom-call(", 1)
     if len(call) != 2:
         return None
     result_part, operand_part = call[0], call[1].split(")", 1)[0]
-    opnds = [d for _, d in _TYPED_SHAPE_RE.findall(operand_part)]
-    three_d = [s for s in opnds if s.count(",") == 2]
+    opnds = [
+        [int(x) for x in d.split(",")]
+        for _, d in _TYPED_SHAPE_RE.findall(operand_part)
+        if d
+    ]
+    if not opnds and table is not None:
+        opnds = [
+            table[name]
+            for name in re.findall(r"%([\w.\-]+)", operand_part)
+            if name in table
+        ]
+    three_d = [s for s in opnds if len(s) == 3]
     if len(three_d) < 3:
         return None
-    q = [int(x) for x in three_d[0].split(",")]
-    k = [int(x) for x in three_d[1].split(",")]
-    bh, sq, d = q
-    sk = k[1]
+    bh, sq, d = three_d[0]
+    sk = three_d[1][1]
     res_shapes = _TYPED_SHAPE_RE.findall(result_part)
-    n_bf16_3d = sum(
-        1 for dt, s in res_shapes if dt == "bf16" and s.count(",") == 2
+    n_out_3d = sum(1 for _, s in res_shapes if s.count(",") == 2)
+    # lse rides only the FORWARD result tuple: (out, f32 lse)
+    has_lse = len(res_shapes) >= 2 and any(
+        dt == "f32" and s.count(",") == 2 for dt, s in res_shapes
     )
-    has_lse = any(dt == "f32" for dt, _ in res_shapes)
-    if has_lse and n_bf16_3d >= 1:
+    if has_lse:
         n_matmuls = 2  # forward (out + lse)
-    elif n_bf16_3d >= 2:
+    elif n_out_3d >= 2:
         n_matmuls = 4  # dk/dv kernel
     else:
         n_matmuls = 3  # dq kernel
@@ -222,7 +233,7 @@ def matmul_flops_from_hlo(txt: str) -> tuple[list, dict]:
         if kind == "custom-call":
             tgt = re.search(r'custom_call_target="([^"]*)"', line)
             custom_calls[(tgt.group(1) if tgt else "?", op_name)] += 1
-            flops = _flash_call_flops(line, op_name)
+            flops = _flash_call_flops(line, op_name, table)
             if flops:
                 per_instr.append((flops, "flash", op_name, line[:120]))
             continue
