@@ -115,6 +115,16 @@ def build_pipeline():
         optimizer="sgd",  # no moment state — serving only needs params
         lr=1e-4,
         use_warm_up=False,
+        # bf16 weight storage: fp32 SDXL params (10.3GB) leave a 16GB
+        # chip no compile workspace (measured trace-time OOM); bf16 is
+        # the standard TPU serving storage anyway. SB_PARAM_DTYPE=
+        # overrides (empty = fp32).
+        param_dtype=(
+            os.environ.get(
+                "SB_PARAM_DTYPE",
+                "bfloat16" if MODEL == "sdxl" else "",
+            ) or None
+        ),
         seed=0,
     )
     # tiny setup batch: shapes at serve time come from the request
