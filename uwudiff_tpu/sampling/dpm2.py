@@ -39,6 +39,7 @@ def sample_dpm2(
     s_tmax: float = float("inf"),
     s_noise: float = 1.0,
     single_call: bool = False,
+    noise_sampler: Callable | None = None,
     image_to_noise: bool = False,  # unused, parity (``dpm2.py:21``)
 ) -> jnp.ndarray:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -62,8 +63,14 @@ def sample_dpm2(
         x, rng, d_cached, have_cache = carry
         sigma, sigma_next = inputs
         rng, sub = jax.random.split(rng)
-        eps = jax.random.normal(sub, x.shape, x.dtype) * s_noise
         sigma_hat = _churn(sigma, n_steps, s_churn, s_tmin, s_tmax)
+        # churn noise over the (sigma, sigma_hat) "up" interval — keyed
+        # per-sample when a noise_sampler is provided (seed isolation)
+        eps = (
+            noise_sampler(sub, x.shape, sigma, sigma_hat)
+            if noise_sampler is not None
+            else jax.random.normal(sub, x.shape, x.dtype)
+        ) * s_noise
         x = x + eps * jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
 
         def euler_branch(_):
@@ -105,6 +112,7 @@ def sample_dpm2_cfgpp(
     s_tmax: float = float("inf"),
     s_noise: float = 1.0,
     single_call: bool = False,
+    noise_sampler: Callable | None = None,
     image_to_noise: bool = False,  # unused, parity
 ) -> jnp.ndarray:
     """``k_diffusion_dpm2.py:62-111`` — anchors on the CFG output, steps
@@ -119,8 +127,12 @@ def sample_dpm2_cfgpp(
         x, rng, cfg_cached, d_cached, have_cache = carry
         sigma, sigma_next = inputs
         rng, sub = jax.random.split(rng)
-        eps = jax.random.normal(sub, x.shape, x.dtype) * s_noise
         sigma_hat = _churn(sigma, n_steps, s_churn, s_tmin, s_tmax)
+        eps = (
+            noise_sampler(sub, x.shape, sigma, sigma_hat)
+            if noise_sampler is not None
+            else jax.random.normal(sub, x.shape, x.dtype)
+        ) * s_noise
         x = x + eps * jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
 
         def euler_branch(_):

@@ -83,6 +83,7 @@ def sample_dpmpp_2m_sde(
     eta: float = 1.0,
     s_noise: float = 1.0,
     solver_type: str = "midpoint",
+    noise_sampler: Callable | None = None,
     image_to_noise: bool = False,  # unused, API parity
     callback=None,
 ) -> jnp.ndarray:
@@ -136,7 +137,11 @@ def sample_dpmpp_2m_sde(
             )
         x_new = x_new + jnp.where(first, 0.0, 1.0) * corr
         if eta:
-            noise = jax.random.normal(key, x.shape, x.dtype)
+            noise = (
+                noise_sampler(key, x.shape, sigma, sigma_next)
+                if noise_sampler is not None
+                else jax.random.normal(key, x.shape, x.dtype)
+            )
             x_new = x_new + (
                 noise
                 * sigma_next

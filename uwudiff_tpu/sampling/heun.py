@@ -30,6 +30,7 @@ def sample_heun(
     s_tmin: float = 0.0,
     s_tmax: float = float("inf"),
     s_noise: float = 1.0,
+    noise_sampler: Callable | None = None,
     image_to_noise: bool = False,  # unused, API parity
     callback=None,
 ) -> jnp.ndarray:
@@ -43,8 +44,12 @@ def sample_heun(
         x, rng = carry
         sigma, sigma_next = inputs
         rng, sub = jax.random.split(rng)
-        eps = jax.random.normal(sub, x.shape, x.dtype) * s_noise
         sigma_hat = _churn(sigma, n_steps, s_churn, s_tmin, s_tmax)
+        eps = (
+            noise_sampler(sub, x.shape, sigma, sigma_hat)
+            if noise_sampler is not None
+            else jax.random.normal(sub, x.shape, x.dtype)
+        ) * s_noise
         x = x + eps * jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0))
         denoised, _u = model(x, sigma_hat * s_in, **extra_args)
         d = to_d(x, sigma_hat, denoised)

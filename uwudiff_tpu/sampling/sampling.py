@@ -144,6 +144,7 @@ def diffusion_sampling(
     # serving needs, and the same scheme the zero-retrace serving path
     # compiles (keeping the two paths numerically identical)
     from uwudiff_tpu.sampling.noise import (
+        batch_fallback_rng,
         expand_seeds,
         make_per_sample_noise_sampler,
         per_sample_init_noise,
@@ -174,8 +175,11 @@ def diffusion_sampling(
             if stochastic
             else {}
         )
+        # rng is only consumed by samplers WITHOUT noise_sampler support
+        # (user-supplied exotics): seed-derived so the user seed still
+        # governs the trajectory (batch-shaped draw, documented fallback)
         latents = internal_sampling_func(
-            cfg_fn, init_x, sigmas, rng=jax.random.PRNGKey(0), **kw
+            cfg_fn, init_x, sigmas, rng=batch_fallback_rng(keys), **kw
         )
         if rescale:
             std = latents.reshape(latents.shape[0], -1).std(axis=1)

@@ -248,6 +248,7 @@ class Txt2ImgPipeline:
          cfg_rescale) = key
         from uwudiff_tpu.sampling.cfg import build_cfg_fn
         from uwudiff_tpu.sampling.noise import (
+            batch_fallback_rng,
             make_per_sample_noise_sampler,
             per_sample_init_noise,
             per_sample_keys,
@@ -299,8 +300,12 @@ class Txt2ImgPipeline:
                 if stochastic
                 else {}
             )
+            # samplers without noise_sampler support fall back to a
+            # seed-derived batch rng (lane isolation is then NOT
+            # guaranteed across batch compositions — all built-in
+            # stochastic samplers DO support noise_sampler)
             latents = sampler(
-                cfg_fn, init_x, sigmas, rng=jax.random.PRNGKey(0), **kw
+                cfg_fn, init_x, sigmas, rng=batch_fallback_rng(keys), **kw
             )
             return latents * vae_std + vae_mean
 
