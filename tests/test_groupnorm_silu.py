@@ -180,3 +180,84 @@ def test_dispatch_gates():
     out = group_norm_silu(x, gamma, beta, 32)
     ref = group_norm_silu_reference(x, gamma, beta, 32, 1e-5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "shape,groups",
+    [
+        ((2, 16, 16, 64), 32),   # single chunk, batch 2
+        ((2, 32, 32, 64), 8),    # hw=1024 -> 2 chunks of 512
+        ((1, 32, 32, 96), 32),   # group_size 3 (repeat path)
+    ],
+)
+def test_pallas_backward_matches_reference(shape, groups):
+    """The round-5 Pallas GN+SiLU backward (3-pass chunked scheme) is
+    exact against XLA autodiff of the reference formulation."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    def fused(x, g, b):
+        return (_gn_silu(x, g, b, groups, 1e-5, True) * ct).sum()
+
+    def ref(x, g, b):
+        return (
+            group_norm_silu_reference(x, g, b, groups, 1e-5) * ct
+        ).sum()
+
+    gf = jax.grad(fused, argnums=(0, 1, 2))(x, gamma, beta)
+    gr = jax.grad(ref, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b, name in zip(gf, gr, ("dx", "dgamma", "dbeta")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-5,
+            err_msg=name,
+        )
+
+
+def test_pallas_backward_bf16_io():
+    """bf16 activations/cotangents: fp32 internal accumulation keeps
+    grads close to the fp32 reference path."""
+    rng = np.random.default_rng(3)
+    shape = (2, 16, 16, 64)
+    x32 = rng.standard_normal(shape).astype(np.float32)
+    g32 = rng.standard_normal(64).astype(np.float32)
+    b32 = rng.standard_normal(64).astype(np.float32)
+    x = jnp.asarray(x32, jnp.bfloat16)
+    gamma, beta = jnp.asarray(g32), jnp.asarray(b32)
+
+    def fused(x, g, b):
+        return (_gn_silu(x, g, b, 32, 1e-5, True).astype(jnp.float32) ** 2).sum()
+
+    def ref(x, g, b):
+        return (group_norm_silu_reference(x, g, b, 32, 1e-5) ** 2).sum()
+
+    gf = jax.grad(fused, argnums=(0, 1, 2))(x, gamma, beta)
+    gr = jax.grad(ref, argnums=(0, 1, 2))(jnp.asarray(x32), gamma, beta)
+    assert gf[0].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(gf[0], np.float32), np.asarray(gr[0]),
+        rtol=2e-2, atol=6e-2,
+    )
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gr[2]),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_backward_env_gate_falls_back(monkeypatch):
+    monkeypatch.setenv("UWU_FUSED_GN_BWD", "0")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 64)), jnp.float32)
+    gamma = jnp.ones((64,), jnp.float32)
+    beta = jnp.zeros((64,), jnp.float32)
+    gf = jax.grad(
+        lambda x: (_gn_silu(x, gamma, beta, 32, 1e-5, True) ** 2).sum()
+    )(x)
+    gr = jax.grad(
+        lambda x: (
+            group_norm_silu_reference(x, gamma, beta, 32, 1e-5) ** 2
+        ).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4)

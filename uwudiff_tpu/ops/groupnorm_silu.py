@@ -292,6 +292,181 @@ def _gn_silu_fwd_pallas(x, gamma, beta, groups: int, eps: float,
     return out.reshape(orig_shape)
 
 
+# ---------------------------------------------------------------------
+# Pallas backward (round 5): the GN backward's transpose/convert chains
+# were the top-bytes instructions of the SDXL step's ~250ms glue
+# (README round-4 accounting). XLA's autodiff materializes full-size
+# fp32 temps (dz, xhat, their products) and reduces them with layout
+# changes; this backward streams [chunk, C] tiles instead:
+#   pass A (x)    : per-channel sums -> mean/inv  (reuses the fwd
+#                   chunked stats kernel)
+#   pass B (x, g) : dz = g * silu'(z); per-channel t1 = sum dz,
+#                   t2 = sum dz * xhat  (-> dbeta, dgamma, and the two
+#                   per-group means the GN backward needs)
+#   tiny XLA glue : group-reduce gamma*t1, gamma*t2 -> a_c, b_c  [N, C]
+#   pass C (x, g) : dx = inv * (dz*gamma - a_c - xhat*b_c)
+# HBM traffic: 3 reads of x + 2 of g + 1 write of dx, all bf16, with
+# no full-size fp32 intermediates and no transposes.
+# ---------------------------------------------------------------------
+
+
+def _silu_dz(x_rows, g_rows, scale, shift):
+    """dz for a [chunk, C] tile: z = x*scale + shift (the fwd affine),
+    dz = g * sigmoid(z) * (1 + z*(1 - sigmoid(z)))."""
+    z = x_rows * scale + shift
+    sig = jax.nn.sigmoid(z)
+    return g_rows * sig * (1.0 + z * (1.0 - sig))
+
+
+def _gn_bwd_partials_kernel(x_ref, g_ref, scale_ref, shift_ref,
+                            mean_ref, inv_ref, out_ref, t1_scr, t2_scr):
+    """grid = (batch, chunks); accumulates t1 = sum_hw dz and
+    t2 = sum_hw dz * xhat into VMEM scratch, emits [1, 2, C] per n."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        t1_scr[:] = jnp.zeros_like(t1_scr)
+        t2_scr[:] = jnp.zeros_like(t2_scr)
+
+    x_rows = x_ref[0].astype(jnp.float32)
+    g_rows = g_ref[0].astype(jnp.float32)
+    dz = _silu_dz(x_rows, g_rows, scale_ref[0].astype(jnp.float32),
+                  shift_ref[0].astype(jnp.float32))
+    xhat = (x_rows - mean_ref[0].astype(jnp.float32)) * inv_ref[0].astype(
+        jnp.float32
+    )
+    t1_scr[:] = t1_scr[:] + jnp.sum(dz, axis=0, keepdims=True)
+    t2_scr[:] = t2_scr[:] + jnp.sum(dz * xhat, axis=0, keepdims=True)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[0, 0] = t1_scr[0]
+        out_ref[0, 1] = t2_scr[0]
+
+
+def _gn_bwd_dx_kernel(x_ref, g_ref, scale_ref, shift_ref, mean_ref,
+                      inv_ref, gamma_ref, a_ref, b_ref, out_ref):
+    """grid = (batch, chunks); dx = inv*(dz*gamma - a - xhat*b)."""
+    x_rows = x_ref[0].astype(jnp.float32)
+    g_rows = g_ref[0].astype(jnp.float32)
+    dz = _silu_dz(x_rows, g_rows, scale_ref[0].astype(jnp.float32),
+                  shift_ref[0].astype(jnp.float32))
+    inv = inv_ref[0].astype(jnp.float32)
+    xhat = (x_rows - mean_ref[0].astype(jnp.float32)) * inv
+    dx = inv * (
+        dz * gamma_ref[0].astype(jnp.float32)
+        - a_ref[0].astype(jnp.float32)
+        - xhat * b_ref[0].astype(jnp.float32)
+    )
+    out_ref[0] = dx.astype(out_ref.dtype)
+
+
+def _row_specs(chunk, c):
+    return pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _vec_spec(c):
+    return pl.BlockSpec((1, c), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _gn_silu_bwd_pallas(x, gamma, beta, g, groups: int, eps: float,
+                        interpret: bool):
+    orig_shape = x.shape
+    n, c = x.shape[0], x.shape[-1]
+    x3 = x.reshape(n, -1, c)
+    g3 = g.reshape(n, -1, c)
+    hw = x3.shape[1]
+    chunk = _chunk_for(hw, c)
+    gs = c // groups
+    denom = float(hw * gs)
+
+    kwargs = {}
+    try:
+        cp = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        )
+        if not interpret:
+            kwargs["compiler_params"] = cp
+    except TypeError:
+        pass
+
+    # pass A: per-channel stats (the fwd chunked-stats kernel)
+    sums = pl.pallas_call(
+        _gn_stats_kernel,
+        grid=(n, hw // chunk),
+        in_specs=[_row_specs(chunk, c)],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(x3)
+    mean_g = sums[:, 0].reshape(n, groups, -1).sum(-1) / denom  # [N, G]
+    var_g = sums[:, 1].reshape(n, groups, -1).sum(-1) / denom - mean_g**2
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, gs, axis=-1)  # [N, C]
+    inv_c = jnp.repeat(inv_g, gs, axis=-1)
+    gamma32 = gamma.astype(jnp.float32)
+    scale = inv_c * gamma32[None, :]  # the fwd affine: z = x*scale+shift
+    shift = beta.astype(jnp.float32)[None, :] - mean_c * scale
+
+    # pass B: per-(n, channel) grad partials
+    t = pl.pallas_call(
+        _gn_bwd_partials_kernel,
+        grid=(n, hw // chunk),
+        in_specs=[
+            _row_specs(chunk, c), _row_specs(chunk, c),
+            _vec_spec(c), _vec_spec(c), _vec_spec(c), _vec_spec(c),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(x3, g3, scale, shift, mean_c, inv_c)
+    t1, t2 = t[:, 0], t[:, 1]  # [N, C] each
+
+    dbeta = t1.sum(0).astype(beta.dtype)
+    dgamma = t2.sum(0).astype(gamma.dtype)
+
+    # the two per-group means of the GN backward:
+    #   a_g = mean(dxhat)        = sum_{c in g} gamma_c * t1_c / m
+    #   b_g = mean(dxhat * xhat) = sum_{c in g} gamma_c * t2_c / m
+    a_g = (gamma32[None, :] * t1).reshape(n, groups, -1).sum(-1) / denom
+    b_g = (gamma32[None, :] * t2).reshape(n, groups, -1).sum(-1) / denom
+    a_c = jnp.repeat(a_g, gs, axis=-1)
+    b_c = jnp.repeat(b_g, gs, axis=-1)
+
+    # pass C: dx
+    dx = pl.pallas_call(
+        _gn_bwd_dx_kernel,
+        grid=(n, hw // chunk),
+        in_specs=[
+            _row_specs(chunk, c), _row_specs(chunk, c),
+            _vec_spec(c), _vec_spec(c), _vec_spec(c), _vec_spec(c),
+            _vec_spec(c), _vec_spec(c), _vec_spec(c),
+        ],
+        out_specs=_row_specs(chunk, c),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(x3, g3, scale, shift, mean_c, inv_c,
+      jnp.broadcast_to(gamma32, (n, c)), a_c, b_c)
+    return dx.reshape(orig_shape), dgamma, dbeta
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _gn_silu(x, gamma, beta, groups, eps, interpret):
     return _gn_silu_fwd_pallas(x, gamma, beta, groups, eps, interpret)
@@ -303,7 +478,14 @@ def _gn_silu_vjp_fwd(x, gamma, beta, groups, eps, interpret):
 
 
 def _gn_silu_vjp_bwd(groups, eps, interpret, res, g):
+    import os
+
     x, gamma, beta = res
+    # Pallas backward (A/B gate UWU_FUSED_GN_BWD; default ON wherever
+    # the fused fwd dispatched — same shape support by construction)
+    if os.environ.get("UWU_FUSED_GN_BWD", "1") != "0":
+        return _gn_silu_bwd_pallas(x, gamma, beta, g, groups, eps,
+                                   interpret)
     _, vjp = jax.vjp(
         lambda x, gamma, beta: group_norm_silu_reference(
             x, gamma, beta, groups, eps
