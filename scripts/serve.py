@@ -95,8 +95,19 @@ def make_handler(server, request_cls):
                 return
             try:
                 out = server.generate(req)
-            except Exception as e:  # surface model errors as 500s
-                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                from uwudiff_tpu.serving import ServerOverloaded
+
+                if isinstance(e, ServerOverloaded):  # shed, don't queue
+                    self.send_response(429)
+                    self.send_header("Retry-After", "1")
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:  # surface model errors as 500s
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             import numpy as np
 

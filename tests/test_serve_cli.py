@@ -169,3 +169,16 @@ def test_serve_bench_phase_breakdown_smoke(capsys, monkeypatch):
                 "pil_s", "per_image_total_s"):
         assert key in out and out[key] >= 0
     assert out["batch"] == 2
+
+
+def test_overload_becomes_429():
+    from uwudiff_tpu.serving import ServerOverloaded
+
+    httpd, port = _boot(
+        _StubServer(ServerOverloaded("server at max_queue=8"))
+    )
+    try:
+        code, out = _post(port, "/generate", {"prompt": "x"})
+        assert code == 429 and "max_queue" in out["error"]
+    finally:
+        httpd.shutdown()

@@ -19,7 +19,8 @@ from uwudiff_tpu.data.utils import vae_image_postprocess
 from uwudiff_tpu.diffusion.schedules import NoiseSchedule
 from uwudiff_tpu.sampling import diffusion_sampling, sample_euler_ancestral
 
-__all__ = ["Txt2ImgPipeline", "BatchingServer", "Request"]
+__all__ = ["Txt2ImgPipeline", "BatchingServer", "Request",
+           "ServerOverloaded"]
 
 
 class Txt2ImgPipeline:
@@ -486,6 +487,14 @@ class Request:
     adapter: str | tuple[str, ...] | None = None
 
 
+class ServerOverloaded(RuntimeError):
+    """Admission rejected: the server's unresolved-request load is at
+    ``max_queue`` (the HTTP-429 analogue). Clients should back off and
+    retry; the bound keeps ACCEPTED requests' latency predictable
+    instead of letting the queue (and every p50 behind it) grow without
+    limit."""
+
+
 class BatchingServer:
     """Continuous request batching over a ``Txt2ImgPipeline``.
 
@@ -500,6 +509,14 @@ class BatchingServer:
     The accumulation window (``max_wait_s``) trades latency for batch
     efficiency — per-image sampler cost bottoms out around batch 4 on a
     v5e (README sweep), so small windows already capture most of it.
+
+    Backpressure (shed-at-admission policy): at most ``max_queue``
+    requests may be unresolved at once — queued, grouped, or in flight
+    on device. Beyond that ``submit`` raises :class:`ServerOverloaded`
+    immediately rather than queueing unboundedly (the round-4 envelope
+    showed pure queueing: p50 8.5s at 32 simultaneous requests).
+    Default 8x``max_batch`` bounds admitted-request latency to ~8 group
+    times; ``max_queue=None`` restores the unbounded behavior.
     """
 
     def __init__(
@@ -515,11 +532,17 @@ class BatchingServer:
         # batch-8 run) at the cost of one extra compiled signature per
         # bucket. Pass (max_batch,) for the single-signature behavior.
         batch_sizes: tuple[int, ...] | None = None,
+        max_queue: int | str | None = "default",
     ):
         self.pipeline = pipeline
         self.buckets = [tuple(b) for b in buckets]
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
+        self.max_queue = (
+            8 * max_batch if max_queue == "default" else max_queue
+        )
+        self._load_lock = threading.Lock()
+        self._inflight = 0
         sizes = batch_sizes if batch_sizes is not None else (1, max_batch)
         self.batch_sizes = tuple(sorted({min(int(s), max_batch)
                                          for s in sizes} | {max_batch}))
@@ -576,8 +599,27 @@ class BatchingServer:
             + abs(math.log((b[0] / b[1]) / (w / h))),
         )
 
+    def load(self) -> int:
+        """Unresolved requests right now (queued + grouped + on device)."""
+        with self._load_lock:
+            return self._inflight
+
+    def _dec_inflight(self, _fut):
+        with self._load_lock:
+            self._inflight -= 1
+
     def submit(self, request: Request) -> Future:
         fut: Future = Future()
+        if self.max_queue is not None:
+            with self._load_lock:
+                if self._inflight >= self.max_queue:
+                    raise ServerOverloaded(
+                        f"server at max_queue={self.max_queue} unresolved "
+                        "requests; retry with backoff"
+                    )
+                self._inflight += 1
+            # resolution (result OR exception) releases the slot
+            fut.add_done_callback(self._dec_inflight)
         self._queue.put((request, fut))
         return fut
 
