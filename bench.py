@@ -582,17 +582,40 @@ def main():
     trainer.train_step(batch)
     _sync()
 
+    # mechanical quiet-host guard (VERDICT r4 weak #5): windows timed
+    # under heavy host load read 5-15% low (bench25: 12.1-14.7 spread
+    # under a concurrent test run). Wait for the 1-min load average to
+    # decay below BENCH_MAX_LOAD before timing, and annotate the JSON
+    # with the worst load observed during the windows so a loaded
+    # measurement can never masquerade as a quiet one.
+    max_load = float(os.environ.get("BENCH_MAX_LOAD", "1.25"))
+    quiet_wait = float(os.environ.get("BENCH_QUIET_WAIT_S", "600"))
+    t_wait = time.time()
+    while (
+        os.getloadavg()[0] > max_load
+        and time.time() - t_wait < quiet_wait
+    ):
+        print(
+            f"# host loaded (1m={os.getloadavg()[0]:.2f} > {max_load}); "
+            "waiting for quiet before timing windows",
+            file=sys.stderr,
+        )
+        time.sleep(30.0)
+
     # variance-aware timing: TRIALS independent windows of STEPS steps;
     # the headline value is the median window (run-to-run spread on this
     # link has measured at +/-13%, README perf notes)
     trials = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
     window_dts = []
+    worst_load = os.getloadavg()[0]
     for _ in range(trials):
+        worst_load = max(worst_load, os.getloadavg()[0])
         t0 = time.perf_counter()
         for _ in range(STEPS):
             metrics, _ = trainer.train_step(batch)
         _sync()
         window_dts.append((time.perf_counter() - t0) / STEPS)
+        worst_load = max(worst_load, os.getloadavg()[0])
     dt = float(np.median(window_dts))
 
     imgs_per_sec = BATCH / dt
@@ -653,6 +676,9 @@ def main():
         )
     except (OSError, ValueError):
         result["timing_probe_age_s"] = None
+    result["host_load_1m"] = round(worst_load, 2)
+    if worst_load > max_load:  # measured loaded: flag, never hide
+        result["host_loaded"] = True
     print(json.dumps(result))
     print(
         f"# step={dt*1000:.1f}ms compile={compile_s:.1f}s "

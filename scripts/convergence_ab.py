@@ -29,6 +29,9 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from uwudiff_tpu.utils import apply_platform_env
 
@@ -41,6 +44,13 @@ BATCH = int(os.environ.get("CONV_BATCH", "16"))
 LATENT = int(os.environ.get("CONV_LATENT", "64"))
 N_DATA = int(os.environ.get("CONV_NDATA", "256"))
 LR = float(os.environ.get("CONV_LR", "1e-4"))
+# width multiplier on the sd15 channel stack. Default 0.8 (~550M):
+# the LARGEST scale where the fp32 + full-Adam + global-clip CONTROL
+# arm fits a 16GB v5e — at full sd15 width (860M) the control needs
+# 4 fp32 copies (params/m/v/clip-pinned grads) = 13.8GB before
+# activations and OOMs (measured, conv_fp32_s0 leg). The bf16+SR arm
+# ALSO runs once at full width for same-scale stability evidence.
+WIDTH = float(os.environ.get("CONV_WIDTH", "0.8"))
 OUT = os.environ.get(
     "CONV_OUT", f"hw_logs/conv_{ARM}_s{SEED}.jsonl"
 )
@@ -74,7 +84,17 @@ def main():
 
     optimizer, extra_opt, param_dtype, grad_clip = ARMS[ARM]
 
-    unet = UNet2DConditionModel.from_config("sd15", dtype=jnp.bfloat16)
+    width_kw = {}
+    if WIDTH != 1.0:
+        from uwudiff_tpu.models.unet import UNET_PRESETS
+
+        base = UNET_PRESETS["sd15"]["block_out_channels"]
+        width_kw["block_out_channels"] = tuple(
+            int(round(c * WIDTH / 64)) * 64 for c in base
+        )
+    unet = UNet2DConditionModel.from_config(
+        "sd15", dtype=jnp.bfloat16, **width_kw
+    )
     trainer = DMTrainer(
         model_config={"unet": unet, "te": None, "vae": None},
         lr=LR,
@@ -124,7 +144,7 @@ def main():
         "arm": ARM, "seed": SEED, "steps": STEPS, "batch": BATCH,
         "lr": LR, "optimizer": optimizer, "opt_extra": extra_opt,
         "param_dtype": param_dtype, "grad_clip": grad_clip,
-        "n_data": N_DATA, "t0": time.time(),
+        "n_data": N_DATA, "width": WIDTH, "t0": time.time(),
     }
     log.write(json.dumps({"meta": meta}) + "\n")
     log.flush()

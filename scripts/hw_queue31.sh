@@ -7,9 +7,9 @@ set -u
 cd /root/repo
 log() { echo "[hw_queue31 $(date +%H:%M:%S)] $*" | tee -a hw_logs/queue.log; }
 
-log "START timing_probe"
-python scripts/timing_probe.py > hw_logs/probe31.log 2>&1
-log "DONE  timing_probe rc=$?"
+log "probe already fresh (skipping re-run)" #
+# probe ran in the previous attempt
+
 m=hw_logs/.timing_probe_ok
 if [ ! -f "$m" ] || [ -n "$(find "$m" -mmin +720)" ]; then
   log "ABORT: no fresh probe marker"; exit 3

@@ -203,6 +203,56 @@ def phase_breakdown(pipe):
     print(json.dumps({"phases": t}), flush=True)
 
 
+def load_curve(server, req, sat_rate: float):
+    """Open-loop latency-vs-offered-load envelope (VERDICT r4 weak #3):
+    Poisson arrivals at SB_LOAD_LEVELS x the measured saturated rate,
+    SB_LOAD_N requests per level; per-level p50/p95 latency, achieved
+    throughput, and backpressure sheds (ServerOverloaded)."""
+    import numpy as np
+
+    from uwudiff_tpu.serving import ServerOverloaded
+
+    levels = [
+        float(x)
+        for x in os.environ.get(
+            "SB_LOAD_LEVELS", "0.25,0.5,0.75,1.0,1.25,1.5,2.0"
+        ).split(",")
+    ]
+    n_per = int(os.environ.get("SB_LOAD_N", "32"))
+    curve = []
+    for lvl in levels:
+        rate = max(lvl * sat_rate, 0.05)
+        gaps = np.random.default_rng(17).exponential(1.0 / rate, n_per)
+        futs, t_sub, shed = [], [], 0
+        t0 = time.time()
+        for i, gap in enumerate(gaps):
+            time.sleep(float(gap))
+            try:
+                f = server.submit(req(1000 + i))
+            except ServerOverloaded:
+                shed += 1
+                continue
+            t_sub.append(time.time())
+            futs.append(f)
+        lats = []
+        for t_s, f in zip(t_sub, futs):
+            f.result(timeout=3600)
+            lats.append(time.time() - t_s)
+        wall = time.time() - t0
+        lats = np.sort(np.asarray(lats)) if lats else np.asarray([0.0])
+        curve.append({
+            "offered_x_sat": lvl,
+            "offered_rps": round(rate, 3),
+            "achieved_rps": round(len(futs) / wall, 3),
+            "p50_s": round(float(lats[len(lats) // 2]), 3),
+            "p95_s": round(float(lats[int(len(lats) * 0.95)]), 3),
+            "shed": shed,
+            "completed": len(futs),
+        })
+        print(f"# load {lvl}x: {curve[-1]}", file=sys.stderr, flush=True)
+    return curve
+
+
 def main():
     _enable_compile_cache()
 
@@ -215,8 +265,14 @@ def main():
     if os.environ.get("SB_PHASES", "0") == "1":
         phase_breakdown(pipe)
         return
+    max_queue = os.environ.get("SB_MAXQ")
     server = BatchingServer(
-        pipe, buckets=[(RES, RES)], max_batch=MAX_BATCH, max_wait_s=WAIT_S
+        pipe, buckets=[(RES, RES)], max_batch=MAX_BATCH, max_wait_s=WAIT_S,
+        **(
+            {"max_queue": None if max_queue == "none" else int(max_queue)}
+            if max_queue
+            else {}
+        ),
     ).start()
 
     def req(i, n_steps=STEPS):
@@ -255,6 +311,10 @@ def main():
             f.result(timeout=3600)
             done.append(time.time() - lat[i])
         wall = time.time() - t2
+
+        curve = None
+        if os.environ.get("SB_MODE", "") == "load_curve":
+            curve = load_curve(server, req, N_REQ / wall)
     finally:
         server.stop()
 
@@ -275,6 +335,9 @@ def main():
         "trace_count": pipe.trace_count,
         "steady_state_retraces": pipe.trace_count - warm_traces,
     }
+    if curve is not None:
+        out["load_curve"] = curve
+        out["max_queue"] = server.max_queue
     print(json.dumps(out), flush=True)
 
 
