@@ -61,13 +61,18 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        restored = self._mgr.restore(
-            int(step),
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract_state),
-                data=ocp.args.JsonRestore(),
-            ),
-        )
+        args = {"state": ocp.args.StandardRestore(abstract_state)}
+        try:  # a checkpoint saved without iterator state has no "data"
+            restored = self._mgr.restore(
+                int(step),
+                args=ocp.args.Composite(
+                    data=ocp.args.JsonRestore(), **args
+                ),
+            )
+        except KeyError:
+            restored = self._mgr.restore(
+                int(step), args=ocp.args.Composite(**args)
+            )
         return restored["state"], restored.get("data")
 
     def wait(self):
