@@ -37,6 +37,11 @@ from uwudiff_tpu.utils import apply_platform_env
 
 apply_platform_env()
 
+# no-remat sd15-style runs: the fused-GN custom_vjp pins residuals
+# where XLA would rematerialize them (bench.py sets the same default
+# for sd15) — and the recipe A/B is about optimizer/precision, not GN
+os.environ.setdefault("UWU_FUSED_GN", "0")
+
 ARM = os.environ.get("CONV_ARM", "fp32")
 SEED = int(os.environ.get("CONV_SEED", "0"))
 STEPS = int(os.environ.get("CONV_STEPS", "2000"))

@@ -369,7 +369,12 @@ def _row_specs(chunk, c):
 
 
 def _vec_spec(c):
-    return pl.BlockSpec((1, c), lambda i, j: (i, 0),
+    # per-n vectors ride as [n, 1, C] so the block's last two dims
+    # (1, C) EQUAL the array's trailing dims — Mosaic requires the last
+    # two block dims be (8,128)-divisible or dim-equal, and a (1, C)
+    # block on an [n, C] array violates that for n > 1 (measured crash:
+    # hw_logs/conv_bf16sr_s0.log)
+    return pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -418,6 +423,9 @@ def _gn_silu_bwd_pallas(x, gamma, beta, g, groups: int, eps: float,
     scale = inv_c * gamma32[None, :]  # the fwd affine: z = x*scale+shift
     shift = beta.astype(jnp.float32)[None, :] - mean_c * scale
 
+    # per-n vectors as [n, 1, C] (see _vec_spec)
+    v3 = lambda a: a[:, None, :]
+
     # pass B: per-(n, channel) grad partials
     t = pl.pallas_call(
         _gn_bwd_partials_kernel,
@@ -435,7 +443,7 @@ def _gn_silu_bwd_pallas(x, gamma, beta, g, groups: int, eps: float,
         ],
         interpret=interpret,
         **kwargs,
-    )(x3, g3, scale, shift, mean_c, inv_c)
+    )(x3, g3, v3(scale), v3(shift), v3(mean_c), v3(inv_c))
     t1, t2 = t[:, 0], t[:, 1]  # [N, C] each
 
     dbeta = t1.sum(0).astype(beta.dtype)
@@ -462,8 +470,8 @@ def _gn_silu_bwd_pallas(x, gamma, beta, g, groups: int, eps: float,
         out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
         interpret=interpret,
         **kwargs,
-    )(x3, g3, scale, shift, mean_c, inv_c,
-      jnp.broadcast_to(gamma32, (n, c)), a_c, b_c)
+    )(x3, g3, v3(scale), v3(shift), v3(mean_c), v3(inv_c),
+      jnp.broadcast_to(gamma32, (n, 1, c)), v3(a_c), v3(b_c))
     return dx.reshape(orig_shape), dgamma, dbeta
 
 
