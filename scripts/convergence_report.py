@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Build CONVERGENCE.md (+ assets_convergence.png) from the conv08
+A/B legs (scripts/convergence_ab.py; VERDICT r4 missing #1).
+
+Compares the bench-default recipe (bf16+SR params, factored second
+moment) against the conservative control (fp32 params, full AdamW,
+global-norm clip 1.0) at width-0.8 (~550M) with identical data order
+and per-step noise/timestep draws, and states the final-loss delta
+against the seed-to-seed noise scale (fp32 s0 vs s1).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+HW = Path(__file__).resolve().parent.parent / "hw_logs"
+OUT = Path(__file__).resolve().parent.parent / "CONVERGENCE.md"
+
+LEGS = {
+    "fp32_s0": "conv08_fp32_s0.jsonl",
+    "bf16sr_s0": "conv08_bf16sr_s0.jsonl",
+    "fp32_s1": "conv08_fp32_s1.jsonl",
+    "bf16sr_clip_s0": "conv08_bf16sr_clip_s0.jsonl",
+    # full-width (860M) stability leg of the exact bench recipe
+    "bf16sr_fullwidth": "conv_bf16sr_s0.jsonl",
+}
+
+
+def load(fname):
+    meta, losses, summary = None, [], None
+    p = HW / fname
+    if not p.exists():
+        return None
+    for line in p.read_text().splitlines():
+        d = json.loads(line)
+        if "meta" in d:
+            meta = d["meta"]
+        elif "summary" in d:
+            summary = d["summary"]
+        elif "loss" in d:
+            losses.append(d["loss"])
+    return {"meta": meta, "losses": np.asarray(losses), "summary": summary}
+
+
+def window_mean(losses, lo, hi):
+    seg = losses[lo:hi]
+    return float(seg.mean()) if len(seg) else float("nan")
+
+
+def main():
+    legs = {k: load(v) for k, v in LEGS.items()}
+    legs = {k: v for k, v in legs.items() if v and len(v["losses"])}
+    if "fp32_s0" not in legs or "bf16sr_s0" not in legs:
+        print("missing required legs", {k: bool(v) for k, v in legs.items()})
+        return 1
+
+    a = legs["fp32_s0"]["losses"]
+    b = legs["bf16sr_s0"]["losses"]
+    n = min(len(a), len(b))
+    tail = slice(max(0, n - 200), n)
+    final_a, final_b = float(a[tail].mean()), float(b[tail].mean())
+    delta = final_b - final_a
+
+    noise = None
+    if "fp32_s1" in legs:
+        a2 = legs["fp32_s1"]["losses"]
+        m = min(len(a), len(a2))
+        noise = abs(
+            float(a[max(0, m - 200):m].mean())
+            - float(a2[max(0, m - 200):m].mean())
+        )
+
+    lines = [
+        "# Convergence A/B — bench default vs conservative control",
+        "",
+        "Protocol: sd15-architecture UNet at width 0.8 (~550M — the",
+        "largest scale where the fp32 control fits a 16GB v5e; at full",
+        "width the control's 4 fp32 copies = 13.8GB and compile OOMs,",
+        "`hw_logs/conv_fp32_s0.log`), bs=16, 64x64 latents, fixed",
+        "256-sample synthetic latent dataset, 2000 steps, lr 1e-4,",
+        "IDENTICAL shuffle order and per-step timestep/noise draws",
+        "across arms (constant base rng; the trainer folds in",
+        "`state.step`). `scripts/convergence_ab.py`, queues 32/34.",
+        "",
+        "| arm | recipe | first loss | final-200 mean | nan steps |",
+        "|---|---|---|---|---|",
+    ]
+    descr = {
+        "fp32_s0": "fp32 params, AdamW fp32 moments, global-norm clip 1.0 (control)",
+        "bf16sr_s0": "bf16+SR params, adamw_factored (THE bench default)",
+        "fp32_s1": "control, seed 1 (seed-noise scale)",
+        "bf16sr_clip_s0": "bench default + per-leaf update-RMS clip 1.0",
+        "bf16sr_fullwidth": "bench default at FULL width (860M) — stability leg",
+    }
+    for k, leg in legs.items():
+        s = leg["summary"] or {}
+        lines.append(
+            f"| {k} | {descr.get(k, '')} | "
+            f"{s.get('first_loss', float(leg['losses'][0])):.4f} | "
+            f"{float(leg['losses'][-200:].mean()):.4f} | "
+            f"{s.get('nan_steps', int(np.sum(~np.isfinite(leg['losses']))))} |"
+        )
+
+    lines += [
+        "",
+        f"**Final-200-step delta (bench default − control): {delta:+.5f}**"
+        + (
+            f" vs seed-to-seed noise {noise:.5f} — "
+            + (
+                "within noise; the headline recipe trains as well as "
+                "the conservative control."
+                if noise is not None and abs(delta) <= 2 * noise
+                else "EXCEEDS 2x seed noise — recipe difference is real; "
+                "see curves before trusting the bench default."
+            )
+            if noise is not None
+            else ""
+        ),
+        "",
+        "Curves: `assets_convergence.png` (loss, 50-step moving average).",
+        "",
+    ]
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(1, 2, figsize=(11, 4))
+        for k, leg in legs.items():
+            y = leg["losses"]
+            ma = np.convolve(y, np.ones(50) / 50, mode="valid")
+            ax[0].plot(ma, label=k, lw=1)
+            lo = max(0, len(ma) - 500)
+            ax[1].plot(range(lo, len(ma)), ma[lo:], label=k, lw=1)
+        ax[0].set_title("loss (50-step MA)")
+        ax[1].set_title("last 500 steps")
+        for a_ in ax:
+            a_.set_xlabel("step")
+            a_.legend(fontsize=7)
+        fig.tight_layout()
+        fig.savefig(
+            Path(__file__).resolve().parent.parent
+            / "assets_convergence.png",
+            dpi=110,
+        )
+        print("wrote assets_convergence.png")
+    except Exception as e:
+        print(f"plot skipped: {e}")
+
+    OUT.write_text("\n".join(lines))
+    print(f"wrote {OUT}")
+    print("\n".join(lines[-6:]))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,24 @@
+#!/bin/bash
+# Stage-34 (round 5): re-run the conv08 fp32 control (its first launch
+# raced the GN-bwd Mosaic fix and died at trace), then build the
+# convergence report.
+set -u
+cd /root/repo
+log() { echo "[hw_queue34 $(date +%H:%M:%S)] $*" | tee -a hw_logs/queue.log; }
+while [ ! -f hw_logs/stage33.done ]; do sleep 60; done
+
+if ! grep -q '"summary"' hw_logs/conv08_fp32_s0.jsonl 2>/dev/null; then
+  rm -f hw_logs/conv08_fp32_s0.jsonl
+  log "START conv08_fp32_s0 (rerun)"
+  env CONV_ARM=fp32 CONV_SEED=0 CONV_STEPS=2000 CONV_WIDTH=0.8 \
+    CONV_OUT=hw_logs/conv08_fp32_s0.jsonl \
+    python scripts/convergence_ab.py \
+    > hw_logs/conv08_fp32_s0.log 2>&1
+  log "DONE  conv08_fp32_s0 rc=$?"
+fi
+
+log "START convergence_report"
+python scripts/convergence_report.py > hw_logs/conv_report.log 2>&1
+log "DONE  convergence_report rc=$?"
+touch hw_logs/stage34.done
+log "QUEUE34 COMPLETE"

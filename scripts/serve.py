@@ -70,6 +70,23 @@ def make_handler(server, request_cls):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/statz":  # live load observability
+                self._send(
+                    200,
+                    {
+                        "load": (
+                            server.load()
+                            if hasattr(server, "load")
+                            else None
+                        ),
+                        "max_queue": getattr(server, "max_queue", None),
+                        "trace_count": getattr(
+                            getattr(server, "pipeline", None),
+                            "trace_count",
+                            None,
+                        ),
+                    },
+                )
             else:
                 self._send(404, {"error": "unknown path"})
 

@@ -182,3 +182,18 @@ def test_overload_becomes_429():
         assert code == 429 and "max_queue" in out["error"]
     finally:
         httpd.shutdown()
+
+
+def test_statz_endpoint():
+    stub = _StubServer(np.zeros((1, 4, 4, 4), np.float32))
+    stub.max_queue = 32
+    stub.load = lambda: 3
+    httpd, port = _boot(stub)
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/statz", timeout=30
+        ) as r:
+            d = json.loads(r.read())
+        assert d["load"] == 3 and d["max_queue"] == 32
+    finally:
+        httpd.shutdown()
