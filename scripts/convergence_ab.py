@@ -49,6 +49,7 @@ BATCH = int(os.environ.get("CONV_BATCH", "16"))
 LATENT = int(os.environ.get("CONV_LATENT", "64"))
 N_DATA = int(os.environ.get("CONV_NDATA", "256"))
 LR = float(os.environ.get("CONV_LR", "1e-4"))
+WARMUP = int(os.environ.get("CONV_WARMUP", "0"))  # linear warmup steps
 # width multiplier on the sd15 channel stack. Default 0.8 (~550M):
 # the LARGEST scale where the fp32 + full-Adam + global-clip CONTROL
 # arm fits a 16GB v5e — at full sd15 width (860M) the control needs
@@ -107,7 +108,8 @@ def main():
         opt_config={
             "weight_decay": 0.01, "betas": (0.9, 0.999), **extra_opt,
         },
-        use_warm_up=False,
+        use_warm_up=WARMUP > 0,
+        warm_up_period=max(WARMUP, 1),
         loss_config=DiffusionLoss(schedule=NoiseSchedule.sd15()),
         grad_clip=grad_clip,
         param_dtype=param_dtype,
@@ -149,7 +151,8 @@ def main():
         "arm": ARM, "seed": SEED, "steps": STEPS, "batch": BATCH,
         "lr": LR, "optimizer": optimizer, "opt_extra": extra_opt,
         "param_dtype": param_dtype, "grad_clip": grad_clip,
-        "n_data": N_DATA, "width": WIDTH, "t0": time.time(),
+        "n_data": N_DATA, "width": WIDTH, "warmup": WARMUP,
+        "t0": time.time(),
     }
     log.write(json.dumps({"meta": meta}) + "\n")
     log.flush()

@@ -17,14 +17,20 @@ from pathlib import Path
 
 import numpy as np
 
+import os
+
 HW = Path(__file__).resolve().parent.parent / "hw_logs"
 OUT = Path(__file__).resolve().parent.parent / "CONVERGENCE.md"
 
+# CONV_REPORT_PREFIX selects the leg family: conv08 = lr 1e-4 no-warmup
+# (learn-then-collapse regime, kept as the hyperparameter cautionary
+# tale), conv36 = lr 3e-5 + 100-step warmup (stable learning)
+PREFIX = os.environ.get("CONV_REPORT_PREFIX", "conv36")
 LEGS = {
-    "fp32_s0": "conv08_fp32_s0.jsonl",
-    "bf16sr_s0": "conv08_bf16sr_s0.jsonl",
-    "fp32_s1": "conv08_fp32_s1.jsonl",
-    "bf16sr_clip_s0": "conv08_bf16sr_clip_s0.jsonl",
+    "fp32_s0": f"{PREFIX}_fp32_s0.jsonl",
+    "bf16sr_s0": f"{PREFIX}_bf16sr_s0.jsonl",
+    "fp32_s1": f"{PREFIX}_fp32_s1.jsonl",
+    "bf16sr_clip_s0": f"{PREFIX}_bf16sr_clip_s0.jsonl",
     # full-width (860M) stability leg of the exact bench recipe
     "bf16sr_fullwidth": "conv_bf16sr_s0.jsonl",
 }
@@ -74,6 +80,7 @@ def main():
             - float(a2[max(0, m - 200):m].mean())
         )
 
+    meta0 = legs["fp32_s0"]["meta"] or {}
     lines = [
         "# Convergence A/B — bench default vs conservative control",
         "",
@@ -81,10 +88,11 @@ def main():
         "largest scale where the fp32 control fits a 16GB v5e; at full",
         "width the control's 4 fp32 copies = 13.8GB and compile OOMs,",
         "`hw_logs/conv_fp32_s0.log`), bs=16, 64x64 latents, fixed",
-        "256-sample synthetic latent dataset, 2000 steps, lr 1e-4,",
+        f"256-sample synthetic latent dataset, {meta0.get('steps')}",
+        f"steps, lr {meta0.get('lr')}, warmup {meta0.get('warmup', 0)},",
         "IDENTICAL shuffle order and per-step timestep/noise draws",
         "across arms (constant base rng; the trainer folds in",
-        "`state.step`). `scripts/convergence_ab.py`, queues 32/34.",
+        f"`state.step`). `scripts/convergence_ab.py`, legs `{PREFIX}_*`.",
         "",
         "| arm | recipe | first loss | final-200 mean | nan steps |",
         "|---|---|---|---|---|",

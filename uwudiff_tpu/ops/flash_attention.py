@@ -45,6 +45,14 @@ __all__ = ["flash_attention", "flash_shape_supported"]
 DEFAULT_BLOCK_Q = 512  # larger Q tiles halve K/V re-reads across the grid
 DEFAULT_BLOCK_K = 2048
 NEG_INF = -1e30
+# exp2-domain softmax (round 5): exp(x) = exp2(x * LOG2E), with the
+# LOG2E folded into the [*, D] q-scale (cheap) instead of a per-element
+# multiply on every [BQ, BK] logit tile — and the backward kernels drop
+# their full-tile `* scale` pass the same way. At d=40 the VPU softmax
+# ops rival the lane-limited MXU time, so logit-tile passes are the
+# long-seq kernel's marginal cost (scripts/flash_roofline.py).
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 # measured winners from scripts/flash_tune.py (v5e, bf16, fwd+bwd,
 # probe-validated chained timer — hw_logs/flash_tune4.log):
@@ -142,7 +150,11 @@ def _compiler_params(parallel_dims: int):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, scale: float):
+                m_scr, l_scr, acc_scr, *, scale: float, has_bias: bool):
+    """Softmax runs in the exp2 domain: s2 = s * LOG2E via the q-scale,
+    p = exp2(s2 - m2) == exp(s - m). m/l scratch live in log2 units;
+    only the final lse converts back to natural log. ``has_bias=False``
+    (no mask, no key padding) skips the [BQ, BK] bias add entirely."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -152,25 +164,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [BQ, D]
     k_blk = k_ref[0].astype(jnp.float32)  # [BK, D]
     v_blk = v_ref[0].astype(jnp.float32)  # [BK, D]
-    b_blk = bias_ref[0].astype(jnp.float32)  # [1, BK] or [BQ, BK]
 
-    s = (
-        jax.lax.dot_general(
-            q, k_blk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + b_blk
-    )  # [BQ, BK]
+    s = jax.lax.dot_general(
+        q, k_blk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, BK], log2 units
+    if has_bias:  # bias pre-scaled by LOG2E at the call site
+        s = s + bias_ref[0].astype(jnp.float32)
     m_prev = m_scr[:]
     l_prev = l_scr[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p, v_blk,
@@ -184,7 +194,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
     def _():
         l_safe = jnp.maximum(l_scr[:], 1e-30)
         out_ref[0] = (acc_scr[:] / l_safe).astype(out_ref.dtype)
-        lse_ref[0, 0] = (m_scr[:] + jnp.log(l_safe))[:, 0]
+        # natural-log lse for the public contract: m is in log2 units
+        lse_ref[0, 0] = (m_scr[:] * LN2 + jnp.log(l_safe))[:, 0]
 
 
 def _bias_spec(bias3, block_q, block_k, k_axis_first: bool):
@@ -205,7 +216,8 @@ def _bias_spec(bias3, block_q, block_k, k_axis_first: bool):
                         memory_space=pltpu.VMEM)
 
 
-def _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
+def _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret,
+                   has_bias=True):
     bh, sq, d = q3.shape
     sk = k3.shape[1]
     grid = (bh, sq // block_q, sk // block_k)
@@ -214,7 +226,7 @@ def _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
     if cp is not None and not interpret:
         kwargs["compiler_params"] = cp
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        functools.partial(_fwd_kernel, scale=scale, has_bias=has_bias),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
@@ -257,7 +269,8 @@ def _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                   delta_ref, dq_ref, dq_scr, *, scale: float):
+                   delta_ref, dq_ref, dq_scr, *, scale: float,
+                   has_bias: bool):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -265,23 +278,22 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    # scale*LOG2E folded into the [BQ, D] q tile: kills the full-tile
+    # `* scale` logit pass AND runs the softmax recompute in exp2
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [BQ, D]
     do = do_ref[0].astype(jnp.float32)  # [BQ, D]
-    lse = lse_ref[0, 0].astype(jnp.float32)[:, None]  # [BQ, 1]
+    lse2 = lse_ref[0, 0].astype(jnp.float32)[:, None] * LOG2E  # [BQ, 1]
     delta = delta_ref[0, 0].astype(jnp.float32)[:, None]  # [BQ, 1]
     k_blk = k_ref[0].astype(jnp.float32)  # [BK, D]
     v_blk = v_ref[0].astype(jnp.float32)  # [BK, D]
-    b_blk = bias_ref[0].astype(jnp.float32)  # [1, BK] or [BQ, BK]
 
-    s = (
-        jax.lax.dot_general(
-            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * scale
-        + b_blk
+    s = jax.lax.dot_general(
+        q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    p = jnp.exp(s - lse)  # [BQ, BK]
+    if has_bias:  # bias pre-scaled by LOG2E at the call site
+        s = s + bias_ref[0].astype(jnp.float32)
+    p = jnp.exp2(s - lse2)  # [BQ, BK] — == exp(s_nat - lse)
     dp = jax.lax.dot_general(
         do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -299,11 +311,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
 def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                          delta_ref, dq_ref, dbias_ref, dq_scr, *,
-                         scale: float):
-    """dQ kernel variant that also emits dBias = dL/ds per [BQ, BK] block
-    (s = qk*scale + bias, so dL/dbias = dL/ds = p*(dp-delta) exactly).
-    Used when a *learned* full bias needs gradients (e.g. T5 relative
-    position bias trained through the kernel).
+                         scale: float, has_bias: bool):
+    """dQ kernel variant that also emits dBias per [BQ, BK] block. The
+    kernel sees the LOG2E-pre-scaled bias b2 = b * LOG2E, so it emits
+    dL/db2 = ds * LN2; the call site's pre-scale multiply contributes
+    its own LOG2E factor under autodiff and the composed dBias is
+    exactly ds. Used when a *learned* full bias needs gradients (e.g.
+    T5 relative position bias trained through the kernel).
 
     The s and dp dots run at Precision.HIGHEST: dq/dk/dv contract ds
     against K/Q (hundreds of terms average out MXU bf16-pass noise) but
@@ -316,31 +330,28 @@ def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0].astype(jnp.float32)[:, None]
+    lse2 = lse_ref[0, 0].astype(jnp.float32)[:, None] * LOG2E
     delta = delta_ref[0, 0].astype(jnp.float32)[:, None]
     k_blk = k_ref[0].astype(jnp.float32)
     v_blk = v_ref[0].astype(jnp.float32)
-    b_blk = bias_ref[0].astype(jnp.float32)
 
-    s = (
-        jax.lax.dot_general(
-            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        * scale
-        + b_blk
+    s = jax.lax.dot_general(
+        q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    p = jnp.exp(s - lse)
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)
+    p = jnp.exp2(s - lse2)
     dp = jax.lax.dot_general(
         do, v_blk, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     ds = p * (dp - delta)
-    dbias_ref[0] = ds.astype(dbias_ref.dtype)
+    dbias_ref[0] = (ds * LN2).astype(dbias_ref.dtype)
     dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
         ds, k_blk, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -353,7 +364,7 @@ def _bwd_dq_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                     delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
-                    scale: float):
+                    scale: float, has_bias: bool):
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
 
@@ -364,21 +375,21 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
     k = k_ref[0].astype(jnp.float32)  # [BK, D]
     v = v_ref[0].astype(jnp.float32)  # [BK, D]
-    bias = bias_ref[0].astype(jnp.float32)  # [1, BK] or [BQ, BK]
-    q_blk = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    # q pre-scaled by scale*LOG2E (exp2 softmax; kills the [BQ, BK]
+    # `* scale` pass). dk then accumulates ds @ q_scaled — the final
+    # emit multiplies by LN2 since scale*LOG2E*LN2 == scale.
+    q_blk = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [BQ, D]
     do_blk = do_ref[0].astype(jnp.float32)  # [BQ, D]
-    lse_blk = lse_ref[0, 0].astype(jnp.float32)[:, None]  # [BQ, 1]
+    lse2 = lse_ref[0, 0].astype(jnp.float32)[:, None] * LOG2E  # [BQ, 1]
     delta_blk = delta_ref[0, 0].astype(jnp.float32)[:, None]
 
-    s = (
-        jax.lax.dot_general(
-            q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * scale
-        + bias
+    s = jax.lax.dot_general(
+        q_blk, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    p = jnp.exp(s - lse_blk)  # [BQ, BK]
+    if has_bias:  # bias pre-scaled by LOG2E at the call site
+        s = s + bias_ref[0].astype(jnp.float32)
+    p = jnp.exp2(s - lse2)  # [BQ, BK]
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p, do_blk, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -395,12 +406,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
     @pl.when(qi == nq - 1)
     def _():
-        dk_ref[0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
+        # dk_scr carries the q-side scale*LOG2E factor; * LN2 restores
+        # the true scale multiplier exactly
+        dk_ref[0] = (dk_scr[:] * LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
-                    interpret, with_dbias=False, g_lse=None):
+                    interpret, with_dbias=False, g_lse=None, has_bias=True):
     bh, sq, d = q3.shape
     sk = k3.shape[1]
     delta = jnp.sum(
@@ -441,7 +454,8 @@ def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
         # each (i, j) grid cell is visited exactly once per b: the dQ pass
         # can emit the dBias block for free alongside the dq accumulation
         dq, dbias = pl.pallas_call(
-            functools.partial(_bwd_dq_dbias_kernel, scale=scale),
+            functools.partial(_bwd_dq_dbias_kernel, scale=scale,
+                              has_bias=has_bias),
             grid=(bh, sq // block_q, sk // block_k),
             in_specs=dq_in_specs,
             out_specs=[
@@ -461,7 +475,8 @@ def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
         )(q3, k3, v3, bias2, g, lse, delta)
     else:
         dq = pl.pallas_call(
-            functools.partial(_bwd_dq_kernel, scale=scale),
+            functools.partial(_bwd_dq_kernel, scale=scale,
+                              has_bias=has_bias),
             grid=(bh, sq // block_q, sk // block_k),
             in_specs=dq_in_specs,
             out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
@@ -474,7 +489,8 @@ def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
         )(q3, k3, v3, bias2, g, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale),
+        functools.partial(_bwd_dkv_kernel, scale=scale,
+                          has_bias=has_bias),
         grid=(bh, sk // block_k, sq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
@@ -521,26 +537,27 @@ def _flash_backward(q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k,
 # ---------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _flash_core(q3, k3, v3, bias2, scale, block_q, block_k, interpret,
-                with_dbias=False):
+                with_dbias=False, has_bias=True):
     out, _ = _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k,
-                            interpret)
+                            interpret, has_bias=has_bias)
     return out
 
 
 def _flash_core_fwd(q3, k3, v3, bias2, scale, block_q, block_k, interpret,
-                    with_dbias):
+                    with_dbias, has_bias):
     out, lse = _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k,
-                              interpret)
+                              interpret, has_bias=has_bias)
     return out, (q3, k3, v3, bias2, out, lse)
 
 
-def _flash_core_bwd(scale, block_q, block_k, interpret, with_dbias, res, g):
+def _flash_core_bwd(scale, block_q, block_k, interpret, with_dbias,
+                    has_bias, res, g):
     q3, k3, v3, bias2, out, lse = res
     dq, dk, dv, dbias = _flash_backward(
         q3, k3, v3, bias2, out, lse, g, scale, block_q, block_k, interpret,
-        with_dbias=with_dbias,
+        with_dbias=with_dbias, has_bias=has_bias,
     )
     if dbias is None:
         # masks/constant biases: zero gradient by construction (fast path)
@@ -551,28 +568,30 @@ def _flash_core_bwd(scale, block_q, block_k, interpret, with_dbias, res, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_core_lse(q3, k3, v3, bias2, scale, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_core_lse(q3, k3, v3, bias2, scale, block_q, block_k, interpret,
+                    has_bias=True):
     """Flash core returning (out, lse) — the ring-attention inner step.
     lse is [BH, 1, Sq] fp32; its cotangent is handled exactly (folded
     into delta in the backward)."""
     return _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k,
-                          interpret)
+                          interpret, has_bias=has_bias)
 
 
 def _flash_core_lse_fwd(q3, k3, v3, bias2, scale, block_q, block_k,
-                        interpret):
+                        interpret, has_bias):
     out, lse = _flash_forward(q3, k3, v3, bias2, scale, block_q, block_k,
-                              interpret)
+                              interpret, has_bias=has_bias)
     return (out, lse), (q3, k3, v3, bias2, out, lse)
 
 
-def _flash_core_lse_bwd(scale, block_q, block_k, interpret, res, g):
+def _flash_core_lse_bwd(scale, block_q, block_k, interpret, has_bias,
+                        res, g):
     q3, k3, v3, bias2, out, lse = res
     g_out, g_lse = g
     dq, dk, dv, _ = _flash_backward(
         q3, k3, v3, bias2, out, lse, g_out, scale, block_q, block_k,
-        interpret, g_lse=g_lse,
+        interpret, g_lse=g_lse, has_bias=has_bias,
     )
     return dq, dk, dv, jnp.zeros_like(bias2)
 
@@ -637,6 +656,11 @@ def flash_attention(
     kp = jnp.pad(k, [(0, 0), (0, sk_p - sk), (0, 0), (0, 0)])
     vp = jnp.pad(v, [(0, 0), (0, sk_p - sk), (0, 0), (0, 0)])
 
+    # the kernels run their softmax in the exp2 domain; the bias joins
+    # the logits AFTER the q-side LOG2E fold, so it is pre-scaled ONCE
+    # here (per call, not per tile). has_bias=False (no mask AND no key
+    # padding) skips the [BQ, BK] bias add inside every kernel.
+    has_bias = bias is not None or sk_p != sk
     if key_bias_only:
         if bias is None:
             bias2 = jnp.zeros((b, sk), jnp.float32)
@@ -646,7 +670,7 @@ def flash_attention(
         bias2 = jnp.pad(
             bias2, [(0, 0), (0, sk_p - sk)], constant_values=NEG_INF
         )
-        bias_bh = jnp.repeat(bias2, h, axis=0)[:, None, :]  # [B*H, 1, Sk]
+        bias_bh = jnp.repeat(bias2 * LOG2E, h, axis=0)[:, None, :]
     else:
         bias4 = jnp.maximum(
             jnp.broadcast_to(bias, (b, h, sq, sk)), NEG_INF
@@ -656,7 +680,7 @@ def flash_attention(
             [(0, 0), (0, 0), (0, sq_p - sq), (0, sk_p - sk)],
             constant_values=NEG_INF,
         )
-        bias_bh = bias4.reshape(b * h, sq_p, sk_p)
+        bias_bh = bias4.reshape(b * h, sq_p, sk_p) * LOG2E
 
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
@@ -665,13 +689,15 @@ def flash_attention(
 
     if return_lse:
         out3, lse3 = _flash_core_lse(
-            q3, k3, v3, bias_bh, scale, block_q, block_k, interpret
+            q3, k3, v3, bias_bh, scale, block_q, block_k, interpret,
+            has_bias
         )
         out = out3.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
         lse = lse3.reshape(b, h, sq_p)[:, :, :sq]
         return out[:, :sq], lse
     out3 = _flash_core(
-        q3, k3, v3, bias_bh, scale, block_q, block_k, interpret, with_dbias
+        q3, k3, v3, bias_bh, scale, block_q, block_k, interpret,
+        with_dbias, has_bias
     )
     out = out3.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
     return out[:, :sq]
