@@ -7,7 +7,7 @@
 set -u
 cd /root/repo
 log() { echo "[hw_queue36 $(date +%H:%M:%S)] $*" | tee -a hw_logs/queue.log; }
-while [ ! -f hw_logs/stage35.done ]; do sleep 60; done
+while [ ! -f hw_logs/stage34.done ]; do sleep 60; done
 
 run_leg() {
   local arm=$1 seed=$2
