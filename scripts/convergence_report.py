@@ -71,6 +71,13 @@ def main():
     final_a, final_b = float(a[tail].mean()), float(b[tail].mean())
     delta = final_b - final_a
 
+    # PAIRED comparison: both arms see identical timestep/noise draws
+    # and data order each step, so the pointwise difference isolates
+    # the recipe effect from the (large) per-step draw variance
+    paired = b[tail] - a[tail]
+    paired_mean = float(paired.mean())
+    paired_sem = float(paired.std() / np.sqrt(len(paired)))
+
     noise = None
     if "fp32_s1" in legs:
         a2 = legs["fp32_s1"]["losses"]
@@ -113,19 +120,24 @@ def main():
             f"{s.get('nan_steps', int(np.sum(~np.isfinite(leg['losses']))))} |"
         )
 
+    verdict = None
+    if noise is not None:
+        ok = abs(delta) <= max(2 * noise, 3 * paired_sem, 1e-3)
+        verdict = (
+            "within noise; the headline recipe trains as well as the "
+            "conservative control."
+            if ok
+            else "EXCEEDS the noise scale — recipe difference is real; "
+            "see curves before trusting the bench default."
+        )
     lines += [
         "",
-        f"**Final-200-step delta (bench default − control): {delta:+.5f}**"
+        f"**Final-200-step delta (bench default − control): {delta:+.5f}**",
+        f"paired pointwise delta (identical draws): {paired_mean:+.5f} "
+        f"± {paired_sem:.5f} (sem)"
         + (
-            f" vs seed-to-seed noise {noise:.5f} — "
-            + (
-                "within noise; the headline recipe trains as well as "
-                "the conservative control."
-                if noise is not None and abs(delta) <= 2 * noise
-                else "EXCEEDS 2x seed noise — recipe difference is real; "
-                "see curves before trusting the bench default."
-            )
-            if noise is not None
+            f"; seed-to-seed noise {noise:.5f} — {verdict}"
+            if verdict is not None
             else ""
         ),
         "",
