@@ -60,12 +60,15 @@ def window_mean(losses, lo, hi):
 def main():
     legs = {k: load(v) for k, v in LEGS.items()}
     legs = {k: v for k, v in legs.items() if v and len(v["losses"])}
-    if "fp32_s0" not in legs or "bf16sr_s0" not in legs:
+    # arm B = the candidate default: the clipped recipe when that is
+    # the leg that ran (round-5 adoption), else the unclipped one
+    b_key = "bf16sr_s0" if "bf16sr_s0" in legs else "bf16sr_clip_s0"
+    if "fp32_s0" not in legs or b_key not in legs:
         print("missing required legs", {k: bool(v) for k, v in legs.items()})
         return 1
 
     a = legs["fp32_s0"]["losses"]
-    b = legs["bf16sr_s0"]["losses"]
+    b = legs[b_key]["losses"]
     n = min(len(a), len(b))
     tail = slice(max(0, n - 200), n)
     final_a, final_b = float(a[tail].mean()), float(b[tail].mean())

@@ -15,6 +15,11 @@ if [ ! -f "$m" ] || [ -n "$(find "$m" -mmin +720)" ]; then
   log "ABORT: no fresh probe marker"; exit 3
 fi
 while [ ! -f hw_logs/stage32.done ]; do sleep 60; done
+# round-5 manual gate: bench defaults may change based on the
+# bf16sr_clip convergence leg (clipping_threshold adoption) — wait for
+# the analysis marker so the expensive SDXL compile measures the
+# adopted default
+while [ ! -f hw_logs/.q33_go ]; do sleep 30; done
 
 log "START bench33_default_gnbwd_on"
 python bench.py > hw_logs/bench33_gnbwd_on.log 2>&1

@@ -3,7 +3,9 @@
 # operating point (lr 3e-5, 100-step linear warmup) — the lr-1e-4
 # no-warmup legs showed learn-then-collapse-to-mean dynamics in BOTH
 # arms' regime (bf16sr measured; see conv08_* logs), which compares
-# recipes only at a bad hyperparameter. 1500 steps per leg.
+# recipes only at a bad hyperparameter. 1500 steps per leg. Arm B is
+# the CLIPPED recipe (the round-5 candidate default after the
+# unclipped-factored collapse at lr 1e-4).
 set -u
 cd /root/repo
 log() { echo "[hw_queue36 $(date +%H:%M:%S)] $*" | tee -a hw_logs/queue.log; }
@@ -21,7 +23,7 @@ run_leg() {
 }
 
 run_leg fp32 0
-run_leg bf16sr 0
+run_leg bf16sr_clip 0
 run_leg fp32 1
 
 log "START convergence_report (final)"
