@@ -18,7 +18,7 @@ if ! grep -q '"summary"' hw_logs/conv08_fp32_s0.jsonl 2>/dev/null; then
 fi
 
 log "START convergence_report"
-python scripts/convergence_report.py > hw_logs/conv_report.log 2>&1
+env CONV_REPORT_PREFIX=conv08 python scripts/convergence_report.py > hw_logs/conv_report.log 2>&1
 log "DONE  convergence_report rc=$?"
 touch hw_logs/stage34.done
 log "QUEUE34 COMPLETE"
