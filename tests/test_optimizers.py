@@ -92,3 +92,40 @@ def test_build_optimizer_adamw_factored_name():
     g = jax.tree_util.tree_map(jnp.ones_like, params)
     upd, _ = tx.update(g, state, params)
     assert jnp.all(jnp.isfinite(upd["w"]))
+
+
+def test_adamw_factored_clipping_threshold_bounds_update_rms():
+    """Adafactor-style per-leaf update-RMS clipping — adopted as the
+    bench default after the round-5 convergence A/B caught the
+    UNCLIPPED factored recipe collapsing at lr 1e-4 while the fp32
+    full-Adam control converged (CONVERGENCE.md). The clipped update's
+    RMS must never exceed lr * threshold; the unclipped one must be
+    able to (a tiny v estimate early in training produces outsized
+    update steps — the instability the clip exists to prevent)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uwudiff_tpu.training.optimizers import adamw_factored
+
+    params = {"w": jnp.zeros((8, 16), jnp.float32)}
+    # adversarial gradient history: one huge step right after tiny ones
+    g_small = {"w": jnp.full((8, 16), 1e-6, jnp.float32)}
+    g_big = {"w": jnp.full((8, 16), 10.0, jnp.float32)}
+    lr = 1e-2
+
+    def run(clip):
+        tx = adamw_factored(
+            lr, weight_decay=0.0, clipping_threshold=clip
+        )
+        state = tx.init(params)
+        u, state = tx.update(g_small, state, params)
+        u, state = tx.update(g_big, state, params)
+        return float(
+            jnp.sqrt(jnp.mean(jnp.square(u["w"])))
+        )
+
+    rms_clipped = run(1.0)
+    rms_free = run(None)
+    assert rms_clipped <= lr * 1.0 * (1 + 1e-5), rms_clipped
+    assert rms_free > rms_clipped, (rms_free, rms_clipped)
