@@ -68,6 +68,13 @@ ARMS = {
     "bf16sr_clip": (
         "adamw_factored", {"clipping_threshold": 1.0}, "bfloat16", None,
     ),
+    # diagnostic arms (round 5): isolate STORAGE (bf16+SR with the
+    # control's full Adam + global clip) vs OPTIMIZER (fp32 storage
+    # with factored+clip) when the combined recipe misbehaves
+    "bf16sr_adamw": ("adamw", {}, "bfloat16", 1.0),
+    "fp32_factored_clip": (
+        "adamw_factored", {"clipping_threshold": 1.0}, None, None,
+    ),
 }
 
 

@@ -1,30 +1,30 @@
 #!/bin/bash
-# Stage-36 (round 5): convergence A/B rerun at a stable-learning
-# operating point (lr 3e-5, 100-step linear warmup) — the lr-1e-4
-# no-warmup legs showed learn-then-collapse-to-mean dynamics in BOTH
-# arms' regime (bf16sr measured; see conv08_* logs), which compares
-# recipes only at a bad hyperparameter. 1500 steps per leg. Arm B is
-# the CLIPPED recipe (the round-5 candidate default after the
-# unclipped-factored collapse at lr 1e-4).
+# Stage-36 (round 5, redesigned): convergence triangulation.
+#  legs 1-2: control vs candidate default at a stable operating point
+#            (lr 3e-5 + 100-step warmup), identical draws -> paired stats
+#  legs 3-4: culprit isolation at the sharp point (lr 1e-4): bf16+SR
+#            storage with FULL Adam (isolates storage) and fp32 storage
+#            with factored+clip (isolates optimizer)
 set -u
 cd /root/repo
 log() { echo "[hw_queue36 $(date +%H:%M:%S)] $*" | tee -a hw_logs/queue.log; }
 while [ ! -f hw_logs/stage34.done ]; do sleep 60; done
 
 run_leg() {
-  local arm=$1 seed=$2
-  log "START conv36_${arm}_s${seed}"
-  env CONV_ARM=$arm CONV_SEED=$seed CONV_STEPS=1500 CONV_WIDTH=0.8 \
-    CONV_LR=3e-5 CONV_WARMUP=100 \
-    CONV_OUT=hw_logs/conv36_${arm}_s${seed}.jsonl \
+  local arm=$1 seed=$2 lr=$3 wu=$4 steps=$5 tag=$6
+  log "START conv36_${tag}"
+  env CONV_ARM=$arm CONV_SEED=$seed CONV_STEPS=$steps CONV_WIDTH=0.8 \
+    CONV_LR=$lr CONV_WARMUP=$wu \
+    CONV_OUT=hw_logs/conv36_${tag}.jsonl \
     python scripts/convergence_ab.py \
-    > hw_logs/conv36_${arm}_s${seed}.log 2>&1
-  log "DONE  conv36_${arm}_s${seed} rc=$?"
+    > hw_logs/conv36_${tag}.log 2>&1
+  log "DONE  conv36_${tag} rc=$?"
 }
 
-run_leg fp32 0
-run_leg bf16sr_clip 0
-run_leg fp32 1
+run_leg fp32 0 3e-5 100 1500 fp32_s0
+run_leg bf16sr_clip 0 3e-5 100 1500 bf16sr_clip_s0
+run_leg bf16sr_adamw 0 1e-4 0 1200 bf16sr_adamw_1e4
+run_leg fp32_factored_clip 0 1e-4 0 1200 fp32_factored_1e4
 
 log "START convergence_report (final)"
 env CONV_REPORT_PREFIX=conv36 python scripts/convergence_report.py \
