@@ -7,6 +7,12 @@ cd /root/repo
 log() { echo "[hw_queue34 $(date +%H:%M:%S)] $*" | tee -a hw_logs/queue.log; }
 while [ ! -f hw_logs/stage33.done ]; do sleep 60; done
 
+# quiet re-measure of the default bench (the queue33 on-leg windows ran
+# host-loaded: 9.7-15.3 spread, host_load_1m 1.31) — cache-warm now
+log "START bench34_default_quiet"
+python bench.py > hw_logs/bench34_default_quiet.log 2>&1
+log "DONE  bench34_default_quiet rc=$?"
+
 if ! grep -q '"summary"' hw_logs/conv08_fp32_s0.jsonl 2>/dev/null; then
   rm -f hw_logs/conv08_fp32_s0.jsonl
   log "START conv08_fp32_s0 (rerun)"
