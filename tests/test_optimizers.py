@@ -129,3 +129,28 @@ def test_adamw_factored_clipping_threshold_bounds_update_rms():
     rms_free = run(None)
     assert rms_clipped <= lr * 1.0 * (1 + 1e-5), rms_clipped
     assert rms_free > rms_clipped, (rms_free, rms_clipped)
+
+
+def test_adamw_factored_weight_decay_is_lr_scaled():
+    """Regression for the round-5 collapse root cause: optax.adafactor's
+    weight_decay_rate knob applies wd*p UNSCALED by lr (a 1%/step shrink
+    at wd=0.01 — drove every factored-recipe training to zero weights
+    and loss -> mean-prediction). adamw_factored must decay
+    torch-AdamW-style: p -= lr * wd * p."""
+    import jax.numpy as jnp
+
+    from uwudiff_tpu.training.optimizers import adamw_factored
+
+    lr, wd = 1e-2, 0.1
+    tx = adamw_factored(lr, weight_decay=wd)
+    params = {"w": jnp.full((4, 256), 2.0, jnp.float32)}
+    state = tx.init(params)
+    zero_g = {"w": jnp.zeros((4, 256), jnp.float32)}
+    u, state = tx.update(zero_g, state, params)
+    # zero gradient -> the update IS the decay term
+    np.testing.assert_allclose(
+        np.asarray(u["w"]), -lr * wd * 2.0, rtol=1e-5
+    )
+    # 2000 steps of decay at lr 1e-4, wd 0.01 must be ~x0.998, not ~x0
+    factor = (1.0 - 1e-4 * 0.01) ** 2000
+    assert factor > 0.99  # the fixed semantics keep params alive

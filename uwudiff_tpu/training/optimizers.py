@@ -76,9 +76,19 @@ def adamw_factored(
     clipping, which forces the entire gradient tree live at once
     (~5.1GB for SDXL; measured as the difference between bs=6 and bs=8
     fitting a 16GB chip).
+
+    Weight decay is applied LR-SCALED (torch-AdamW semantics:
+    ``p -= lr * wd * p``), NOT via optax.adafactor's
+    ``weight_decay_rate`` — that knob adds ``wd * p`` to the update
+    AFTER the learning-rate stage, i.e. a raw 1%-per-step parameter
+    shrink at wd=0.01 that drives any long run to zero weights
+    regardless of lr. Found by the round-5 convergence A/B: the
+    factored arms collapsed to mean-prediction (loss -> 1.0 as
+    params -> 0) while the optax.adamw control converged
+    (hw_logs/conv08_*, hw_logs/collapse_repro.txt).
     """
     del b2
-    return optax.adafactor(
+    base = optax.adafactor(
         learning_rate=learning_rate,
         min_dim_size_to_factor=min_dim_size_to_factor,
         decay_rate=decay_rate,
@@ -86,9 +96,33 @@ def adamw_factored(
         clipping_threshold=clipping_threshold,
         momentum=b1,
         dtype_momentum=moment_dtype,
-        weight_decay_rate=weight_decay,
+        weight_decay_rate=None,
         eps=max(eps, 1e-30),
         factored=True,
+    )
+    if not weight_decay:
+        return base
+
+    lr_fn = (
+        learning_rate if callable(learning_rate)
+        else (lambda _count: learning_rate)
+    )
+
+    def decay_init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def decay_update(updates, state, params=None):
+        assert params is not None, "lr-scaled decay needs params"
+        lr = lr_fn(state.count)
+        updates = jax.tree_util.tree_map(
+            lambda u, p: u - lr * weight_decay * p.astype(u.dtype),
+            updates, params,
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.chain(
+        base, optax.GradientTransformation(decay_init, decay_update)
     )
 
 
