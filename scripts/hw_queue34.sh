@@ -13,6 +13,10 @@ log "START bench34_default_quiet"
 python bench.py > hw_logs/bench34_default_quiet.log 2>&1
 log "DONE  bench34_default_quiet rc=$?"
 
+log "START bench34_gnbwd_off_quiet"
+env UWU_FUSED_GN_BWD=0 python bench.py > hw_logs/bench34_gnbwd_off_quiet.log 2>&1
+log "DONE  bench34_gnbwd_off_quiet rc=$?"
+
 if ! grep -q '"summary"' hw_logs/conv08_fp32_s0.jsonl 2>/dev/null; then
   rm -f hw_logs/conv08_fp32_s0.jsonl
   log "START conv08_fp32_s0 (rerun)"
