@@ -44,9 +44,13 @@ TRIALS = int(os.environ.get("FR_TRIALS", "3"))
 
 
 def _measure(fn, x0, iters, trials):
-    """Median seconds/iter of a donated chain x -> fn(x)."""
+    """Median seconds/iter of a donated chain x -> fn(x). Copies the
+    seed input first — donation consumes the chain's buffers, and the
+    caller reuses x0 across measurements."""
     import jax
+    import jax.numpy as jnp
 
+    x0 = jax.jit(lambda a: a + jnp.zeros_like(a))(x0)  # fresh buffer
     step = jax.jit(fn, donate_argnums=(0,))
     x = step(x0)
     jax.block_until_ready(x)

@@ -17,6 +17,15 @@ log "START bench34_gnbwd_off_quiet"
 env UWU_FUSED_GN_BWD=0 python bench.py > hw_logs/bench34_gnbwd_off_quiet.log 2>&1
 log "DONE  bench34_gnbwd_off_quiet rc=$?"
 
+# roofline re-runs (queue33 legs hit a donated-buffer reuse bug, fixed)
+log "START roofline34_16384x40"
+python scripts/flash_roofline.py > hw_logs/roofline34_16384x40.log 2>&1
+log "DONE  roofline34_16384x40 rc=$?"
+log "START roofline34_4096x64"
+env FR_SEQ=4096 FR_D=64 FR_HEADS=10 FR_BATCH=8 \
+  python scripts/flash_roofline.py > hw_logs/roofline34_4096x64.log 2>&1
+log "DONE  roofline34_4096x64 rc=$?"
+
 if ! grep -q '"summary"' hw_logs/conv08_fp32_s0.jsonl 2>/dev/null; then
   rm -f hw_logs/conv08_fp32_s0.jsonl
   log "START conv08_fp32_s0 (rerun)"
