@@ -26,6 +26,13 @@ env FR_SEQ=4096 FR_D=64 FR_HEADS=10 FR_BATCH=8 \
   python scripts/flash_roofline.py > hw_logs/roofline34_4096x64.log 2>&1
 log "DONE  roofline34_4096x64 rc=$?"
 
+# load-envelope rerun (serve33 measured observation latency, fixed)
+log "START serve34_load_curve"
+env SB_MODE=load_curve SB_MODEL=sd15 SB_RES=512 SB_STEPS=16 \
+  SB_MAXBATCH=8 SB_REQUESTS=32 \
+  python scripts/serve_bench.py > hw_logs/serve34_load_curve.log 2>&1
+log "DONE  serve34_load_curve rc=$?"
+
 if ! grep -q '"summary"' hw_logs/conv08_fp32_s0.jsonl 2>/dev/null; then
   rm -f hw_logs/conv08_fp32_s0.jsonl
   log "START conv08_fp32_s0 (rerun)"

@@ -224,6 +224,9 @@ def load_curve(server, req, sat_rate: float):
         rate = max(lvl * sat_rate, 0.05)
         gaps = np.random.default_rng(17).exponential(1.0 / rate, n_per)
         futs, t_sub, shed = [], [], 0
+        done_t = {}  # COMPLETION times via callback — measuring at a
+        # sequential result() loop records observation time, inflating
+        # low-load p50 to ~the whole level duration (round-5 serve33 bug)
         t0 = time.time()
         for i, gap in enumerate(gaps):
             time.sleep(float(gap))
@@ -233,11 +236,15 @@ def load_curve(server, req, sat_rate: float):
                 shed += 1
                 continue
             t_sub.append(time.time())
+            k = len(futs)
+            f.add_done_callback(
+                lambda fut, k=k: done_t.setdefault(k, time.time())
+            )
             futs.append(f)
         lats = []
-        for t_s, f in zip(t_sub, futs):
+        for k, (t_s, f) in enumerate(zip(t_sub, futs)):
             f.result(timeout=3600)
-            lats.append(time.time() - t_s)
+            lats.append(done_t[k] - t_s)
         wall = time.time() - t0
         lats = np.sort(np.asarray(lats)) if lats else np.asarray([0.0])
         curve.append({
