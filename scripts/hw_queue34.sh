@@ -29,7 +29,7 @@ log "DONE  roofline34_4096x64 rc=$?"
 # load-envelope rerun (serve33 measured observation latency, fixed)
 log "START serve34_load_curve"
 env SB_MODE=load_curve SB_MODEL=sd15 SB_RES=512 SB_STEPS=16 \
-  SB_MAXBATCH=8 SB_REQUESTS=32 \
+  SB_MAXBATCH=8 SB_REQUESTS=32 SB_MAXQ=16 \
   python scripts/serve_bench.py > hw_logs/serve34_load_curve.log 2>&1
 log "DONE  serve34_load_curve rc=$?"
 
