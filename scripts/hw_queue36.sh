@@ -25,9 +25,9 @@ run_leg() {
 # conv08 legs and these): leg 3 reruns the EXACT collapse conditions
 # (same seed, same draws as conv08_bf16sr_clip_s0) with the fixed
 # optimizer — the before/after proof
+run_leg bf16sr_clip 0 1e-4 0 2000 bf16sr_clip_1e4_fixed
 run_leg fp32 0 3e-5 100 1500 fp32_s0
 run_leg bf16sr_clip 0 3e-5 100 1500 bf16sr_clip_s0
-run_leg bf16sr_clip 0 1e-4 0 2000 bf16sr_clip_1e4_fixed
 
 log "START convergence_report (final)"
 env CONV_REPORT_PREFIX=conv36 python scripts/convergence_report.py \
